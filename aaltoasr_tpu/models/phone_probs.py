@@ -1,0 +1,131 @@
+"""Audio -> features -> GMM state log-probs -> LNA: the scoring pipeline.
+
+Equivalent of the reference's PPToolbox (`aku/PhoneProbsToolbox.{hh,cc}`,
+SWIG-exported via `aku/swig/PPToolbox.i`) and the phone_probs CLI driver
+(`aku/phone_probs.cc`).  The whole per-utterance compute path — framing,
+spectrum, mel, cepstra, deltas, Gaussian pool matmul, mixture logsumexp,
+frame normalization, 2-byte quantization — runs as one jitted device
+program; the host only reads audio and writes the LNA payload.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aaltoasr_tpu.formats.feaconf import FeatureConfig
+from aaltoasr_tpu.formats.lna import write_lna
+from aaltoasr_tpu.formats.model_io import HmmModel, read_model
+from aaltoasr_tpu.formats.recipe import Recipe
+from aaltoasr_tpu.formats.spkc import SpeakerConfig
+from aaltoasr_tpu.frontend.audio import read_audio
+from aaltoasr_tpu.frontend.generator import FeatureGenerator
+from aaltoasr_tpu.ops.gmm import GmmScorer, quantize_lna_u16
+
+
+class PhoneProbs:
+    """Feature + GMM scoring pipeline for LNA generation."""
+
+    def __init__(self, model: HmmModel | str, config: FeatureConfig | str,
+                 lna_bytes: int = 2, normalize: bool = True):
+        if isinstance(model, str):
+            model = read_model(model)
+        self.model = model
+        self.fg = FeatureGenerator(config)
+        self.scorer = GmmScorer.from_model(model)
+        if model.dim != self.fg.dim:
+            raise ValueError(
+                f"Gaussian dimension is {model.dim} but feature dimension "
+                f"is {self.fg.dim}.")
+        if lna_bytes not in (2, 4):
+            raise ValueError("Invalid number of LNA bytes")
+        self.lna_bytes = lna_bytes
+        self.normalize = normalize
+        self.speaker_config: SpeakerConfig | None = None
+
+    # -- speaker adaptation ----------------------------------------------
+    def read_speaker_config(self, path) -> None:
+        self.speaker_config = SpeakerConfig.load(path)
+
+    def set_speaker(self, speaker_id: str) -> None:
+        if self.speaker_config is None or not speaker_id:
+            return
+        self.fg.apply_speaker_config(
+            self.speaker_config.speaker_params(speaker_id))
+
+    def set_utterance(self, utterance_id: str) -> None:
+        if self.speaker_config is None or not utterance_id:
+            return
+        self.fg.apply_speaker_config(
+            self.speaker_config.utterance_params(utterance_id))
+
+    # -- device program ---------------------------------------------------
+    @functools.lru_cache(maxsize=None)
+    def _program(self, padded_len: int, quantize: bool):
+        feature_fn = self.fg._compiled(padded_len)
+        scorer = self.scorer
+        normalize = self.normalize
+
+        def fn(samples, n_frames, params):
+            feats = feature_fn(samples, n_frames, params)
+            if normalize:
+                lp = scorer.lna_log_probs(feats)
+            else:
+                lp = scorer.state_log_likelihoods(feats)[:, :scorer.num_states]
+            if quantize:
+                return quantize_lna_u16(lp)
+            return lp
+
+        return jax.jit(fn)
+
+    def log_probs(self, samples: np.ndarray) -> np.ndarray:
+        """[S] samples -> [T, num_states] LNA-normalized log-probs."""
+        samples = jnp.asarray(samples)
+        T = self.fg.num_frames(samples.shape[0])
+        fn = self._program(int(samples.shape[0]), False)
+        return np.asarray(fn(samples, jnp.int32(T), self.fg.params))[:T]
+
+    # -- LNA emission -----------------------------------------------------
+    def generate_to_file(self, audio_path: str, out_path: str) -> int:
+        """One utterance -> LNA file; returns the frame count."""
+        samples, rate = read_audio(audio_path, self.fg.sample_rate)
+        samples = jnp.asarray(samples)
+        T = self.fg.num_frames(samples.shape[0])
+        if self.lna_bytes == 2 and self.normalize:
+            fn = self._program(int(samples.shape[0]), True)
+            codes = np.asarray(
+                fn(samples, jnp.int32(T), self.fg.params))[:T]
+            header = (int(self.scorer.num_states).to_bytes(4, "big")
+                      + bytes([2]))
+            with open(out_path, "wb") as f:
+                f.write(header + codes.astype(">u2").tobytes())
+        else:
+            lp = self.log_probs(samples)
+            write_lna(out_path, lp, self.lna_bytes)
+        return T
+
+    def generate_recipe(self, recipe: Recipe, out_dir: str = "",
+                        use_audio_fname: bool = False,
+                        no_overwrite: bool = False,
+                        info: int = 0) -> None:
+        """Process a recipe shard like the phone_probs main loop
+        (`aku/phone_probs.cc:120-200`)."""
+        for rinfo in recipe:
+            if use_audio_fname or not rinfo.lna_path:
+                out_file = os.path.basename(rinfo.audio_path) + ".lna"
+            else:
+                out_file = rinfo.lna_path
+            if out_dir:
+                out_file = os.path.join(out_dir, os.path.basename(out_file))
+            if no_overwrite and os.path.exists(out_file):
+                continue
+            self.set_speaker(rinfo.speaker_id)
+            self.set_utterance(rinfo.utterance_id)
+            if info > 0:
+                print(f"Processing file: {rinfo.audio_path}", file=sys.stderr)
+            self.generate_to_file(rinfo.audio_path, out_file)

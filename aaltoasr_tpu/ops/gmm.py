@@ -1,0 +1,132 @@
+"""Diagonal-GMM state likelihoods as batched matmuls — the scoring hot path.
+
+The reference evaluates each Gaussian with a per-dimension scalar loop
+(`aku/Distributions.cc:1034-1060`) and each mixture with a linear-domain
+weighted sum in double precision (`aku/Distributions.cc:2079-2086`), frame
+by frame behind a likelihood cache (`aku/Distributions.cc:2637-2710`,
+`aku/HmmSet.cc:485`).  On TPU the whole frame x Gaussian grid is one MXU
+matmul:
+
+    log N_g(x) = -0.5 * sum_d (x_d - mu_gd)^2 * p_gd + C_g
+               = [x^2, x] @ [-0.5*p_g ; mu_g*p_g] + (C_g - 0.5*sum mu^2 p)
+
+with ``C_g = log sqrt(prod p_g)`` — the reference's unnormalized constant
+(no 2*pi term, `aku/Distributions.cc:1273-1287`).  Mixture scores follow as
+a gather + masked logsumexp over padded component tables, and the LNA
+normalization (`aku/PhoneProbsToolbox.cc:93-105`: divide by the linear sum
+of state likelihoods, then safe_log) becomes ``clip(ll - logsumexp(ll),
+log(1e-50))`` which is algebraically identical but float-stable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aaltoasr_tpu.formats.model_io import HmmModel
+from aaltoasr_tpu.ops.logsemiring import LOG_ZERO, SAFE_LOG_FLOOR, logsumexp
+
+_F32 = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class GmmScorer:
+    """Device-resident scoring tables for one acoustic model.
+
+    score_matrix  [2D, G]  stacked [-0.5*p ; mu*p]
+    score_bias    [G]      C_g - 0.5*sum_d mu^2 p
+    comp_idx      [S, K]   mixture component Gaussian indices (padded)
+    comp_logw     [S, K]   log mixture weights (LOG_ZERO padding)
+    """
+
+    dim: int
+    num_states: int
+    num_gaussians: int
+    score_matrix: jax.Array
+    score_bias: jax.Array
+    comp_idx: jax.Array
+    comp_logw: jax.Array
+
+    @classmethod
+    def from_model(cls, model: HmmModel, pad_gaussians_to: int = 128,
+                   pad_states_to: int = 8) -> "GmmScorer":
+        if model.cov_type == "full_cov" or "full" in model.gauss_kind:
+            raise NotImplementedError(
+                "full-covariance scoring path not yet implemented")
+        means = model.means
+        prec = model.precisions()
+        const = model.gauss_constants()
+        G, D = means.shape
+        Gp = _round_up(G, pad_gaussians_to)
+
+        A = np.zeros((2 * D, Gp), dtype=np.float32)
+        A[:D, :G] = (-0.5 * prec).T
+        A[D:, :G] = (means * prec).T
+        bias = np.full(Gp, LOG_ZERO, dtype=np.float32)
+        bias[:G] = const - 0.5 * np.sum(means * means * prec, axis=1)
+
+        S = len(model.mixtures)
+        K = max((len(ix) for ix, _ in model.mixtures), default=1)
+        Sp = _round_up(S, pad_states_to)
+        comp_idx = np.zeros((Sp, K), dtype=np.int32)
+        comp_logw = np.full((Sp, K), LOG_ZERO, dtype=np.float32)
+        for s, (idx, w) in enumerate(model.mixtures):
+            comp_idx[s, :len(idx)] = idx
+            with np.errstate(divide="ignore"):
+                comp_logw[s, :len(w)] = np.where(
+                    w > 0, np.log(np.maximum(w, 1e-300)), LOG_ZERO)
+        return cls(
+            dim=D, num_states=S, num_gaussians=G,
+            score_matrix=jnp.asarray(A), score_bias=jnp.asarray(bias),
+            comp_idx=jnp.asarray(comp_idx), comp_logw=jnp.asarray(comp_logw),
+        )
+
+    # -- scoring ----------------------------------------------------------
+    def gaussian_log_likelihoods(self, features: jax.Array) -> jax.Array:
+        """[T, D] features -> [T, Gp] per-Gaussian log-likelihoods."""
+        x = features.astype(jnp.float32)
+        xx = jnp.concatenate([x * x, x], axis=-1)
+        return jnp.dot(xx, self.score_matrix, precision=_F32) + self.score_bias
+
+    def state_log_likelihoods(self, features: jax.Array) -> jax.Array:
+        """[T, D] -> [T, Sp] mixture (tied-state) log-likelihoods.
+
+        Equivalent of HmmSet::precompute_likelihoods + state_likelihood
+        (`aku/HmmSet.cc:485`, `aku/Distributions.cc:2079`) over all frames.
+        """
+        gll = self.gaussian_log_likelihoods(features)      # [T, Gp]
+        comp = gll[:, self.comp_idx]                        # [T, Sp, K]
+        return logsumexp(comp + self.comp_logw, axis=-1)    # [T, Sp]
+
+    def lna_log_probs(self, features: jax.Array) -> jax.Array:
+        """[T, D] -> [T, S] normalized LNA log-probs.
+
+        Matches PPToolbox::generate_to_fd normalization
+        (`aku/PhoneProbsToolbox.cc:93-105`): divide linear likelihoods by
+        their sum over states, floor at safe_log(1e-50).
+        """
+        ll = self.state_log_likelihoods(features)[:, :self.num_states]
+        norm = logsumexp(ll, axis=-1, keepdims=True)
+        return jnp.maximum(ll - norm, SAFE_LOG_FLOOR)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# on-device LNA quantization (the phone_probs emission path)
+# ---------------------------------------------------------------------------
+
+def quantize_lna_u16(log_probs: jax.Array) -> jax.Array:
+    """[T, S] log-probs -> [T, S] uint16 LNA codes (2-byte encoding).
+
+    ``v = int(-1820*lp + 0.5)`` truncating toward zero, 0xFFFF below
+    -36.008 (`aku/PhoneProbsToolbox.cc:106-124`).  Host writes big-endian.
+    """
+    v = (-1820.0 * log_probs + 0.5).astype(jnp.int32)
+    v = jnp.where(log_probs < -36.008, 0xFFFF, jnp.clip(v, 0, 0xFFFF))
+    return v.astype(jnp.uint16)

@@ -1,0 +1,412 @@
+"""Frontend tests: the vectorized DAG vs an independent per-frame oracle.
+
+The oracle below re-implements the documented per-frame semantics
+(`aku/doc/feature_configuration.txt`, FeatureModules.cc) directly in NumPy
+with recursive pull evaluation — deliberately mirroring the reference's
+frame-at-a-time structure rather than the vectorized implementation, so the
+two act as independent cross-checks (the reference's own
+random_feature_test.cc plays the same role, `aku/tests/Makefile:11-12`).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from aaltoasr_tpu.formats.feaconf import FeatureConfig
+from aaltoasr_tpu.frontend.generator import FeatureGenerator
+from aaltoasr_tpu.frontend import modules as M
+
+
+# ---------------------------------------------------------------------------
+# per-frame oracle
+# ---------------------------------------------------------------------------
+
+class Oracle:
+    def __init__(self, config: FeatureConfig, samples: np.ndarray):
+        self.config = config
+        self.samples = np.asarray(samples, dtype=np.float64)
+        base = config.base.config
+        self.rate = base.get_int("sample_rate")
+        self.frame_rate = base.get_float("frame_rate", 125.0)
+        self.W = base.get_int("window_width",
+                              int(2 * self.rate / self.frame_rate))
+        self.adv = self.rate / self.frame_rate
+        self.coef = base.get_float("pre_emph_coef", 0.97)
+        self.n_frames = int((len(self.samples) - self.W - 1) / self.adv) + 1
+        self.cache = {}
+
+    def at(self, name: str, frame: int) -> np.ndarray:
+        key = (name, frame)
+        if key not in self.cache:
+            self.cache[key] = self.gen(name, frame)
+        return self.cache[key]
+
+    def gen(self, name: str, frame: int) -> np.ndarray:
+        spec = self.config.by_name[name]
+        cfg = spec.config
+        srcs = spec.sources
+
+        if spec.type == "audiofile":
+            f = min(max(frame, 0), self.n_frames - 1)  # copy_borders
+            ws = int(f * self.adv)
+            s = self.samples
+            return np.array([s[ws + t + 1] - self.coef * s[ws + t]
+                             for t in range(self.W)])
+
+        if spec.type == "fft":
+            x = self.at(srcs[0], frame)
+            n = len(x)
+            ham = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(n) / (n - 1.0))
+            spec_c = np.fft.rfft(x * ham)
+            p = spec_c.real ** 2 + spec_c.imag ** 2
+            if cfg.get_int("magnitude", 1):
+                p = np.sqrt(p)
+            if cfg.get_int("log", 0):
+                p = np.log(p)
+            return p
+
+        if spec.type == "mel":
+            x = self.at(srcs[0], frame)
+            dim = M.mel_dim(self.rate)
+            edges = M.mel_bin_edges(dim, self.rate, len(x))
+            out = np.zeros(dim)
+            for b in range(dim):
+                val = ssum = 0.0
+                beg = float(edges[b]) - 1.0
+                end = float(edges[b + 1])
+                t = int(max(math.ceil(beg), 0.0))
+                while t < end:
+                    sc = (t - beg) / (end - beg)
+                    val += sc * x[t]
+                    ssum += sc
+                    t += 1
+                beg2, end2 = end, float(edges[b + 2])
+                while t < end2:
+                    sc = (end2 - t) / (end2 - beg2)
+                    val += sc * x[t]
+                    ssum += sc
+                    t += 1
+                if cfg.get_int("root", 0):
+                    out[b] = (val / ssum) ** 0.1
+                else:
+                    out[b] = np.log(val / ssum + 1)
+            return out
+
+        if spec.type == "power":
+            x = self.at(srcs[0], frame)
+            return np.array([np.log(np.sum(x) + 1e-10)])
+
+        if spec.type == "dct":
+            x = self.at(srcs[0], frame)
+            dim = cfg.get_int("dim", 12)
+            zeroth = cfg.get_int("zeroth", 0)
+            out = np.zeros(dim)
+            bias = 0
+            if zeroth:
+                out[0] = np.sum(x)
+                bias = 1
+            for i in range(dim - bias):
+                out[i + bias] = sum(
+                    x[b] * math.cos((i + 1) * (b + 0.5) * math.pi / len(x))
+                    for b in range(len(x)))
+            return out
+
+        if spec.type == "delta":
+            w = cfg.get_int("width", 2)
+            norm = cfg.get_float(
+                "normalization", 2 * w * (w + 1) * (2 * w + 1) / 6)
+            out = np.zeros_like(self.at(srcs[0], frame))
+            for k in range(1, w + 1):
+                out = out + k * (self.at(srcs[0], frame + k)
+                                 - self.at(srcs[0], frame - k))
+            return out / norm
+
+        if spec.type == "normalization":
+            x = self.at(srcs[0], frame)
+            mean = np.array(cfg.get_float_vec("mean", [0.0] * len(x)))
+            if cfg.exists("var"):
+                scale = 1 / np.sqrt(np.array(cfg.get_float_vec("var")))
+            else:
+                scale = np.array(cfg.get_float_vec("scale", [1.0] * len(x)))
+            return (x - mean) * scale
+
+        if spec.type == "lin_transform":
+            x = self.at(srcs[0], frame)
+            dim = cfg.get_int("dim", len(x))
+            mat = cfg.get_float_vec("matrix")
+            A = (np.array(mat).reshape(dim, len(x)) if mat
+                 else np.eye(dim, len(x)))
+            b = np.array(cfg.get_float_vec("bias", [0.0] * dim))
+            return A @ x + b
+
+        if spec.type == "merge":
+            return np.concatenate([self.at(s, frame) for s in srcs])
+
+        if spec.type == "mean_subtractor":
+            left = cfg.get_int("left", 75)
+            right = cfg.get_int("right", 75)
+            vals = [self.at(srcs[0], frame + i)
+                    for i in range(-left, right + 1)]
+            return self.at(srcs[0], frame) - np.mean(vals, axis=0)
+
+        if spec.type == "concat":
+            left = cfg.get_int("left", 0)
+            right = cfg.get_int("right", 0)
+            return np.concatenate([self.at(srcs[0], frame + i)
+                                   for i in range(-left, right + 1)])
+
+        if spec.type == "vtln":
+            x = self.at(srcs[0], frame)
+            wf = getattr(self, "warp_factor", 1.0)
+            bins = M.vtln_bins(len(x), wf, bool(cfg.get_int("pwlin_vtln", 0)),
+                               cfg.get_float("pwlin_turnpoint", 0.8), None)
+            rad = cfg.get_int("sinc_interpolation_rad", 8)
+            lanczos = cfg.get_int("lanczos_window", 1) > 0
+            out = np.zeros_like(x)
+            if rad > 0:
+                for b in range(len(x)):
+                    cent = int(bins[b] + 0.5)
+                    lo, hi = max(cent - rad, 0), min(cent + rad + 1, len(x))
+                    t = 0.0
+                    for i in range(lo, hi):
+                        c = M._sinc(float(i - bins[b]))
+                        if lanczos:
+                            c = (c * M._sinc(float(i - bins[b]) / rad)
+                                 if abs(i - bins[b]) < rad else 0.0)
+                        t += x[i] * c
+                    out[b] = max(t, 0.0)
+            else:
+                for b in range(len(x)):
+                    p = math.ceil(bins[b]) - bins[b]
+                    out[b] = (p * x[int(math.floor(bins[b]))]
+                              + (1 - p) * x[int(math.ceil(bins[b]))])
+            return out
+
+        raise ValueError(f"oracle: unknown type {spec.type}")
+
+    def features(self) -> np.ndarray:
+        last = self.config.last.name
+        return np.stack([self.at(last, f) for f in range(self.n_frames)])
+
+
+# ---------------------------------------------------------------------------
+# configs under test
+# ---------------------------------------------------------------------------
+
+def cfg_mfcc_full() -> str:
+    """MFCC + power, CMS, deltas + accels, merge — the standard recipe shape."""
+    return """\
+module
+{
+  name audio
+  type audiofile
+  sample_rate 16000
+}
+module
+{
+  name fft
+  type fft
+  sources audio
+}
+module
+{
+  name mel
+  type mel
+  sources fft
+}
+module
+{
+  name dct
+  type dct
+  sources mel
+}
+module
+{
+  name power
+  type power
+  sources fft
+}
+module
+{
+  name cat
+  type merge
+  sources dct power
+}
+module
+{
+  name cms
+  type mean_subtractor
+  sources cat
+  left 10
+  right 10
+}
+module
+{
+  name delta
+  type delta
+  sources cms
+  width 2
+}
+module
+{
+  name accel
+  type delta
+  sources delta
+  width 2
+}
+module
+{
+  name out
+  type merge
+  sources cms delta accel
+}
+"""
+
+
+def make_audio(n=4000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    sig = (3000 * np.sin(2 * np.pi * 440 * t / 16000)
+           + 1500 * np.sin(2 * np.pi * 1330 * t / 16000)
+           + 500 * rng.standard_normal(n))
+    return np.round(sig).astype(np.float32)
+
+
+class TestFrontend:
+    def test_mfcc_full_matches_oracle(self):
+        cfg = FeatureConfig.parse(cfg_mfcc_full())
+        audio = make_audio(4000)
+        fg = FeatureGenerator(cfg)
+        got = np.asarray(fg.features(audio))
+        want = Oracle(cfg, audio).features()
+        assert got.shape == want.shape
+        assert got.shape[1] == 13 * 3
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_num_frames_formula(self):
+        cfg = FeatureConfig.parse(cfg_mfcc_full())
+        fg = FeatureGenerator(cfg)
+        # (n - W - 1)/adv + 1 with W=256, adv=128
+        assert fg.num_frames(4000) == int((4000 - 256 - 1) / 128.0) + 1
+        assert fg.num_frames(257) == 1
+
+    def test_dims(self):
+        cfg = FeatureConfig.parse(cfg_mfcc_full())
+        fg = FeatureGenerator(cfg)
+        assert fg.module_dim("fft") == 129
+        assert fg.module_dim("mel") == 21
+        assert fg.module_dim("dct") == 12
+        assert fg.module_dim("cat") == 13
+        assert fg.dim == 39
+
+    def test_batch_matches_single(self):
+        cfg = FeatureConfig.parse(cfg_mfcc_full())
+        fg = FeatureGenerator(cfg)
+        a1 = make_audio(4000, seed=1)
+        a2 = make_audio(3000, seed=2)
+        pad = np.zeros((2, 4000), dtype=np.float32)
+        pad[0] = a1
+        pad[1, :3000] = a2
+        out = np.asarray(fg.features_batch(pad, np.array([4000, 3000])))
+        np.testing.assert_allclose(
+            out[0], np.asarray(fg.features(a1)), rtol=1e-5, atol=1e-5)
+        t2 = fg.num_frames(3000)
+        np.testing.assert_allclose(
+            out[1, :t2], np.asarray(fg.features(a2)), rtol=1e-5, atol=1e-5)
+
+    def test_border_copy_semantics(self):
+        # delta at frame 0 must use the frame-0 border copy on the left
+        text = """\
+module
+{
+  name audio
+  type audiofile
+  sample_rate 16000
+}
+module
+{
+  name fft
+  type fft
+  sources audio
+}
+module
+{
+  name mel
+  type mel
+  sources fft
+}
+module
+{
+  name delta
+  type delta
+  sources mel
+  width 2
+}
+"""
+        cfg = FeatureConfig.parse(text)
+        audio = make_audio(2000)
+        fg = FeatureGenerator(cfg)
+        got = np.asarray(fg.features(audio))
+        want = Oracle(cfg, audio).features()
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_vtln_pwlin_warp(self):
+        text = """\
+module
+{
+  name audio
+  type audiofile
+  sample_rate 16000
+}
+module
+{
+  name fft
+  type fft
+  sources audio
+}
+module
+{
+  name vtln
+  type vtln
+  sources fft
+  pwlin_vtln 1
+}
+module
+{
+  name mel
+  type mel
+  sources vtln
+}
+"""
+        cfg = FeatureConfig.parse(text)
+        audio = make_audio(2000)
+        fg = FeatureGenerator(cfg)
+        from aaltoasr_tpu.formats.feaconf import ModuleConfig
+        pc = ModuleConfig()
+        pc.set("warp_factor", 1.1)
+        fg.set_parameters("vtln", pc)
+        got = np.asarray(fg.features(audio))
+        o = Oracle(cfg, audio)
+        o.warp_factor = 1.1
+        want = o.features()
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+        # identity warp must differ from warp 1.1
+        fg2 = FeatureGenerator(cfg)
+        base = np.asarray(fg2.features(audio))
+        assert np.abs(base - got).max() > 1e-3
+
+    def test_config_round_trip_same_features(self):
+        # write the config back out, reload, same features
+        cfg = FeatureConfig.parse(cfg_mfcc_full())
+        audio = make_audio(2000)
+        f1 = np.asarray(FeatureGenerator(cfg).features(audio))
+        cfg2 = FeatureConfig.parse(cfg.dump())
+        f2 = np.asarray(FeatureGenerator(cfg2).features(audio))
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_audio_too_short_raises(self):
+        cfg = FeatureConfig.parse(cfg_mfcc_full())
+        fg = FeatureGenerator(cfg)
+        with pytest.raises(ValueError):
+            fg.features(np.zeros(100, dtype=np.float32))
