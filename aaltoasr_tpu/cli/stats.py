@@ -1,0 +1,54 @@
+"""stats: the E-step worker — recipe shard -> statistics dumps.
+
+Flag-compatible subset of the reference tool (`aku/stats.cc:309-470`):
+``-b/-g/-m/-p`` model, ``-c`` config, ``-r`` recipe, ``-o`` output base,
+``-M bw|vit``, ``-B/-I`` sharding, ``--ml``.  Transcript (.phn) E-steps are
+supported; hmmnet lattice E-steps arrive with the FST layer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from aaltoasr_tpu.cli.phone_probs import load_model
+from aaltoasr_tpu.formats.model_io import read_model
+from aaltoasr_tpu.formats.recipe import Recipe
+from aaltoasr_tpu.train.driver import EStepDriver
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="stats")
+    p.add_argument("-b", "--base")
+    p.add_argument("-g", "--gk"), p.add_argument("-m", "--mc")
+    p.add_argument("-p", "--ph")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-r", "--recipe", required=True)
+    p.add_argument("-o", "--out", required=True,
+                   help="output base for statistics dumps")
+    p.add_argument("-M", "--mode", default="bw", choices=["bw", "vit"],
+                   help="segmentation mode")
+    p.add_argument("--ml", action="store_true", default=True,
+                   help="collect ML statistics (default)")
+    p.add_argument("-t", "--transitions", action="store_true",
+                   help="collect also transition statistics (always on)")
+    p.add_argument("-B", "--batch", type=int, default=0)
+    p.add_argument("-I", "--bindex", type=int, default=0)
+    p.add_argument("-i", "--info", type=int, default=0)
+    args = p.parse_args(argv)
+
+    model = load_model(args)
+    if isinstance(model, str):
+        model = read_model(model)
+    driver = EStepDriver(model, args.config, mode=args.mode)
+    recipe = Recipe.read(args.recipe, args.batch, args.bindex)
+    stats = driver.run_recipe(recipe, info=args.info)
+    stats.dump(args.out)
+    if args.info > 0:
+        print(f"Total log likelihood: {stats.num_ll:.4f} over "
+              f"{stats.num_frames} frames", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

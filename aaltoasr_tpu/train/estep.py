@@ -1,0 +1,226 @@
+"""Baum-Welch / Viterbi E-step as one jitted device program per utterance
+batch — the replacement for the `stats` worker's inner loops
+(`aku/stats.cc:73-257` simple_train / collect_lattice_stats).
+
+Pipeline on device: state log-likelihoods (GMM matmul) -> masked
+forward-backward (or Viterbi) over the padded position graph -> component
+responsibilities -> sufficient statistics via [P*K, T] x [T, D] matmuls and
+segment-sums.  Variable utterance lengths use a validity mask inside the
+scan (the carry freezes past the last frame), so one compiled program
+serves a whole padded batch; `vmap` batches utterances and `psum` (see
+parallel.mesh) reduces the resulting pytree across data-parallel devices —
+replacing the reference's .gks/.mcs/.phs dump files + combine_stats reduce.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aaltoasr_tpu.ops.logsemiring import LOG_ZERO, logsumexp
+
+_F32 = jax.lax.Precision.HIGHEST
+
+
+def _entry(P):
+    return jnp.where(jnp.arange(P) == 0, 0.0, LOG_ZERO)
+
+
+def _final(P, nump, final_logp):
+    return jnp.where(jnp.arange(P) == nump - 1, final_logp, LOG_ZERO)
+
+
+def masked_forward_backward(obs_pos, graph, n_frames, num_trans_slots: int):
+    """FB over [T_pad, P] with frames >= n_frames inert.
+
+    Returns (gamma [T, P] linear, trans_post [NT], total_ll).
+    """
+    T, P = obs_pos.shape
+    in_src, in_logp = graph["in_src"], graph["in_logp"]
+    in_slot = graph["in_slot"]
+    out_tgt, out_logp = graph["out_tgt"], graph["out_logp"]
+    nump = graph["num_positions"]
+
+    valid = jnp.arange(T) < n_frames                      # [T]
+    alpha0 = jnp.maximum(obs_pos[0] + _entry(P), LOG_ZERO)
+
+    def fwd(alpha, xs):
+        obs_t, v = xs
+        new = logsumexp(alpha[in_src] + in_logp, axis=1) + obs_t
+        new = jnp.maximum(new, LOG_ZERO)
+        new = jnp.where(v, new, alpha)                    # freeze past end
+        return new, alpha
+
+    alpha_T, alphas_prev = jax.lax.scan(
+        fwd, alpha0, (obs_pos[1:], valid[1:]))
+    alphas = jnp.concatenate([alphas_prev, alpha_T[None]], axis=0)
+
+    beta_last = _final(P, nump, graph["final_logp"])
+    total = logsumexp(alpha_T + beta_last, axis=0)
+
+    def bwd(beta, xs):
+        # carry = beta[t+1]; emit beta[t] (scan stacks ys at xs index t)
+        obs_next, v = xs
+        contrib = out_logp + obs_next[out_tgt] + beta[out_tgt]
+        new = jnp.maximum(logsumexp(contrib, axis=1), LOG_ZERO)
+        new = jnp.where(v, new, beta)
+        return new, new
+
+    _, betas_head = jax.lax.scan(
+        bwd, beta_last, (obs_pos[1:], valid[1:]), reverse=True)
+    betas = jnp.concatenate([betas_head, beta_last[None]], axis=0)
+
+    gamma = jnp.exp(jnp.maximum(alphas + betas - total, -80.0))
+    gamma = gamma * valid[:, None]
+
+    def trans_step(acc, xs):
+        alpha_t, obs_next, beta_next, v = xs
+        xi = (alpha_t[in_src] + in_logp + obs_next[:, None]
+              + beta_next[:, None] - total)
+        xi = jnp.exp(jnp.maximum(xi, -80.0)) * v
+        acc = acc + jax.ops.segment_sum(
+            xi.reshape(-1), in_slot.reshape(-1),
+            num_segments=num_trans_slots)
+        return acc, None
+
+    trans0 = jnp.zeros(num_trans_slots, dtype=jnp.float32)
+    trans_post, _ = jax.lax.scan(
+        trans_step, trans0,
+        (alphas[:-1], obs_pos[1:], betas[1:], valid[1:]))
+    trans_post = trans_post.at[graph["final_slot"]].add(1.0)
+    return gamma, trans_post, total
+
+
+def masked_viterbi(obs_pos, graph, n_frames):
+    """Viterbi over [T_pad, P]; returns (path [T] positions, score).
+
+    Frames >= n_frames replay the final state (mask before use).
+    """
+    T, P = obs_pos.shape
+    in_src, in_logp = graph["in_src"], graph["in_logp"]
+    nump = graph["num_positions"]
+    valid = jnp.arange(T) < n_frames
+
+    alpha0 = jnp.maximum(obs_pos[0] + _entry(P), LOG_ZERO)
+
+    def step(alpha, xs):
+        obs_t, v = xs
+        cand = alpha[in_src] + in_logp
+        best = jnp.max(cand, axis=1)
+        bp = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        new = jnp.maximum(best + obs_t, LOG_ZERO)
+        new = jnp.where(v, new, alpha)
+        bp = jnp.where(v, bp, jnp.zeros_like(bp))
+        return new, (bp, v)
+
+    alpha_T, (bps, vs) = jax.lax.scan(step, alpha0, (obs_pos[1:], valid[1:]))
+    score = alpha_T[nump - 1] + graph["final_logp"]
+
+    def back(pos, xs):
+        bp_t, v = xs
+        prev = jnp.where(v, in_src[pos, bp_t[pos]], pos)
+        return prev, prev
+
+    _, path_rev = jax.lax.scan(back, nump - 1, (bps, vs), reverse=True)
+    path = jnp.concatenate([path_rev, jnp.asarray([nump - 1])])
+    return path, score
+
+
+def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
+                mode: str = "bw"):
+    """Full per-utterance E-step; returns a device stats pytree.
+
+    mode: 'bw' (Baum-Welch posteriors, `-M bw`), 'vit' (Viterbi one-hot,
+    `-M vit`; `aku/stats.cc:341`).  Output keys: gamma [Gp], mean_acc
+    [Gp, D], sec_acc [Gp, D], feacount [Gp], mix_gamma [Sp, K],
+    trans_acc [NT], log_likelihood, num_frames.
+    """
+    pdf = graph["pdf"]                                    # [P]
+    T = features.shape[0]
+    P = pdf.shape[0]
+    K = scorer.comp_idx.shape[1]
+    Gp = scorer.score_matrix.shape[1]
+    Sp = scorer.comp_idx.shape[0]
+
+    gll = scorer.gaussian_log_likelihoods(features)       # [T, Gp]
+    sll = logsumexp(                                      # [T, Sp]
+        gll[:, scorer.comp_idx] + scorer.comp_logw, axis=-1)
+    obs_pos = sll[:, pdf]                                 # [T, P]
+
+    if mode == "bw":
+        gamma, trans_post, total = masked_forward_backward(
+            obs_pos, graph, n_frames, num_trans_slots)
+    elif mode == "vit":
+        path, total = masked_viterbi(obs_pos, graph, n_frames)
+        valid = jnp.arange(T) < n_frames
+        gamma = jax.nn.one_hot(path, P, dtype=jnp.float32) * valid[:, None]
+        # transition counts along the path
+        trans_post = _viterbi_transition_counts(
+            path, graph, n_frames, num_trans_slots)
+    else:
+        raise ValueError(f"unknown segmentation mode {mode!r}")
+
+    # component responsibilities within each position's mixture
+    cidx = scorer.comp_idx[pdf]                           # [P, K]
+    clogw = scorer.comp_logw[pdf]                         # [P, K]
+    # log resp[t, p, k] = logw + gll[t, cidx] - sll[t, pdf]
+    log_resp = clogw[None] + gll[:, cidx] - obs_pos[:, :, None]
+    R = gamma[:, :, None] * jnp.exp(jnp.maximum(log_resp, -80.0))
+    R_flat = R.reshape(T, P * K)                          # [T, P*K]
+
+    g_flat = cidx.reshape(-1)                             # [P*K]
+    c = jnp.sum(R_flat, axis=0)                           # [P*K]
+    gamma_g = jax.ops.segment_sum(c, g_flat, num_segments=Gp)
+    m1 = jax.ops.segment_sum(
+        jnp.dot(R_flat.T, features, precision=_F32), g_flat,
+        num_segments=Gp)
+    m2 = jax.ops.segment_sum(
+        jnp.dot(R_flat.T, features * features, precision=_F32), g_flat,
+        num_segments=Gp)
+    feacount = jax.ops.segment_sum(
+        jnp.sum((R_flat > 1e-10).astype(jnp.int32), axis=0), g_flat,
+        num_segments=Gp)
+    mix_gamma = jax.ops.segment_sum(
+        c.reshape(P, K), pdf, num_segments=Sp)            # [Sp, K]
+
+    return {
+        "gamma": gamma_g, "mean_acc": m1, "sec_acc": m2,
+        "feacount": feacount, "mix_gamma": mix_gamma,
+        "trans_acc": trans_post, "log_likelihood": total,
+        "num_frames": n_frames.astype(jnp.int32)
+        if hasattr(n_frames, "astype") else jnp.int32(n_frames),
+    }
+
+
+def _viterbi_transition_counts(path, graph, n_frames, num_trans_slots):
+    """Count taken transitions along a Viterbi path onto slots."""
+    in_src, in_slot = graph["in_src"], graph["in_slot"]
+    T = path.shape[0]
+    src = path[:-1]
+    tgt = path[1:]
+    # find which in-edge of tgt has source == src (first match)
+    cand_src = in_src[tgt]                                # [T-1, F]
+    match = cand_src == src[:, None]
+    f = jnp.argmax(match, axis=1)
+    slots = jnp.take_along_axis(in_slot[tgt], f[:, None], axis=1)[:, 0]
+    valid = (jnp.arange(T - 1) + 1 < n_frames) & jnp.any(match, axis=1)
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.float32), slots, num_segments=num_trans_slots)
+    return counts.at[graph["final_slot"]].add(1.0)
+
+
+def batch_chain_stats(scorer, features, graphs, n_frames,
+                      num_trans_slots: int, mode: str = "bw"):
+    """vmap over a padded utterance batch; sums stats over the batch.
+
+    features [B, T, D]; graphs: dict of stacked arrays [B, ...];
+    n_frames [B].
+    """
+    per_utt = jax.vmap(
+        lambda f, g, n: chain_stats(scorer, f, g, n, num_trans_slots, mode))
+    stats = per_utt(features, graphs, n_frames)
+    summed = {k: jnp.sum(v, axis=0) for k, v in stats.items()
+              if k not in ("log_likelihood", "num_frames")}
+    summed["log_likelihood"] = jnp.sum(stats["log_likelihood"])
+    summed["num_frames"] = jnp.sum(stats["num_frames"])
+    return summed

@@ -1,0 +1,87 @@
+"""M-step parameter estimation — the `estimate` tool's core
+(`aku/estimate.cc:108-430`, `aku/Distributions.cc:502-716, 2263-2350`,
+`aku/HmmSet.cc:782-815`).
+
+ML updates (this module; EBW/MMI/MPE live in train.ebw):
+* Gaussian: mean = m1/gamma, cov = m2/gamma - mean^2, floored at
+  ``minvar`` (default 0.1, `aku/estimate.cc:131`); Gaussians without
+  statistics keep their old parameters.
+* Mixture: w_k = gamma_k / sum(gamma) (`aku/Distributions.cc:2277-2283`),
+  then components under ``mixture_minweight`` are pruned and weights
+  renormalized.
+* Transitions: prob = occ / sum(occ per state), floored at .001; states
+  with no data keep old probs (`aku/HmmSet.cc:782-815`).
+
+All updates are vectorized NumPy on host — the M-step touches [G, D]
+arrays once, no device round trip needed (the E-step already reduced).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aaltoasr_tpu.formats.model_io import HmmModel
+from aaltoasr_tpu.models.hmm import TransitionTable
+from aaltoasr_tpu.train.accumulators import HmmStats, ML_BUF
+
+
+def estimate_ml(model: HmmModel, table: TransitionTable, stats: HmmStats,
+                minvar: float = 0.1, min_gamma: float = 0.0,
+                mixture_minweight: float = 0.0,
+                update_means: bool = True, update_covars: bool = True,
+                update_mixtures: bool = True,
+                update_transitions: bool = True) -> HmmModel:
+    """Return a new model with ML-updated parameters."""
+    buf = stats.buffers[ML_BUF]
+    G = model.num_gaussians
+    gamma = buf.gamma[:G]
+    has_data = gamma > max(min_gamma, 0.0)
+
+    means = model.means.copy()
+    covars = model.covars.copy()
+    safe_gamma = np.where(has_data, gamma, 1.0)
+    new_mean = buf.mean_acc[:G] / safe_gamma[:, None]
+    new_cov = buf.sec_acc[:G] / safe_gamma[:, None] - new_mean ** 2
+    new_cov = np.maximum(new_cov, minvar)
+    if update_means:
+        means = np.where(has_data[:, None], new_mean, means)
+    if update_covars:
+        covars = np.where(has_data[:, None], new_cov, covars)
+
+    mixtures = []
+    for s, (idx, w) in enumerate(model.mixtures):
+        k = len(idx)
+        g = buf.mix_gamma[s, :k]
+        tot = g.sum()
+        if update_mixtures and tot > 0:
+            w_new = g / tot
+            if mixture_minweight > 0:
+                keep = w_new >= mixture_minweight
+                if keep.any():
+                    idx = idx[keep]
+                    w_new = w_new[keep]
+                    w_new = w_new / w_new.sum()
+            mixtures.append((idx.copy(), w_new))
+        else:
+            mixtures.append((idx.copy(), w.copy()))
+
+    transitions = {k: list(v) for k, v in model.transitions.items()}
+    if update_transitions and stats.trans_acc is not None:
+        for s in range(model.num_states):
+            first = int(table.state_first[s])
+            count = int(table.state_count[s])
+            occ = stats.trans_acc[first:first + count]
+            tot = occ.sum()
+            if tot > 0:
+                probs = np.maximum(occ / tot, 0.001)
+                transitions[s] = [
+                    (int(table.offset[first + t]), float(probs[t]))
+                    for t in range(count)]
+
+    return HmmModel(
+        dim=model.dim, cov_type=model.cov_type,
+        means=means, covars=covars,
+        full_covars=dict(model.full_covars),
+        gauss_kind=list(model.gauss_kind),
+        mixtures=mixtures, phones=list(model.phones),
+        transitions=transitions, durations=model.durations)

@@ -1,0 +1,106 @@
+"""SPMD training-step tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aaltoasr_tpu.models.hmm import TransitionTable, build_chain, pad_chain
+from aaltoasr_tpu.ops.gmm import GmmScorer
+from aaltoasr_tpu.parallel.mesh import make_mesh, sharded_train_step
+from aaltoasr_tpu.train import estep
+
+from tests.test_train import three_state_model
+
+
+def make_batch(model, table, B=8, T=24, seed=0):
+    rng = np.random.default_rng(seed)
+    chain = build_chain(model, table, ["a", "_"])
+    g = pad_chain(chain, 8, fan=4)
+    graphs = {k: np.stack([np.asarray(v)] * B) for k, v in g.items()}
+    feats = rng.normal(0, 2, (B, T, model.dim)).astype(np.float32)
+    n_frames = np.full((B,), T, dtype=np.int32)
+    return feats, graphs, n_frames
+
+
+def pool_params(model, n_model=1):
+    scorer = GmmScorer.from_model(model, pad_gaussians_to=8)
+    G = scorer.score_matrix.shape[1]
+    means = np.zeros((G, model.dim), dtype=np.float32)
+    covars = np.ones((G, model.dim), dtype=np.float32)
+    means[:model.num_gaussians] = model.means
+    covars[:model.num_gaussians] = model.covars
+    return {
+        "means": means, "covars": covars,
+        "comp_idx": np.asarray(scorer.comp_idx),
+        "comp_logw": np.asarray(scorer.comp_logw),
+    }, scorer
+
+
+class TestShardedTrainStep:
+    def test_8dev_matches_single_device(self):
+        assert len(jax.devices()) >= 8
+        model = three_state_model()
+        table = TransitionTable.from_model(model)
+        feats, graphs, n_frames = make_batch(model, table, B=8, T=24)
+        params, scorer = pool_params(model)
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        step = sharded_train_step(mesh, table.num_slots, minvar=0.01)
+        new_params, ll = step(params, feats, graphs, n_frames)
+
+        # single-device reference: sum chain_stats over the batch + ML update
+        total_ll = 0.0
+        agg = None
+        for b in range(8):
+            g = {k: jnp.asarray(v[b]) for k, v in graphs.items()}
+            st = estep.chain_stats(scorer, jnp.asarray(feats[b]), g,
+                                   jnp.int32(24), table.num_slots)
+            total_ll += float(st["log_likelihood"])
+            if agg is None:
+                agg = {k: np.asarray(v, dtype=np.float64)
+                       for k, v in st.items()}
+            else:
+                for k in agg:
+                    agg[k] = agg[k] + np.asarray(st[k], dtype=np.float64)
+
+        assert float(ll) == pytest.approx(total_ll, rel=1e-4)
+        gamma = agg["gamma"]
+        has = gamma > 0
+        want_mean = np.where(has[:, None],
+                             agg["mean_acc"] / np.where(has, gamma, 1)[:, None],
+                             params["means"])
+        np.testing.assert_allclose(np.asarray(new_params["means"]),
+                                   want_mean, rtol=2e-3, atol=2e-3)
+
+    def test_data_axis_psum_invariance(self):
+        # different data-axis layouts must give identical results
+        model = three_state_model()
+        table = TransitionTable.from_model(model)
+        feats, graphs, n_frames = make_batch(model, table, B=8, T=16, seed=2)
+        params, _ = pool_params(model)
+
+        outs = []
+        for (nd, nm) in [(8, 1), (4, 2), (2, 4)]:
+            mesh = make_mesh(n_data=nd, n_model=nm)
+            step = sharded_train_step(mesh, table.num_slots)
+            new_params, ll = step(params, feats, graphs, n_frames)
+            outs.append((np.asarray(new_params["means"]), float(ll)))
+        for m, ll in outs[1:]:
+            np.testing.assert_allclose(m, outs[0][0], rtol=1e-4, atol=1e-4)
+            assert ll == pytest.approx(outs[0][1], rel=1e-5)
+
+    def test_em_improves_on_mesh(self):
+        model = three_state_model(seed=7)
+        table = TransitionTable.from_model(model)
+        feats, graphs, n_frames = make_batch(model, table, B=8, T=32, seed=3)
+        params, _ = pool_params(model)
+        mesh = make_mesh(n_data=4, n_model=2)
+        step = sharded_train_step(mesh, table.num_slots, minvar=0.01)
+        lls = []
+        for _ in range(3):
+            params, ll = step(params, feats, graphs, n_frames)
+            lls.append(float(ll))
+        assert lls[1] > lls[0]
+        assert lls[2] >= lls[1] - 1e-3

@@ -1,0 +1,273 @@
+"""Training-engine tests: chains, Viterbi, forward-backward, EM."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from aaltoasr_tpu.formats import model_io
+from aaltoasr_tpu.models.hmm import (
+    TransitionTable, build_chain, pad_chain)
+from aaltoasr_tpu.ops.gmm import GmmScorer
+from aaltoasr_tpu.train import estep
+from aaltoasr_tpu.train.accumulators import HmmStats, ML_BUF
+from aaltoasr_tpu.train.estimate import estimate_ml
+
+import jax.numpy as jnp
+
+
+def three_state_model(seed=0, D=4):
+    """Phones 'a' (2 states) and '_' (1 state), 6 Gaussians."""
+    rng = np.random.default_rng(seed)
+    G = 6
+    means = rng.normal(0, 3, (G, D))
+    covars = rng.uniform(0.5, 2.0, (G, D))
+    mixtures = [
+        (np.array([0, 1], dtype=np.int32), np.array([0.6, 0.4])),
+        (np.array([2, 3], dtype=np.int32), np.array([0.5, 0.5])),
+        (np.array([4, 5], dtype=np.int32), np.array([0.7, 0.3])),
+    ]
+    phones = [model_io.HmmPhone("a", [0, 1]), model_io.HmmPhone("_", [2])]
+    transitions = {
+        0: [(0, 0.6), (1, 0.4)],
+        1: [(0, 0.5), (1, 0.5)],
+        2: [(0, 0.7), (1, 0.3)],
+    }
+    return model_io.HmmModel(
+        dim=D, cov_type="diagonal_cov", means=means, covars=covars,
+        mixtures=mixtures, phones=phones, transitions=transitions)
+
+
+def np_forward_backward(obs, chain):
+    """Edge-list FB oracle in float64 (independent of the scan code)."""
+    T, P = obs.shape
+    LOGZ = -1e30
+    alpha = np.full((T, P), LOGZ)
+    alpha[0, 0] = obs[0, 0]
+    for t in range(1, T):
+        for e in range(chain.num_edges):
+            s, d = chain.edge_src[e], chain.edge_tgt[e]
+            v = alpha[t - 1, s] + chain.edge_logp[e] + obs[t, d]
+            alpha[t, d] = np.logaddexp(alpha[t, d], v)
+    beta = np.full((T, P), LOGZ)
+    beta[T - 1, P - 1] = chain.final_logp
+    for t in range(T - 2, -1, -1):
+        for e in range(chain.num_edges):
+            s, d = chain.edge_src[e], chain.edge_tgt[e]
+            v = chain.edge_logp[e] + obs[t + 1, d] + beta[t + 1, d]
+            beta[t, s] = np.logaddexp(beta[t, s], v)
+    total = alpha[T - 1, P - 1] + chain.final_logp
+    gamma = np.exp(alpha + beta - total)
+    return gamma, total
+
+
+def np_viterbi(obs, chain):
+    """Brute-force best path by full enumeration (tiny T, P only)."""
+    T, P = obs.shape
+    edges = {}
+    for e in range(chain.num_edges):
+        edges.setdefault(int(chain.edge_src[e]), []).append(
+            (int(chain.edge_tgt[e]), float(chain.edge_logp[e])))
+    best_score, best_path = -np.inf, None
+    def rec(pos, t, score, path):
+        nonlocal best_score, best_path
+        score = score + obs[t, pos]
+        if t == T - 1:
+            if pos == P - 1 and score + chain.final_logp > best_score:
+                best_score = score + chain.final_logp
+                best_path = list(path) + [pos]
+            return
+        for (tgt, lp) in edges.get(pos, []):
+            rec(tgt, t + 1, score + lp, path + [pos])
+    rec(0, 0, 0.0, [])
+    return np.array(best_path), best_score
+
+
+class TestChain:
+    def test_build_chain_structure(self):
+        model = three_state_model()
+        table = TransitionTable.from_model(model)
+        chain = build_chain(model, table, ["a", "_", "a"])
+        assert chain.num_positions == 5
+        np.testing.assert_array_equal(chain.pdf, [0, 1, 2, 0, 1])
+        # each position: self loop + forward edge; last exit is final
+        assert chain.final_logp == pytest.approx(np.log(0.5))
+        assert chain.num_edges == 9  # 5 self + 4 forward
+
+    def test_transition_table_slots(self):
+        model = three_state_model()
+        table = TransitionTable.from_model(model)
+        assert table.num_slots == 6
+        np.testing.assert_array_equal(table.source, [0, 0, 1, 1, 2, 2])
+        np.testing.assert_array_equal(table.offset, [0, 1, 0, 1, 0, 1])
+
+
+class TestViterbiFB:
+    def _setup(self, T=12, labels=("a", "_")):
+        model = three_state_model()
+        table = TransitionTable.from_model(model)
+        chain = build_chain(model, table, list(labels))
+        scorer = GmmScorer.from_model(model)
+        rng = np.random.default_rng(42)
+        X = rng.normal(0, 2, (T, model.dim)).astype(np.float32)
+        sll = np.asarray(scorer.state_log_likelihoods(jnp.asarray(X)))
+        obs = sll[:, chain.pdf].astype(np.float64)
+        return model, table, chain, scorer, X, obs
+
+    def test_viterbi_matches_bruteforce(self):
+        model, table, chain, scorer, X, obs = self._setup(T=8)
+        graph = {k: jnp.asarray(v) for k, v in
+                 pad_chain(chain, chain.num_positions).items()}
+        path, score = estep.masked_viterbi(
+            jnp.asarray(obs, dtype=jnp.float32), graph,
+            jnp.int32(obs.shape[0]))
+        want_path, want_score = np_viterbi(obs, chain)
+        np.testing.assert_array_equal(np.asarray(path), want_path)
+        assert float(score) == pytest.approx(want_score, rel=1e-5)
+
+    def test_fb_matches_oracle(self):
+        model, table, chain, scorer, X, obs = self._setup(T=12)
+        graph = {k: jnp.asarray(v) for k, v in
+                 pad_chain(chain, chain.num_positions).items()}
+        gamma, trans, total = estep.masked_forward_backward(
+            jnp.asarray(obs, dtype=jnp.float32), graph,
+            jnp.int32(obs.shape[0]), table.num_slots)
+        want_gamma, want_total = np_forward_backward(obs, chain)
+        assert float(total) == pytest.approx(want_total, rel=1e-5)
+        np.testing.assert_allclose(np.asarray(gamma), want_gamma,
+                                   atol=2e-4)
+        # gammas sum to 1 over positions each frame
+        np.testing.assert_allclose(
+            np.asarray(gamma).sum(1), 1.0, atol=1e-4)
+        # transition posteriors: per-state totals ~ expected visit counts
+        tr = np.asarray(trans)
+        assert tr.sum() == pytest.approx(obs.shape[0], abs=1e-2)
+
+    def test_padding_invariance(self):
+        model, table, chain, scorer, X, obs = self._setup(T=10)
+        g1 = {k: jnp.asarray(v) for k, v in
+              pad_chain(chain, chain.num_positions).items()}
+        g2 = {k: jnp.asarray(v) for k, v in
+              pad_chain(chain, chain.num_positions + 5, fan=4).items()}
+        obs1 = jnp.asarray(obs, dtype=jnp.float32)
+        obs2 = jnp.concatenate(
+            [obs1, jnp.full((10, 5), -1.0, jnp.float32)], axis=1)
+        gm1, tp1, t1 = estep.masked_forward_backward(
+            obs1, g1, jnp.int32(10), table.num_slots)
+        gm2, tp2, t2 = estep.masked_forward_backward(
+            obs2, g2, jnp.int32(10), table.num_slots)
+        assert float(t1) == pytest.approx(float(t2), rel=1e-6)
+        np.testing.assert_allclose(np.asarray(gm2)[:, :3],
+                                   np.asarray(gm1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tp1), np.asarray(tp2),
+                                   atol=1e-4)
+
+    def test_time_mask_invariance(self):
+        # padding frames beyond n_frames must not change anything
+        model, table, chain, scorer, X, obs = self._setup(T=9)
+        graph = {k: jnp.asarray(v) for k, v in
+                 pad_chain(chain, chain.num_positions).items()}
+        obs1 = jnp.asarray(obs, dtype=jnp.float32)
+        obs2 = jnp.concatenate(
+            [obs1, jnp.zeros((4, obs.shape[1]), jnp.float32)], axis=0)
+        gm1, tp1, t1 = estep.masked_forward_backward(
+            obs1, graph, jnp.int32(9), table.num_slots)
+        gm2, tp2, t2 = estep.masked_forward_backward(
+            obs2, graph, jnp.int32(9), table.num_slots)
+        assert float(t1) == pytest.approx(float(t2), rel=1e-6)
+        np.testing.assert_allclose(np.asarray(gm2)[:9], np.asarray(gm1),
+                                   atol=1e-5)
+        assert np.asarray(gm2)[9:].sum() == 0.0
+
+
+class TestEM:
+    def test_chain_stats_shapes_and_mass(self):
+        model = three_state_model()
+        table = TransitionTable.from_model(model)
+        chain = build_chain(model, table, ["a", "_"])
+        scorer = GmmScorer.from_model(model)
+        rng = np.random.default_rng(3)
+        T = 20
+        X = jnp.asarray(rng.normal(0, 2, (T, model.dim)).astype(np.float32))
+        graph = {k: jnp.asarray(v) for k, v in
+                 pad_chain(chain, chain.num_positions).items()}
+        stats = estep.chain_stats(scorer, X, graph, jnp.int32(T),
+                                  table.num_slots, mode="bw")
+        # total Gaussian occupancy == number of frames
+        assert float(stats["gamma"].sum()) == pytest.approx(T, rel=1e-4)
+        assert float(stats["mix_gamma"].sum()) == pytest.approx(T, rel=1e-4)
+        # first moment mass: sum over gaussians == sum of frames
+        np.testing.assert_allclose(
+            np.asarray(stats["mean_acc"]).sum(0),
+            np.asarray(X).sum(0), rtol=1e-4, atol=1e-3)
+
+    def test_em_increases_likelihood(self):
+        true_model = three_state_model(seed=10)
+        table = TransitionTable.from_model(true_model)
+        chain = build_chain(true_model, table, ["a", "_"])
+        graph = {k: jnp.asarray(v) for k, v in
+                 pad_chain(chain, chain.num_positions).items()}
+
+        # sample observations by walking the true chain
+        rng = np.random.default_rng(11)
+        T = 120
+        pos, seq = 0, []
+        for t in range(T):
+            seq.append(pos)
+            if pos < 2 and rng.uniform() < 0.45:
+                pos += 1
+        states = [int(chain.pdf[min(p, 2)]) for p in seq]
+        X = np.zeros((T, true_model.dim), dtype=np.float32)
+        for t, s in enumerate(states):
+            idx, w = true_model.mixtures[s]
+            g = idx[rng.choice(len(idx), p=w)]
+            X[t] = rng.normal(true_model.means[g],
+                              np.sqrt(true_model.covars[g]))
+
+        # start from a perturbed model
+        model = three_state_model(seed=99)
+        lls = []
+        for it in range(4):
+            scorer = GmmScorer.from_model(model)
+            dstats = estep.chain_stats(
+                scorer, jnp.asarray(X), graph, jnp.int32(T),
+                table.num_slots, mode="bw")
+            lls.append(float(dstats["log_likelihood"]))
+            stats = device_stats_to_hmm_stats(model, table, dstats)
+            model = estimate_ml(model, table, stats, minvar=0.01)
+        assert lls[1] > lls[0]
+        assert lls[2] >= lls[1] - 1e-3
+        assert lls[3] >= lls[2] - 1e-3
+
+    def test_stats_dump_round_trip(self, tmp_path):
+        model = three_state_model()
+        table = TransitionTable.from_model(model)
+        chain = build_chain(model, table, ["a", "_"])
+        scorer = GmmScorer.from_model(model)
+        rng = np.random.default_rng(5)
+        X = jnp.asarray(rng.normal(0, 2, (15, model.dim)).astype(np.float32))
+        graph = {k: jnp.asarray(v) for k, v in
+                 pad_chain(chain, chain.num_positions).items()}
+        dstats = estep.chain_stats(scorer, X, graph, jnp.int32(15),
+                                   table.num_slots)
+        stats = device_stats_to_hmm_stats(model, table, dstats)
+        stats.dump(str(tmp_path / "s1"))
+
+        # combine two copies -> doubled statistics (combine_stats path)
+        combined = HmmStats.zeros(model, table)
+        combined.load(str(tmp_path / "s1"), table)
+        combined.load(str(tmp_path / "s1"), table)
+        buf0 = stats.buffers[ML_BUF]
+        bufc = combined.buffers[ML_BUF]
+        np.testing.assert_allclose(bufc.gamma, 2 * buf0.gamma, rtol=1e-5)
+        np.testing.assert_allclose(bufc.mean_acc, 2 * buf0.mean_acc,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(combined.trans_acc, 2 * stats.trans_acc,
+                                   rtol=1e-5, atol=1e-5)
+        assert combined.num_ll == pytest.approx(2 * stats.num_ll, rel=1e-6)
+
+
+def device_stats_to_hmm_stats(model, table, dstats) -> HmmStats:
+    """Convert a device stats pytree to host HmmStats (ML buffer)."""
+    from aaltoasr_tpu.train.driver import device_stats_to_hmm_stats as f
+    return f(model, table, dstats)
