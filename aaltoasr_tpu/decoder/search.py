@@ -1,0 +1,294 @@
+"""Batched token-passing beam search on device.
+
+The TPU re-design of `decoder/src/TokenPassSearch.{hh,cc}`: where the
+reference propagates heap-allocated tokens through a pointer tree with
+ref-counted history lists (`TokenPassSearch.cc:695-1400`), this search
+keeps a fixed-width token array per utterance and runs one `lax.scan`
+step per frame:
+
+1. in-word expansion over the dense arc table ``[W, A]``;
+2. word-end expansion ``[W, H]``: FSA LM walk (gather-based backoff
+   lookup), pronunciation + insertion penalty on the LM side
+   (`TokenPassSearch.cc:1965-1990` update_lm_log_prob), duration model on
+   state exit (`TokenPassSearch.cc` move_token_to_node), then compaction
+   into E traceback records and re-entry through the root arcs ``[E, R]``;
+3. observation add, global beam against the running best
+   (`TokenPassSearch.cc:1409` prune_tokens), and recombination: sort by
+   (node, lm-state) with score tiebreak, keep first per key — the
+   vectorized analog of find_similar_lm_history
+   (`TokenPassSearch.cc:1312`) — then top-W selection.
+
+Scores follow the reference exactly: total = am + lm_scale * lm with
+am += transition + duration and lm += ngram + pron + insertion_penalty
+(`TokenPassSearch.hh:539-542` get_token_log_prob).
+
+Word traceback uses per-frame record buffers (word id + previous record
+pointer) instead of ref-counted LMHistory chains; the host unwinds the
+winning chain after the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aaltoasr_tpu.decoder.lexicon import PrefixTree, duration_table
+from aaltoasr_tpu.decoder.ngram import NGramFsa, lm_walk_device
+from aaltoasr_tpu.ops.logsemiring import LOG_ZERO
+
+INT_MAX = np.iinfo(np.int32).max
+
+
+@dataclass
+class SearchConfig:
+    num_tokens: int = 1024          # W: token beam width (fixed array)
+    num_records: int = 128          # E: word-end records per frame
+    beam: float = 280.0             # global beam (recognize-batch.sh:21)
+    lm_scale: float = 30.0
+    insertion_penalty: float = 0.0
+    transition_scale: float = 1.0
+    duration_scale: float = 3.0     # rectool.py:547
+    max_dur: int = 64
+
+
+class BeamSearch:
+    """Compiled batched decoder for one (tree, LM, model) triple."""
+
+    def __init__(self, tree: PrefixTree, lm: NGramFsa, model,
+                 config: SearchConfig = SearchConfig()):
+        self.tree = tree
+        self.lm = lm
+        self.config = config
+        self.tables = {
+            "arc_tgt": jnp.asarray(tree.arc_tgt),
+            "arc_logp": jnp.asarray(tree.arc_logp),
+            "pdf": jnp.asarray(tree.pdf),
+            "dur_state": jnp.asarray(tree.dur_state),
+            "we_word": jnp.asarray(tree.we_word),
+            "we_exit": jnp.asarray(tree.we_exit_logp),
+            "we_pron": jnp.asarray(tree.we_pron_logp),
+            "we_skip": jnp.asarray(tree.we_skip_lm),
+            "root_tgt": jnp.asarray(tree.root_tgt),
+            "root_logp": jnp.asarray(tree.root_logp),
+            "dur_tab": jnp.asarray(
+                duration_table(model, config.max_dur,
+                               config.duration_scale)),
+            # tree word id -> LM word id (LMHistory::Word::lm_id();
+            # words absent from the LM are pruned, TokenPassSearch.cc:846)
+            "lm_id": jnp.asarray(np.asarray(
+                [lm.word_index.get(w, -1) for w in tree.vocab]
+                or [-1], dtype=np.int32)),
+            **lm.device_tables(),
+        }
+        self._decode_jit = jax.jit(self._decode, static_argnames=())
+
+    # -- candidate container: dict of parallel arrays ---------------------
+    def _dur_bonus(self, node, dur):
+        """Duration log-prob for leaving a state after dur+1 frames."""
+        t = self.tables
+        d = jnp.clip(dur + 1, 1, self.config.max_dur)
+        return t["dur_tab"][t["dur_state"][node], d - 1]
+
+    def _step(self, tokens, obs_t, step_idx):
+        cfg = self.config
+        t = self.tables
+        W = cfg.num_tokens
+        E = cfg.num_records
+        node, lmst, am, lms, dur, rec, alive = tokens
+
+        # ---- 1. in-word expansion [W, A]
+        a_tgt = t["arc_tgt"][node]                      # [W, A]
+        a_lp = t["arc_logp"][node]
+        is_self = a_tgt == node[:, None]
+        durp = jnp.where(is_self, 0.0, self._dur_bonus(node, dur)[:, None])
+        c1 = {
+            "node": a_tgt,
+            "lm": jnp.broadcast_to(lmst[:, None], a_tgt.shape),
+            "am": am[:, None] + cfg.transition_scale * a_lp + durp,
+            "lms": jnp.broadcast_to(lms[:, None], a_tgt.shape),
+            "dur": jnp.where(is_self, dur[:, None] + 1, 0),
+            "rec": jnp.broadcast_to(rec[:, None], a_tgt.shape),
+            "alive": alive[:, None] & (a_lp > LOG_ZERO / 2),
+        }
+        c1 = {k: v.reshape(-1) for k, v in c1.items()}
+
+        # ---- 2. word ends [W, H] -> records [E] -> root arcs [E, R]
+        w_word = t["we_word"][node]                     # [W, H]
+        w_exit = t["we_exit"][node]
+        w_pron = t["we_pron"][node]
+        w_skip = t["we_skip"][node]
+        w_alive = alive[:, None] & (w_exit > LOG_ZERO / 2)
+        w_lmid = t["lm_id"][jnp.maximum(w_word, 0)]     # [W, H]
+        lm_in = jnp.broadcast_to(lmst[:, None], w_word.shape).reshape(-1)
+        word_in = jnp.maximum(w_lmid, 0).reshape(-1)
+        lm_next, lm_score = lm_walk_device(
+            t, self.lm.num_words, self.lm.order, lm_in, word_in)
+        lm_next = lm_next.reshape(w_word.shape)
+        lm_score = lm_score.reshape(w_word.shape)
+        skip = w_skip | (w_word < 0)
+        # words missing from the LM are pruned (lm_id < 0)
+        w_alive = w_alive & (skip | (w_lmid >= 0))
+        lm_next = jnp.where(skip, lmst[:, None], lm_next)
+        lm_score = jnp.where(skip, 0.0, lm_score)
+        we_am = (am[:, None] + cfg.transition_scale * w_exit
+                 + self._dur_bonus(node, dur)[:, None])
+        we_lms = (lms[:, None] + lm_score + w_pron
+                  + jnp.where(skip, 0.0, cfg.insertion_penalty))
+        we_alive = w_alive & (lm_score > LOG_ZERO / 2)
+        we_total = we_am + cfg.lm_scale * we_lms
+
+        # compact word-end candidates into E record slots (best first)
+        flat_total = jnp.where(we_alive, we_total, -jnp.inf).reshape(-1)
+        order = jnp.argsort(-flat_total)[:E]            # top-E word ends
+        e_alive = jnp.take(we_alive.reshape(-1), order)
+        e_word = jnp.take(w_word.reshape(-1), order)
+        e_prev = jnp.take(
+            jnp.broadcast_to(rec[:, None], w_word.shape).reshape(-1), order)
+        e_lm = jnp.take(lm_next.reshape(-1), order)
+        e_am = jnp.take(we_am.reshape(-1), order)
+        e_lms = jnp.take(we_lms.reshape(-1), order)
+        # records: silence (word<0) keeps its previous record pointer;
+        # pointers are globally unique: step_idx * E + slot
+        rec_word = jnp.where(e_alive, e_word, -1)
+        rec_prev = jnp.where(e_alive & (e_word >= 0), e_prev, -1)
+        slot_ptr = step_idx * E + jnp.arange(E, dtype=jnp.int32)
+        new_rec = jnp.where(e_alive & (e_word >= 0), slot_ptr, e_prev)
+
+        # re-entry through root arcs [E, R]
+        r_tgt = t["root_tgt"]                           # [R]
+        R = r_tgt.shape[0]
+        c2 = {
+            "node": jnp.broadcast_to(r_tgt[None, :], (E, R)),
+            "lm": jnp.broadcast_to(e_lm[:, None], (E, R)),
+            "am": e_am[:, None] + t["root_logp"][None, :],
+            "lms": jnp.broadcast_to(e_lms[:, None], (E, R)),
+            "dur": jnp.zeros((E, R), jnp.int32),
+            "rec": jnp.broadcast_to(new_rec[:, None], (E, R)),
+            "alive": jnp.broadcast_to(e_alive[:, None], (E, R)),
+        }
+        c2 = {k: v.reshape(-1) for k, v in c2.items()}
+
+        cand = {k: jnp.concatenate([c1[k], c2[k]]) for k in c1}
+
+        # ---- 3. observation + beam + recombination + top-W
+        obs = obs_t[t["pdf"][cand["node"]]]
+        cand["am"] = cand["am"] + obs
+        total = cand["am"] + cfg.lm_scale * cand["lms"]
+        total = jnp.where(cand["alive"], total, -jnp.inf)
+        best = jnp.max(total)
+        cand["alive"] = cand["alive"] & (total >= best - cfg.beam)
+
+        # recombine: sort by (node, lm, -total); first per key wins
+        sort_node = jnp.where(cand["alive"], cand["node"], INT_MAX)
+        neg_total = jnp.where(cand["alive"], -total, jnp.inf)
+        (s_node, s_lm, s_negt, s_am, s_lms, s_dur, s_rec) = jax.lax.sort(
+            (sort_node, cand["lm"], neg_total, cand["am"], cand["lms"],
+             cand["dur"], cand["rec"]), num_keys=3)
+        first = jnp.concatenate([
+            jnp.asarray([True]),
+            (s_node[1:] != s_node[:-1]) | (s_lm[1:] != s_lm[:-1])])
+        s_alive = first & (s_node != INT_MAX)
+
+        # top-W among survivors
+        key2 = jnp.where(s_alive, s_negt, jnp.inf)
+        order2 = jnp.argsort(key2)[:W]
+        new_tokens = (
+            jnp.take(s_node, order2),
+            jnp.take(s_lm, order2),
+            jnp.take(s_am, order2),
+            jnp.take(s_lms, order2),
+            jnp.take(s_dur, order2),
+            jnp.take(s_rec, order2),
+            jnp.take(s_alive, order2),
+        )
+        return new_tokens, (rec_word, rec_prev)
+
+    def _decode(self, obs, n_frames, lm_init):
+        """obs [T, Sp] state log-likelihoods -> final tokens + records."""
+        cfg = self.config
+        t = self.tables
+        W = cfg.num_tokens
+        R = t["root_tgt"].shape[0]
+
+        # init: expand root arcs at frame 0
+        node0 = jnp.full((W,), 0, jnp.int32)
+        node0 = node0.at[:R].set(t["root_tgt"])
+        alive0 = jnp.zeros((W,), bool).at[:R].set(True)
+        am0 = jnp.where(alive0, obs[0][t["pdf"][node0]], LOG_ZERO)
+        tokens = (node0, jnp.full((W,), lm_init, jnp.int32), am0,
+                  jnp.zeros((W,), jnp.float32), jnp.zeros((W,), jnp.int32),
+                  jnp.full((W,), -1, jnp.int32), alive0)
+
+        T = obs.shape[0]
+        valid = jnp.arange(1, T) < n_frames
+        steps = jnp.arange(T - 1, dtype=jnp.int32)
+
+        def step(tokens, xs):
+            obs_t, v, i = xs
+            new_tokens, recs = self._step(tokens, obs_t, i)
+            out = tuple(jnp.where(v, n, o)
+                        for n, o in zip(new_tokens, tokens))
+            recs = jax.tree.map(
+                lambda r: jnp.where(v, r, jnp.full_like(r, -1)), recs)
+            return out, recs
+
+        tokens, (rec_words, rec_prevs) = jax.lax.scan(
+            step, tokens, (obs[1:], valid, steps))
+        return tokens, rec_words, rec_prevs
+
+    # -- public API -------------------------------------------------------
+    def decode(self, obs: np.ndarray, n_frames: int | None = None,
+               sentence_start: str = "<s>"):
+        """Decode one utterance: [T, S] state log-likelihoods -> result.
+
+        Returns (words, log_prob): the 1-best word string list and its
+        total log-probability.
+        """
+        obs = jnp.asarray(obs, dtype=jnp.float32)
+        if n_frames is None:
+            n_frames = obs.shape[0]
+        lm_init = self.lm.initial_state(sentence_start)
+        tokens, rec_words, rec_prevs = self._decode_jit(
+            obs, jnp.int32(n_frames), jnp.int32(lm_init))
+        return self._traceback(tokens, rec_words, rec_prevs)
+
+    def decode_batch(self, obs: np.ndarray, n_frames: np.ndarray,
+                     sentence_start: str = "<s>"):
+        """[B, T, S] batched decode via vmap; returns list of results."""
+        lm_init = self.lm.initial_state(sentence_start)
+        fn = jax.jit(jax.vmap(
+            lambda o, n: self._decode(o, n, jnp.int32(lm_init))))
+        tokens, rec_words, rec_prevs = fn(
+            jnp.asarray(obs, jnp.float32), jnp.asarray(n_frames, jnp.int32))
+        out = []
+        B = obs.shape[0]
+        for b in range(B):
+            tk = tuple(np.asarray(x[b]) for x in tokens)
+            out.append(self._traceback(
+                tk, np.asarray(rec_words[b]), np.asarray(rec_prevs[b])))
+        return out
+
+    def _traceback(self, tokens, rec_words, rec_prevs):
+        """Unwind the best token's word-record chain on host."""
+        node, lmst, am, lms, dur, rec, alive = (
+            np.asarray(x) for x in tokens)
+        total = np.where(alive, am + self.config.lm_scale * lms, -np.inf)
+        best = int(np.argmax(total))
+        rec_words = np.asarray(rec_words)   # [T-1, E]
+        rec_prevs = np.asarray(rec_prevs)
+        E = rec_words.shape[1]
+        words: list[str] = []
+        ptr = int(rec[best])
+        guard = 0
+        while ptr >= 0 and guard < 100000:
+            f, slot = divmod(ptr, E)
+            w = int(rec_words[f, slot])
+            if w >= 0:
+                words.append(self.tree.vocab[w])
+            ptr = int(rec_prevs[f, slot])
+            guard += 1
+        words.reverse()
+        return words, float(total[best])

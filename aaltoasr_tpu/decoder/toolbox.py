@@ -1,0 +1,131 @@
+"""Toolbox: the decoder facade, mirroring the reference's SWIG surface.
+
+Reference: `decoder/src/Toolbox.{hh,cc}` (exported to Python via
+`decoder/src/swig/Decoder.i`): loads .ph/.dur, a lexicon, and n-gram LMs;
+owns the search and its ~40 tuning knobs; feeds acoustics from LNA files
+or frame-by-frame (OneFrameAcoustics).  Here decoding is batched and
+offline-first: `decode()` runs the whole utterance as one device scan;
+`decode_batch()` runs many utterances at once — the rectool batch path
+without per-frame Python/C++ ping-pong.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aaltoasr_tpu.decoder.lexicon import (
+    PrefixTree, build_prefix_tree, read_lexicon)
+from aaltoasr_tpu.decoder.ngram import NGramFsa
+from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
+from aaltoasr_tpu.formats.arpa import read_arpa
+from aaltoasr_tpu.formats.lna import read_lna
+from aaltoasr_tpu.formats.model_io import (
+    HmmModel, read_dur, read_ph)
+
+
+class Toolbox:
+    """Decoder facade (Toolbox.hh:29-319 API shape)."""
+
+    def __init__(self, hmm_path: str, dur_path: str = ""):
+        phones, transitions = read_ph(hmm_path)
+        num_states = 1 + max(
+            (s for p in phones for s in p.states), default=0)
+        # the decoder only needs topology + durations; Gaussian fields stay
+        # empty (acoustics arrive as LNA state log-probs)
+        self.model = HmmModel(
+            dim=0, cov_type="diagonal_cov",
+            means=np.zeros((0, 1)), covars=np.zeros((0, 1)),
+            mixtures=[(np.zeros(0, np.int32), np.zeros(0))] * num_states,
+            phones=phones, transitions=transitions)
+        if dur_path:
+            self.model.durations = read_dur(dur_path)
+        self.tree: PrefixTree | None = None
+        self.lm: NGramFsa | None = None
+        self.lookahead_lm = None
+        self._search: BeamSearch | None = None
+        self.config = SearchConfig()
+        self._word_boundary = ""
+        self._sentence_start = "<s>"
+        self._sentence_end = "</s>"
+
+    # -- model/lexicon/LM loading (Toolbox.hh:42-108) ---------------------
+    def lex_read(self, path) -> None:
+        entries = read_lexicon(path)
+        self.tree = build_prefix_tree(self.model, entries)
+        self._search = None
+
+    def ngram_read(self, path, binary: bool = False) -> None:
+        if binary:
+            raise NotImplementedError(
+                "binary n-gram files not yet supported; use ARPA")
+        self.lm = NGramFsa.from_arpa(read_arpa(path))
+        self._search = None
+
+    def fsa_lm_read(self, path, binary: bool = False) -> None:
+        # our n-gram LM already decodes as an FSA; same entry point
+        self.ngram_read(path, binary)
+
+    def read_lookahead_ngram(self, path) -> None:
+        self.lookahead_lm = read_arpa(path)  # used in a later phase
+
+    # -- tuning knobs (Toolbox.hh:182-319) --------------------------------
+    def set_global_beam(self, b: float):
+        self.config.beam = b
+        self._search = None
+
+    def set_token_limit(self, limit: int):
+        # fixed-width token array: the analog of prune_tokens' limit
+        self.config.num_tokens = int(limit)
+        self._search = None
+
+    def set_lm_scale(self, s: float):
+        self.config.lm_scale = s
+        self._search = None
+
+    def set_duration_scale(self, s: float):
+        self.config.duration_scale = s
+        self._search = None
+
+    def set_transition_scale(self, s: float):
+        self.config.transition_scale = s
+        self._search = None
+
+    def set_insertion_penalty(self, p: float):
+        self.config.insertion_penalty = p
+        self._search = None
+
+    def set_word_boundary(self, word: str):
+        self._word_boundary = word
+
+    def set_sentence_boundary(self, start: str, end: str):
+        self._sentence_start = start
+        self._sentence_end = end
+
+    # -- decoding ---------------------------------------------------------
+    def _ensure_search(self) -> BeamSearch:
+        if self.tree is None:
+            raise RuntimeError("lexicon not loaded (lex_read)")
+        if self.lm is None:
+            raise RuntimeError("language model not loaded (ngram_read)")
+        if self._search is None:
+            self._search = BeamSearch(self.tree, self.lm, self.model,
+                                      self.config)
+        return self._search
+
+    def decode(self, state_log_probs: np.ndarray,
+               n_frames: int | None = None):
+        """[T, S] state log-probs -> (word list, total log-prob)."""
+        return self._ensure_search().decode(
+            state_log_probs, n_frames,
+            sentence_start=self._sentence_start)
+
+    def decode_batch(self, state_log_probs: np.ndarray,
+                     n_frames: np.ndarray):
+        return self._ensure_search().decode_batch(
+            state_log_probs, n_frames,
+            sentence_start=self._sentence_start)
+
+    def lna_decode(self, lna_path: str):
+        """Decode one LNA file (lna_open + run loop equivalent)."""
+        lp, _ = read_lna(lna_path)
+        return self.decode(lp)
