@@ -1,0 +1,259 @@
+"""Hmmnet FSTs compiled to dense position graphs + numerator builders.
+
+The reference runs beam-pruned backward/forward directly over the FST
+with in-frame epsilon propagation (`aku/HmmNetBaumWelch.cc:817-1200`).
+The TPU compile eliminates epsilons up front:
+
+* positions = emitting arcs (arc-synchronous/Mealy form);
+* an edge p -> q exists when q's source node is epsilon-reachable from
+  p's target node, weighted by the best epsilon path's static score;
+* entry[p] = epsilon path score from the initial node to p's source;
+  final[p] = epsilon path score from p's target to the final node;
+* per-position constants: arc static score + ln(transition prob)
+  (the tr_coef of `get_arc_score`, HmmNetBaumWelch.cc:1917-1943),
+  added to the observation row once per frame.
+
+The result plugs straight into `train.estep.masked_forward_backward`;
+transition statistics come from arc occupancies via ``arc_slot``.
+
+`transcript_hmmnet` builds numerator networks from phone transcripts with
+optional-silence insertion — the Python-native replacement for the
+`create_hmmnets.pl` + mitfst composition pipeline (aku/scripts/
+create_hmmnets.pl:1-40).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+from aaltoasr_tpu.formats.fst import EPSILON, Fst, FstArc
+from aaltoasr_tpu.formats.model_io import HmmModel
+from aaltoasr_tpu.models.hmm import TransitionTable
+from aaltoasr_tpu.ops.logsemiring import LOG_ZERO
+
+
+def _eps_closure(num_nodes: int, eps_arcs: list) -> list:
+    """Best-score epsilon closure per node: node -> {reachable: score}.
+
+    Dijkstra-style on -score (scores are log-probs <= 0 typically, but
+    static scores may be arbitrary; best = max total score path).
+    """
+    out = [dict() for _ in range(num_nodes)]
+    adj = [[] for _ in range(num_nodes)]
+    for (s, t, w) in eps_arcs:
+        adj[s].append((t, w))
+    for start in range(num_nodes):
+        best = {start: 0.0}
+        heap = [(-0.0, start)]
+        while heap:
+            negw, n = heapq.heappop(heap)
+            w = -negw
+            if w < best.get(n, -np.inf) - 1e-12:
+                continue
+            for (t, aw) in adj[n]:
+                nw = w + aw
+                if nw > best.get(t, -np.inf) + 1e-12:
+                    best[t] = nw
+                    heapq.heappush(heap, (-nw, t))
+        out[start] = best
+    return out
+
+
+def compile_hmmnet(fst: Fst, table: TransitionTable,
+                   acoustic_scale: float = 1.0,
+                   use_transition_probs: bool = True,
+                   use_static_scores: bool = True):
+    """Compile an FST to the dense position-graph dict (host, NumPy).
+
+    Returns (graph_arrays, positions_meta) where graph_arrays carries
+    pdf/in_*/out_*/entry/final/arc_slot/obs_const and positions_meta maps
+    position -> original arc index (for lattice/label extraction).
+    """
+    emit = [i for i, a in enumerate(fst.arcs)
+            if a.transition_index != EPSILON]
+    eps = [(a.source, a.target,
+            a.score if use_static_scores else 0.0)
+           for a in fst.arcs if a.transition_index == EPSILON]
+    closure = _eps_closure(fst.num_nodes, eps)
+
+    P = len(emit)
+    pdf = np.zeros(P, dtype=np.int32)
+    slot = np.zeros(P, dtype=np.int32)
+    obs_const = np.zeros(P, dtype=np.float32)
+    entry = np.full(P, LOG_ZERO, dtype=np.float32)
+    final = np.full(P, LOG_ZERO, dtype=np.float32)
+    log_probs = table.log_probs()
+
+    for p, ai in enumerate(emit):
+        a = fst.arcs[ai]
+        slot[p] = a.transition_index
+        pdf[p] = table.source[a.transition_index]
+        c = a.score if use_static_scores else 0.0
+        if use_transition_probs:
+            c += acoustic_scale * log_probs[a.transition_index]
+        obs_const[p] = c
+        e = closure[fst.initial].get(a.source)
+        if e is not None:
+            entry[p] = e
+        f = closure[a.target].get(fst.final)
+        if f is not None:
+            final[p] = f
+
+    # edges: p -> q if q.source in closure(p.target)
+    by_source: dict[int, list] = {}
+    for q, ai in enumerate(emit):
+        by_source.setdefault(fst.arcs[ai].source, []).append(q)
+    edges = []       # (src_pos, tgt_pos, weight)
+    for p, ai in enumerate(emit):
+        tgt_node = fst.arcs[ai].target
+        for node, w in closure[tgt_node].items():
+            for q in by_source.get(node, []):
+                edges.append((p, q, w))
+
+    fan_in = np.zeros(P, dtype=np.int64)
+    fan_out = np.zeros(P, dtype=np.int64)
+    for (s, t, w) in edges:
+        fan_in[t] += 1
+        fan_out[s] += 1
+    F = max(int(fan_in.max(initial=1)), int(fan_out.max(initial=1)), 1)
+
+    in_src = np.tile(np.arange(P, dtype=np.int32)[:, None], (1, F))
+    in_logp = np.full((P, F), LOG_ZERO, dtype=np.float32)
+    in_slot = np.zeros((P, F), dtype=np.int32)
+    out_tgt = np.tile(np.arange(P, dtype=np.int32)[:, None], (1, F))
+    out_logp = np.full((P, F), LOG_ZERO, dtype=np.float32)
+    ni = np.zeros(P, dtype=np.int64)
+    no = np.zeros(P, dtype=np.int64)
+    for (s, t, w) in edges:
+        in_src[t, ni[t]] = s
+        in_logp[t, ni[t]] = w
+        in_slot[t, ni[t]] = slot[t]
+        ni[t] += 1
+        out_tgt[s, no[s]] = t
+        out_logp[s, no[s]] = w
+        no[s] += 1
+
+    graph = {
+        "pdf": pdf, "in_src": in_src, "in_logp": in_logp,
+        "in_slot": in_slot, "out_tgt": out_tgt, "out_logp": out_logp,
+        "entry": entry, "final": final,
+        "num_positions": np.int32(P),
+        "arc_slot": slot,
+        "obs_const": obs_const,
+    }
+    return graph, emit
+
+
+def pad_hmmnet(graph: dict, pad_positions: int, fan: int = 0) -> dict:
+    """Pad a compiled hmmnet graph to fixed (P, F) for batched jit."""
+    P = int(graph["num_positions"])
+    F = graph["in_src"].shape[1]
+    Fp = max(F, fan)
+    Pp = pad_positions
+    if P > Pp:
+        raise ValueError("hmmnet exceeds padding")
+
+    def pad2(a, fill, self_ref=False):
+        out = np.full((Pp, Fp), fill, dtype=a.dtype)
+        if self_ref:
+            out[:] = np.arange(Pp, dtype=a.dtype)[:, None]
+        out[:P, :F] = a
+        return out
+
+    def pad1(a, fill):
+        out = np.full(Pp, fill, dtype=a.dtype)
+        out[:P] = a
+        return out
+
+    return {
+        "pdf": pad1(graph["pdf"], 0),
+        "in_src": pad2(graph["in_src"], 0, self_ref=True),
+        "in_logp": pad2(graph["in_logp"], LOG_ZERO),
+        "in_slot": pad2(graph["in_slot"], 0),
+        "out_tgt": pad2(graph["out_tgt"], 0, self_ref=True),
+        "out_logp": pad2(graph["out_logp"], LOG_ZERO),
+        "entry": pad1(graph["entry"], LOG_ZERO),
+        "final": pad1(graph["final"], LOG_ZERO),
+        "num_positions": graph["num_positions"],
+        "arc_slot": pad1(graph["arc_slot"], 0),
+        "obs_const": pad1(graph["obs_const"], 0.0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# numerator hmmnet construction (create_hmmnets.pl replacement)
+# ---------------------------------------------------------------------------
+
+def transcript_hmmnet(model: HmmModel, table: TransitionTable,
+                      labels: list, optional_silence: str = "_",
+                      silence_in_between: bool = True) -> Fst:
+    """Numerator FST for a phone transcript.
+
+    Phones expand to their HMM transition arcs (self-loops + forward +
+    exit); optionally an optional-silence branch is inserted between
+    phones and at the ends — the standard create_hmmnets construction
+    (aku/scripts/create_hmmnets.pl builds the same via lex2fst + mitfst
+    composition).
+    """
+    fst = Fst()
+    next_node = [0]
+
+    def node():
+        n = next_node[0]
+        next_node[0] += 1
+        fst.num_nodes = max(fst.num_nodes, n + 1)
+        return n
+
+    def add_phone(label, entry_node):
+        """Wire one phone between entry and a fresh exit node."""
+        phone = model.phone(label)
+        k = len(phone.states)
+        snode = {0: entry_node}
+        for i in range(1, k):
+            snode[i] = node()
+        exit_node = node()
+        for i, s in enumerate(phone.states):
+            for t in range(table.state_first[s],
+                           table.state_first[s] + table.state_count[s]):
+                off = int(table.offset[t])
+                if i + off < k:
+                    tgt = snode[i + off]
+                elif i + off == k:
+                    tgt = exit_node
+                else:
+                    continue
+                fst.add_arc(FstArc(snode[i], tgt, int(t), label=label))
+        return exit_node
+
+    start = node()
+    fst.initial = start
+    cur = start
+    has_sil = optional_silence and any(
+        p.label == optional_silence for p in model.phones)
+
+    def maybe_silence(at):
+        """Optional silence: epsilon bypass + silence branch."""
+        if not has_sil:
+            return at
+        out = node()
+        fst.add_arc(FstArc(at, out))                 # epsilon skip
+        sil_entry = node()
+        fst.add_arc(FstArc(at, sil_entry))           # epsilon into silence
+        sil_exit = add_phone(optional_silence, sil_entry)
+        fst.add_arc(FstArc(sil_exit, out))
+        return out
+
+    cur = maybe_silence(cur)
+    for i, label in enumerate(labels):
+        if label == optional_silence:
+            continue  # silences are optional everywhere already
+        entry = node()
+        fst.add_arc(FstArc(cur, entry))
+        cur = add_phone(label, entry)
+        if silence_in_between or i == len(labels) - 1:
+            cur = maybe_silence(cur)
+    fst.final = cur
+    return fst

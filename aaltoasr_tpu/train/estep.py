@@ -22,12 +22,20 @@ from aaltoasr_tpu.ops.logsemiring import LOG_ZERO, logsumexp
 _F32 = jax.lax.Precision.HIGHEST
 
 
-def _entry(P):
+def _entry(graph, P):
+    """Entry log-prob vector: explicit (hmmnet graphs) or position 0
+    (transcript chains)."""
+    if "entry" in graph:
+        return graph["entry"]
     return jnp.where(jnp.arange(P) == 0, 0.0, LOG_ZERO)
 
 
-def _final(P, nump, final_logp):
-    return jnp.where(jnp.arange(P) == nump - 1, final_logp, LOG_ZERO)
+def _final(graph, P):
+    """Final log-prob vector: explicit or the chain's last position."""
+    if "final" in graph:
+        return graph["final"]
+    return jnp.where(jnp.arange(P) == graph["num_positions"] - 1,
+                     graph["final_logp"], LOG_ZERO)
 
 
 def masked_forward_backward(obs_pos, graph, n_frames, num_trans_slots: int):
@@ -42,7 +50,7 @@ def masked_forward_backward(obs_pos, graph, n_frames, num_trans_slots: int):
     nump = graph["num_positions"]
 
     valid = jnp.arange(T) < n_frames                      # [T]
-    alpha0 = jnp.maximum(obs_pos[0] + _entry(P), LOG_ZERO)
+    alpha0 = jnp.maximum(obs_pos[0] + _entry(graph, P), LOG_ZERO)
 
     def fwd(alpha, xs):
         obs_t, v = xs
@@ -55,7 +63,7 @@ def masked_forward_backward(obs_pos, graph, n_frames, num_trans_slots: int):
         fwd, alpha0, (obs_pos[1:], valid[1:]))
     alphas = jnp.concatenate([alphas_prev, alpha_T[None]], axis=0)
 
-    beta_last = _final(P, nump, graph["final_logp"])
+    beta_last = _final(graph, P)
     total = logsumexp(alpha_T + beta_last, axis=0)
 
     def bwd(beta, xs):
@@ -87,7 +95,8 @@ def masked_forward_backward(obs_pos, graph, n_frames, num_trans_slots: int):
     trans_post, _ = jax.lax.scan(
         trans_step, trans0,
         (alphas[:-1], obs_pos[1:], betas[1:], valid[1:]))
-    trans_post = trans_post.at[graph["final_slot"]].add(1.0)
+    if "final_slot" in graph:
+        trans_post = trans_post.at[graph["final_slot"]].add(1.0)
     return gamma, trans_post, total
 
 
@@ -101,7 +110,7 @@ def masked_viterbi(obs_pos, graph, n_frames):
     nump = graph["num_positions"]
     valid = jnp.arange(T) < n_frames
 
-    alpha0 = jnp.maximum(obs_pos[0] + _entry(P), LOG_ZERO)
+    alpha0 = jnp.maximum(obs_pos[0] + _entry(graph, P), LOG_ZERO)
 
     def step(alpha, xs):
         obs_t, v = xs
@@ -114,15 +123,17 @@ def masked_viterbi(obs_pos, graph, n_frames):
         return new, (bp, v)
 
     alpha_T, (bps, vs) = jax.lax.scan(step, alpha0, (obs_pos[1:], valid[1:]))
-    score = alpha_T[nump - 1] + graph["final_logp"]
+    final_v = alpha_T + _final(graph, P)
+    end_pos = jnp.argmax(final_v).astype(jnp.int32)
+    score = final_v[end_pos]
 
     def back(pos, xs):
         bp_t, v = xs
         prev = jnp.where(v, in_src[pos, bp_t[pos]], pos)
         return prev, prev
 
-    _, path_rev = jax.lax.scan(back, nump - 1, (bps, vs), reverse=True)
-    path = jnp.concatenate([path_rev, jnp.asarray([nump - 1])])
+    _, path_rev = jax.lax.scan(back, end_pos, (bps, vs), reverse=True)
+    path = jnp.concatenate([path_rev, end_pos[None]])
     return path, score
 
 
@@ -145,7 +156,12 @@ def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
     gll = scorer.gaussian_log_likelihoods(features)       # [T, Gp]
     sll = logsumexp(                                      # [T, Sp]
         gll[:, scorer.comp_idx] + scorer.comp_logw, axis=-1)
-    obs_pos = sll[:, pdf]                                 # [T, P]
+    state_obs = sll[:, pdf]                               # [T, P]
+    obs_pos = state_obs
+    if "obs_const" in graph:
+        # hmmnet graphs: per-arc static score + ln(transition prob)
+        # (get_arc_score, HmmNetBaumWelch.cc:1917-1943)
+        obs_pos = obs_pos + graph["obs_const"][None, :]
 
     if mode == "bw":
         gamma, trans_post, total = masked_forward_backward(
@@ -160,11 +176,20 @@ def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
     else:
         raise ValueError(f"unknown segmentation mode {mode!r}")
 
+    if "arc_slot" in graph:
+        # arc-synchronous graphs: every frame spent on a position IS a
+        # traversal of its transition slot
+        trans_post = jax.ops.segment_sum(
+            jnp.sum(gamma, axis=0), graph["arc_slot"],
+            num_segments=num_trans_slots)
+
     # component responsibilities within each position's mixture
     cidx = scorer.comp_idx[pdf]                           # [P, K]
     clogw = scorer.comp_logw[pdf]                         # [P, K]
     # log resp[t, p, k] = logw + gll[t, cidx] - sll[t, pdf]
-    log_resp = clogw[None] + gll[:, cidx] - obs_pos[:, :, None]
+    # (denominator is the pure state likelihood, NOT the const-shifted
+    # search observation)
+    log_resp = clogw[None] + gll[:, cidx] - state_obs[:, :, None]
     R = gamma[:, :, None] * jnp.exp(jnp.maximum(log_resp, -80.0))
     R_flat = R.reshape(T, P * K)                          # [T, P*K]
 
