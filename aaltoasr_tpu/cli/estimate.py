@@ -24,6 +24,14 @@ def main(argv=None) -> int:
                    help="file with one statistics base name per line")
     p.add_argument("-o", "--out", required=True, help="output model base")
     p.add_argument("--ml", action="store_true", help="ML estimation")
+    p.add_argument("--mmi", action="store_true",
+                   help="maximum mutual information estimation")
+    p.add_argument("--C1", type=float, default=2.0,
+                   help='constant "C1" for EBW updates (default 2.0)')
+    p.add_argument("--C2", type=float, default=2.0,
+                   help='constant "C2" for EBW updates (default 2.0)')
+    p.add_argument("--ismooth", type=float, default=0.0,
+                   help="I-smoothing tau for EBW updates")
     p.add_argument("--minvar", type=float, default=0.1,
                    help="minimum variance (default 0.1)")
     p.add_argument("--mixture-minweight", type=float, default=0.0)
@@ -33,20 +41,30 @@ def main(argv=None) -> int:
     p.add_argument("-i", "--info", type=int, default=0)
     args = p.parse_args(argv)
 
+    from aaltoasr_tpu.train.accumulators import (
+        PDF_ML_STATS, PDF_MMI_STATS)
     model = read_model(args.base)
     table = TransitionTable.from_model(model)
-    stats = HmmStats.zeros(model, table)
+    mode = PDF_ML_STATS | (PDF_MMI_STATS if args.mmi else 0)
+    stats = HmmStats.zeros(model, table, mode)
     with open(args.list) as f:
         for line in f:
             base = line.strip()
             if base:
                 stats.load(base, table)
 
-    new_model = estimate_ml(
-        model, table, stats, minvar=args.minvar,
-        mixture_minweight=args.mixture_minweight,
-        update_mixtures=not args.no_mixture_update,
-        update_transitions=not args.no_transition_update)
+    if args.mmi:
+        from aaltoasr_tpu.train.ebw import estimate_mmi
+        new_model = estimate_mmi(
+            model, table, stats, c1=args.C1, c2=args.C2,
+            tau=args.ismooth, minvar=args.minvar,
+            update_mixtures=not args.no_mixture_update)
+    else:
+        new_model = estimate_ml(
+            model, table, stats, minvar=args.minvar,
+            mixture_minweight=args.mixture_minweight,
+            update_mixtures=not args.no_mixture_update,
+            update_transitions=not args.no_transition_update)
     write_model(args.out, new_model)
 
     if args.summary:

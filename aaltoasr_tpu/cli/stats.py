@@ -28,8 +28,12 @@ def main(argv=None) -> int:
                    help="output base for statistics dumps")
     p.add_argument("-M", "--mode", default="bw", choices=["bw", "vit"],
                    help="segmentation mode")
+    p.add_argument("-H", "--hmmnet", action="store_true",
+                   help="use hmmnet= training networks from the recipe")
     p.add_argument("--ml", action="store_true", default=True,
                    help="collect ML statistics (default)")
+    p.add_argument("--mmi", action="store_true",
+                   help="collect also MMI statistics from den-hmmnet=")
     p.add_argument("-t", "--transitions", action="store_true",
                    help="collect also transition statistics (always on)")
     p.add_argument("-B", "--batch", type=int, default=0)
@@ -42,7 +46,8 @@ def main(argv=None) -> int:
         model = read_model(model)
     driver = EStepDriver(model, args.config, mode=args.mode)
     recipe = Recipe.read(args.recipe, args.batch, args.bindex)
-    stats = driver.run_recipe(recipe, info=args.info)
+    stats = driver.run_recipe(recipe, info=args.info,
+                              use_hmmnet=args.hmmnet, mmi=args.mmi)
     stats.dump(args.out)
     if args.info > 0:
         print(f"Total log likelihood: {stats.num_ll:.4f} over "

@@ -181,28 +181,30 @@ class BeamSearch:
         best = jnp.max(total)
         cand["alive"] = cand["alive"] & (total >= best - cfg.beam)
 
-        # recombine: sort by (node, lm, -total); first per key wins
+        # recombine: one sort by (node, lm, -total) carrying only the
+        # candidate index as payload; first per key wins.  Then top-W via
+        # top_k on the masked scores (cheaper than a second full sort).
         sort_node = jnp.where(cand["alive"], cand["node"], INT_MAX)
         neg_total = jnp.where(cand["alive"], -total, jnp.inf)
-        (s_node, s_lm, s_negt, s_am, s_lms, s_dur, s_rec) = jax.lax.sort(
-            (sort_node, cand["lm"], neg_total, cand["am"], cand["lms"],
-             cand["dur"], cand["rec"]), num_keys=3)
+        idx0 = jnp.arange(sort_node.shape[0], dtype=jnp.int32)
+        s_node, s_lm, s_negt, s_idx = jax.lax.sort(
+            (sort_node, cand["lm"], neg_total, idx0), num_keys=3)
         first = jnp.concatenate([
             jnp.asarray([True]),
             (s_node[1:] != s_node[:-1]) | (s_lm[1:] != s_lm[:-1])])
         s_alive = first & (s_node != INT_MAX)
 
-        # top-W among survivors
-        key2 = jnp.where(s_alive, s_negt, jnp.inf)
-        order2 = jnp.argsort(key2)[:W]
+        score = jnp.where(s_alive, -s_negt, -jnp.inf)
+        _, top = jax.lax.top_k(score, W)
+        sel = jnp.take(s_idx, top)          # original candidate rows
         new_tokens = (
-            jnp.take(s_node, order2),
-            jnp.take(s_lm, order2),
-            jnp.take(s_am, order2),
-            jnp.take(s_lms, order2),
-            jnp.take(s_dur, order2),
-            jnp.take(s_rec, order2),
-            jnp.take(s_alive, order2),
+            jnp.take(cand["node"], sel),
+            jnp.take(cand["lm"], sel),
+            jnp.take(cand["am"], sel),
+            jnp.take(cand["lms"], sel),
+            jnp.take(cand["dur"], sel),
+            jnp.take(cand["rec"], sel),
+            jnp.take(s_alive, top),
         )
         return new_tokens, (rec_word, rec_prev)
 

@@ -29,10 +29,16 @@ from aaltoasr_tpu.train.accumulators import (
 
 
 def device_stats_to_hmm_stats(model: HmmModel, table: TransitionTable,
-                              dstats, mode: int = PDF_ML_STATS) -> HmmStats:
-    """Convert the device E-step pytree into host HmmStats (ML buffer)."""
-    stats = HmmStats.zeros(model, table, mode)
-    buf = stats.buffers[ML_BUF]
+                              dstats, mode: int = PDF_ML_STATS,
+                              buffer_id: int = ML_BUF,
+                              stats: HmmStats | None = None) -> HmmStats:
+    """Convert a device E-step pytree into host HmmStats.
+
+    ``buffer_id`` selects the accumulator (ML/MMI/MPE buffers); pass an
+    existing ``stats`` to fill a second buffer of the same object."""
+    if stats is None:
+        stats = HmmStats.zeros(model, table, mode)
+    buf = stats.buffers[buffer_id]
     G = model.num_gaussians
     S = model.num_states
     buf.gamma[:] = np.asarray(dstats["gamma"], dtype=np.float64)[:G]
@@ -42,9 +48,13 @@ def device_stats_to_hmm_stats(model: HmmModel, table: TransitionTable,
     mix = np.asarray(dstats["mix_gamma"], dtype=np.float64)[:S]
     K = buf.mix_gamma.shape[1]
     buf.mix_gamma[:, :] = mix[:, :K]
-    stats.trans_acc[:] = np.asarray(dstats["trans_acc"], dtype=np.float64)
-    stats.num_ll = float(dstats["log_likelihood"])
-    stats.num_frames = int(dstats["num_frames"])
+    if buffer_id == ML_BUF:
+        stats.trans_acc[:] = np.asarray(dstats["trans_acc"],
+                                        dtype=np.float64)
+        stats.num_ll = float(dstats["log_likelihood"])
+        stats.num_frames = int(dstats["num_frames"])
+    else:
+        stats.den_ll = float(dstats["log_likelihood"])
     return stats
 
 
@@ -76,33 +86,78 @@ class EStepDriver:
                     self.mode))
         return self._jit_cache[key]
 
-    def utterance_stats(self, samples: np.ndarray, labels: list):
-        """One utterance's device stats pytree."""
+    def _padded_features(self, samples):
         feats = self.fg.features(samples)
         T = feats.shape[0]
+        T_pad = _round_up(T, self.time_bucket)
+        if T_pad > T:
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((T_pad - T, feats.shape[1]),
+                                  feats.dtype)], axis=0)
+        return feats, T
+
+    def _graph_from_chain(self, labels):
         chain = build_chain(self.model, self.table, labels)
         P_pad = _round_up(chain.num_positions, self.pos_bucket)
-        T_pad = _round_up(T, self.time_bucket)
-        graph = {k: jnp.asarray(v) for k, v in
-                 pad_chain(chain, P_pad, fan=4).items()}
-        feats_p = jnp.concatenate(
-            [feats, jnp.zeros((T_pad - T, feats.shape[1]), feats.dtype)],
-            axis=0) if T_pad > T else feats
-        fn = self._stats_fn(T_pad, P_pad, 4)
-        return fn(feats_p, graph, jnp.int32(T))
+        return {k: jnp.asarray(v) for k, v in
+                pad_chain(chain, P_pad, fan=4).items()}
 
-    def run_recipe(self, recipe: Recipe, info: int = 0) -> HmmStats:
-        """Accumulate statistics over a recipe shard (transcript path)."""
-        total = HmmStats.zeros(self.model, self.table)
+    def _graph_from_fst(self, fst):
+        from aaltoasr_tpu.models.hmmnet import compile_hmmnet, pad_hmmnet
+        g, _ = compile_hmmnet(fst, self.table)
+        P_pad = _round_up(max(int(g["num_positions"]), 1),
+                          self.pos_bucket)
+        F = max(g["in_src"].shape[1], 4)
+        return {k: jnp.asarray(v) for k, v in
+                pad_hmmnet(g, P_pad, fan=F).items()}
+
+    def _run_graph(self, feats, T, graph):
+        F = graph["in_src"].shape[1]
+        fn = self._stats_fn(int(feats.shape[0]),
+                            int(graph["pdf"].shape[0]), F)
+        return fn(feats, graph, jnp.int32(T))
+
+    def utterance_stats(self, samples: np.ndarray, labels: list):
+        """One utterance's device stats pytree (transcript chain)."""
+        feats, T = self._padded_features(samples)
+        return self._run_graph(feats, T, self._graph_from_chain(labels))
+
+    def run_recipe(self, recipe: Recipe, info: int = 0,
+                   use_hmmnet: bool = False,
+                   mmi: bool = False) -> HmmStats:
+        """Accumulate statistics over a recipe shard.
+
+        use_hmmnet: read hmmnet= FSTs instead of transcripts (-H);
+        mmi: additionally run the den-hmmnet= network into the MMI
+        buffer (stats.cc --mmi path).
+        """
+        from aaltoasr_tpu.formats.fst import read_fst
+        from aaltoasr_tpu.train.accumulators import (
+            MMI_BUF, PDF_MMI_STATS)
+        mode = PDF_ML_STATS | (PDF_MMI_STATS if mmi else 0)
+        total = HmmStats.zeros(self.model, self.table, mode)
         for rinfo in recipe:
             if info > 0:
                 import sys
                 print(f"Processing file: {rinfo.audio_path}",
                       file=sys.stderr)
             samples, _ = read_audio(rinfo.audio_path, self.fg.sample_rate)
-            entries = read_phn(rinfo.transcript_path)
-            labels = [e.label for e in entries]
-            dstats = self.utterance_stats(samples, labels)
-            total.add(device_stats_to_hmm_stats(
-                self.model, self.table, dstats))
+            feats, T = self._padded_features(samples)
+            if use_hmmnet and rinfo.hmmnet_path:
+                graph = self._graph_from_fst(read_fst(rinfo.hmmnet_path))
+            else:
+                entries = read_phn(rinfo.transcript_path)
+                graph = self._graph_from_chain(
+                    [e.label for e in entries])
+            dstats = self._run_graph(feats, T, graph)
+            utt = device_stats_to_hmm_stats(
+                self.model, self.table, dstats, mode)
+            if mmi:
+                den_graph = self._graph_from_fst(
+                    read_fst(rinfo.den_hmmnet_path))
+                den = self._run_graph(feats, T, den_graph)
+                device_stats_to_hmm_stats(
+                    self.model, self.table, den, mode,
+                    buffer_id=MMI_BUF, stats=utt)
+            total.add(utt)
         return total
