@@ -36,6 +36,16 @@ def main(argv=None) -> int:
                    help="minimum variance (default 0.1)")
     p.add_argument("--mixture-minweight", type=float, default=0.0)
     p.add_argument("--no-mixture-update", action="store_true")
+    p.add_argument("--split", action="store_true",
+                   help="Enable Gaussian splitting")
+    p.add_argument("--minocc", type=float, default=0.0,
+                   help="Occupancy threshold for Gaussian splitting")
+    p.add_argument("--maxmixgauss", type=int, default=2**30,
+                   help="Maximum Gaussians per mixture")
+    p.add_argument("--numgauss", type=int, default=-1,
+                   help="Target number of Gaussians in the final model")
+    p.add_argument("--splitalpha", type=float, default=1.0,
+                   help="Occupancy smoothing power for splitting")
     p.add_argument("--no-transition-update", action="store_true")
     p.add_argument("-s", "--summary", help="write summary file here")
     p.add_argument("-i", "--info", type=int, default=0)
@@ -65,6 +75,13 @@ def main(argv=None) -> int:
             mixture_minweight=args.mixture_minweight,
             update_mixtures=not args.no_mixture_update,
             update_transitions=not args.no_transition_update)
+    if args.split:
+        from aaltoasr_tpu.train.split import split_gaussians
+        new_model, n = split_gaussians(
+            new_model, stats, minocc=args.minocc, maxg=args.maxmixgauss,
+            numgauss=args.numgauss, splitalpha=args.splitalpha)
+        if args.info > 0:
+            print(f"Split {n} Gaussians", file=sys.stderr)
     write_model(args.out, new_model)
 
     if args.summary:

@@ -1,0 +1,141 @@
+"""train: the EM training recipe driver (`aku/scripts/train.pl`).
+
+Replicates the train.pl pipeline with its skip-if-exists resume semantics
+(train.pl:253-259): every iteration writes ``BASE_ID_<i>.{ph,gk,mc}`` and
+reruns skip iterations whose .ph already exists.  Stages:
+
+1. (optional) decision-tree tying -> initial model (train.pl:133-146)
+2. ``--num-iters`` EM iterations: E-step over the recipe (transcript
+   chains or hmmnets), ML M-step, Gaussian splitting every
+   ``--split-frequency`` iterations until ``--split-stop-iter``
+   (train.pl:86-176 defaults 22/2/18)
+3. Viterbi alignment + gamma duration model estimation
+4. Gaussian clustering (.gcl)
+
+Cluster sharding is unnecessary on TPU (the E-step is batched on device),
+but ``-B/-I`` still shard the recipe for multi-host runs; statistics
+dumps remain reference-compatible for mixed fleets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from aaltoasr_tpu.formats.model_io import read_model, write_dur, write_model
+from aaltoasr_tpu.formats.recipe import Recipe
+from aaltoasr_tpu.train.driver import EStepDriver
+from aaltoasr_tpu.train.estimate import estimate_ml
+from aaltoasr_tpu.train.gcluster import cluster_gaussians, write_gcl
+from aaltoasr_tpu.train.split import split_gaussians
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="train")
+    p.add_argument("-b", "--base", required=True,
+                   help="initial model base (e.g. from tie)")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-r", "--recipe", required=True)
+    p.add_argument("-w", "--workdir", required=True)
+    p.add_argument("--id", default="model", help="BASE_ID for outputs")
+    p.add_argument("--num-iters", type=int, default=22)
+    p.add_argument("--split-frequency", type=int, default=2)
+    p.add_argument("--split-stop-iter", type=int, default=18)
+    p.add_argument("--split-target", type=int, default=-1,
+                   help="target total number of Gaussians")
+    p.add_argument("--split-minocc", type=float, default=225.0)
+    p.add_argument("--minvar", type=float, default=0.1)
+    p.add_argument("-H", "--hmmnet", action="store_true",
+                   help="train from hmmnet= networks")
+    p.add_argument("-M", "--mode", default="bw", choices=["bw", "vit"])
+    p.add_argument("--num-clusters", type=int, default=0,
+                   help="Gaussian clusters for the final model (gcluster)")
+    p.add_argument("--durations", action="store_true",
+                   help="estimate a duration model at the end")
+    p.add_argument("-B", "--batch", type=int, default=0)
+    p.add_argument("-I", "--bindex", type=int, default=0)
+    p.add_argument("-i", "--info", type=int, default=1)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    recipe = Recipe.read(args.recipe, args.batch, args.bindex)
+
+    model_base = args.base
+    summary_path = os.path.join(args.workdir, f"{args.id}.summary")
+    for it in range(1, args.num_iters + 1):
+        out_base = os.path.join(args.workdir, f"{args.id}_{it}")
+        if os.path.exists(out_base + ".ph"):
+            if args.info > 0:
+                print(f"Iteration {it} exists, skipping", file=sys.stderr)
+            model_base = out_base
+            continue
+        model = read_model(model_base)
+        driver = EStepDriver(model, args.config, mode=args.mode)
+        stats = driver.run_recipe(recipe, info=max(0, args.info - 1),
+                                  use_hmmnet=args.hmmnet)
+        new_model = estimate_ml(model, driver.table, stats,
+                                minvar=args.minvar)
+        did_split = 0
+        if (args.split_frequency > 0 and it % args.split_frequency == 0
+                and it <= args.split_stop_iter):
+            new_model, did_split = split_gaussians(
+                new_model, stats, minocc=args.split_minocc,
+                numgauss=args.split_target)
+        write_model(out_base, new_model)
+        with open(summary_path, "a") as f:
+            f.write(f"iter {it} loglikelihood {stats.num_ll:.6g} "
+                    f"frames {stats.num_frames} "
+                    f"gaussians {new_model.num_gaussians}\n")
+        if args.info > 0:
+            print(f"Iteration {it}: LL {stats.num_ll:.1f}, "
+                  f"{new_model.num_gaussians} Gaussians"
+                  + (f" (+{did_split} splits)" if did_split else ""),
+                  file=sys.stderr)
+        model_base = out_base
+
+    final = read_model(model_base)
+
+    if args.durations:
+        dur_path = model_base + ".dur"
+        if not os.path.exists(dur_path):
+            from aaltoasr_tpu.cli.align import align_utterance
+            from aaltoasr_tpu.frontend.audio import read_audio
+            from aaltoasr_tpu.frontend.generator import FeatureGenerator
+            from aaltoasr_tpu.formats.phn import read_phn
+            from aaltoasr_tpu.models.hmm import TransitionTable
+            from aaltoasr_tpu.ops.gmm import GmmScorer
+            from aaltoasr_tpu.train.durations import DurationAccumulator
+            table = TransitionTable.from_model(final)
+            scorer = GmmScorer.from_model(final)
+            fg = FeatureGenerator(args.config)
+            acc = DurationAccumulator(final.num_states)
+            for rinfo in recipe:
+                samples, _ = read_audio(rinfo.audio_path, fg.sample_rate)
+                labels = [e.label for e in
+                          read_phn(rinfo.transcript_path)]
+                segments, _ = align_utterance(
+                    final, table, scorer, fg, samples, labels)
+                for (s, e, label, state) in segments:
+                    sts = final.phone(label).states
+                    acc.add_segment(sts[state], e - s)
+            write_dur(dur_path, acc.estimate())
+            if args.info > 0:
+                print(f"Duration model written to {dur_path}",
+                      file=sys.stderr)
+
+    if args.num_clusters > 0:
+        gcl_path = model_base + ".gcl"
+        if not os.path.exists(gcl_path):
+            assign = cluster_gaussians(final.means, args.num_clusters)
+            write_gcl(gcl_path, assign,
+                      min(args.num_clusters, final.num_gaussians))
+
+    print(model_base)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
