@@ -1,0 +1,122 @@
+"""recognize: the batch recognition driver (pyrectool equivalent).
+
+Replicates `pyrectool/rectool.py`'s stages with its reuse semantics
+(rectool.py:613-634, 1045-1056): LNA generation via the scoring pipeline
+(skip-if-exists), optional per-speaker adaptation (VTLN / CMLLR into a
+.spkc, rectool.py:753-915), then decoding — batched on device instead of
+per-frame SWIG calls — with 1-best output, optional SLF lattices and
+n-best lists.  Defaults follow recognize-batch.sh:15-23.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from aaltoasr_tpu.decoder.toolbox import Toolbox
+from aaltoasr_tpu.formats.lna import read_lna
+from aaltoasr_tpu.formats.model_io import read_model
+from aaltoasr_tpu.formats.recipe import Recipe
+from aaltoasr_tpu.models.phone_probs import PhoneProbs
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="recognize")
+    p.add_argument("-b", "--am", required=True,
+                   help="acoustic model base name")
+    p.add_argument("-c", "--config", required=True,
+                   help="feature configuration")
+    p.add_argument("-l", "--lexicon", required=True)
+    p.add_argument("-n", "--lm", required=True, help="ARPA language model")
+    p.add_argument("-r", "--recipe", required=True)
+    p.add_argument("-w", "--workdir", required=True)
+    p.add_argument("--dur", default="", help="duration file")
+    p.add_argument("--beam", type=float, default=280.0)
+    p.add_argument("--tokens", type=int, default=1024)
+    p.add_argument("--lm-scale", type=float, default=30.0)
+    p.add_argument("--duration-scale", type=float, default=3.0)
+    p.add_argument("--insertion-penalty", type=float, default=0.0)
+    p.add_argument("--adapt", choices=["", "vtln", "cmllr"], default="",
+                   help="per-speaker adaptation before decoding")
+    p.add_argument("--lattices", action="store_true",
+                   help="write SLF word graphs next to the LNAs")
+    p.add_argument("--nbest", type=int, default=0,
+                   help="print n-best lists")
+    p.add_argument("-B", "--batch", type=int, default=0)
+    p.add_argument("-I", "--bindex", type=int, default=0)
+    p.add_argument("-i", "--info", type=int, default=0)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    recipe = Recipe.read(args.recipe, args.batch, args.bindex)
+
+    # -- stage 1: adaptation (writes .spkc consumed by LNA generation)
+    spkc_path = ""
+    if args.adapt:
+        spkc_path = os.path.join(args.workdir, f"{args.adapt}.spkc")
+        if not os.path.exists(spkc_path):
+            if args.info > 0:
+                print(f"Estimating {args.adapt} adaptation",
+                      file=sys.stderr)
+            if args.adapt == "vtln":
+                from aaltoasr_tpu.cli.vtln import main as vtln_main
+                vtln_main(["-b", args.am, "-c", args.config,
+                           "-r", args.recipe, "-o", spkc_path,
+                           "-i", str(args.info)])
+            else:
+                from aaltoasr_tpu.cli.mllr import main as mllr_main
+                mllr_main(["-b", args.am, "-c", args.config,
+                           "-r", args.recipe, "-o", spkc_path,
+                           "-i", str(args.info)])
+        elif args.info > 0:
+            print(f"Reusing {spkc_path}", file=sys.stderr)
+
+    # -- stage 2: LNA generation (skip-if-exists, rectool.py:613-634)
+    pp = PhoneProbs(args.am, args.config, lna_bytes=2)
+    if spkc_path:
+        pp.read_speaker_config(spkc_path)
+    lna_dir = os.path.join(args.workdir, "lna")
+    os.makedirs(lna_dir, exist_ok=True)
+    lna_paths = []
+    for rinfo in recipe:
+        name = (rinfo.lna_path or
+                os.path.basename(rinfo.audio_path) + ".lna")
+        path = os.path.join(lna_dir, os.path.basename(name))
+        lna_paths.append(path)
+        if os.path.exists(path):
+            continue
+        if args.info > 0:
+            print(f"LNA: {rinfo.audio_path}", file=sys.stderr)
+        pp.set_speaker(rinfo.speaker_id)
+        pp.set_utterance(rinfo.utterance_id)
+        pp.generate_to_file(rinfo.audio_path, path)
+
+    # -- stage 3: decoding
+    t = Toolbox(args.am + ".ph", args.dur)
+    t.lex_read(args.lexicon)
+    t.ngram_read(args.lm)
+    t.set_global_beam(args.beam)
+    t.set_token_limit(args.tokens)
+    t.set_lm_scale(args.lm_scale)
+    t.set_duration_scale(args.duration_scale)
+    t.set_insertion_penalty(args.insertion_penalty)
+
+    for rinfo, lna_path in zip(recipe, lna_paths):
+        res = t.lna_decode(lna_path)
+        key = rinfo.utterance_id or os.path.basename(lna_path)
+        print(f"{' '.join(res.words)} ({key})")
+        if args.lattices or args.nbest:
+            g = res.word_graph()
+            if args.lattices:
+                g.write_slf(lna_path + ".slf")
+            if args.nbest > 0:
+                for i, (words, score) in enumerate(g.nbest(args.nbest)):
+                    print(f"  {i + 1}: {' '.join(words)} ({score:.3f})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -151,11 +151,15 @@ class BeamSearch:
         e_am = jnp.take(we_am.reshape(-1), order)
         e_lms = jnp.take(we_lms.reshape(-1), order)
         # records: silence (word<0) keeps its previous record pointer;
-        # pointers are globally unique: step_idx * E + slot
+        # pointers are globally unique: step_idx * E + slot.  Cumulative
+        # am/lm scores ride along for lattice (SLF) construction.
+        is_word = e_alive & (e_word >= 0)
         rec_word = jnp.where(e_alive, e_word, -1)
-        rec_prev = jnp.where(e_alive & (e_word >= 0), e_prev, -1)
+        rec_prev = jnp.where(is_word, e_prev, -1)
+        rec_am = jnp.where(is_word, e_am, 0.0)
+        rec_lms = jnp.where(is_word, e_lms, 0.0)
         slot_ptr = step_idx * E + jnp.arange(E, dtype=jnp.int32)
-        new_rec = jnp.where(e_alive & (e_word >= 0), slot_ptr, e_prev)
+        new_rec = jnp.where(is_word, slot_ptr, e_prev)
 
         # re-entry through root arcs [E, R]
         r_tgt = t["root_tgt"]                           # [R]
@@ -206,7 +210,7 @@ class BeamSearch:
             jnp.take(cand["rec"], sel),
             jnp.take(s_alive, top),
         )
-        return new_tokens, (rec_word, rec_prev)
+        return new_tokens, (rec_word, rec_prev, rec_am, rec_lms)
 
     def _decode(self, obs, n_frames, lm_init):
         """obs [T, Sp] state log-likelihoods -> final tokens + records."""
@@ -234,28 +238,29 @@ class BeamSearch:
             out = tuple(jnp.where(v, n, o)
                         for n, o in zip(new_tokens, tokens))
             recs = jax.tree.map(
-                lambda r: jnp.where(v, r, jnp.full_like(r, -1)), recs)
+                lambda r: jnp.where(v, r, jnp.full_like(
+                    r, -1 if r.dtype == jnp.int32 else 0)), recs)
             return out, recs
 
-        tokens, (rec_words, rec_prevs) = jax.lax.scan(
+        tokens, recs = jax.lax.scan(
             step, tokens, (obs[1:], valid, steps))
-        return tokens, rec_words, rec_prevs
+        return tokens, recs
 
     # -- public API -------------------------------------------------------
     def decode(self, obs: np.ndarray, n_frames: int | None = None,
                sentence_start: str = "<s>"):
         """Decode one utterance: [T, S] state log-likelihoods -> result.
 
-        Returns (words, log_prob): the 1-best word string list and its
-        total log-probability.
+        Returns a DecodeResult (iterable as (words, log_prob) for
+        backwards compatibility) carrying the word-lattice records.
         """
         obs = jnp.asarray(obs, dtype=jnp.float32)
         if n_frames is None:
             n_frames = obs.shape[0]
         lm_init = self.lm.initial_state(sentence_start)
-        tokens, rec_words, rec_prevs = self._decode_jit(
+        tokens, recs = self._decode_jit(
             obs, jnp.int32(n_frames), jnp.int32(lm_init))
-        return self._traceback(tokens, rec_words, rec_prevs)
+        return self._result(tokens, recs)
 
     def decode_batch(self, obs: np.ndarray, n_frames: np.ndarray,
                      sentence_start: str = "<s>"):
@@ -263,34 +268,71 @@ class BeamSearch:
         lm_init = self.lm.initial_state(sentence_start)
         fn = jax.jit(jax.vmap(
             lambda o, n: self._decode(o, n, jnp.int32(lm_init))))
-        tokens, rec_words, rec_prevs = fn(
+        tokens, recs = fn(
             jnp.asarray(obs, jnp.float32), jnp.asarray(n_frames, jnp.int32))
         out = []
-        B = obs.shape[0]
-        for b in range(B):
+        for b in range(obs.shape[0]):
             tk = tuple(np.asarray(x[b]) for x in tokens)
-            out.append(self._traceback(
-                tk, np.asarray(rec_words[b]), np.asarray(rec_prevs[b])))
+            rc = tuple(np.asarray(r[b]) for r in recs)
+            out.append(self._result(tk, rc))
         return out
 
-    def _traceback(self, tokens, rec_words, rec_prevs):
-        """Unwind the best token's word-record chain on host."""
+    def _result(self, tokens, recs):
         node, lmst, am, lms, dur, rec, alive = (
             np.asarray(x) for x in tokens)
         total = np.where(alive, am + self.config.lm_scale * lms, -np.inf)
         best = int(np.argmax(total))
-        rec_words = np.asarray(rec_words)   # [T-1, E]
-        rec_prevs = np.asarray(rec_prevs)
-        E = rec_words.shape[1]
-        words: list[str] = []
-        ptr = int(rec[best])
+        return DecodeResult(
+            search=self, final_ptr=int(rec[best]),
+            log_prob=float(total[best]),
+            final_am=float(am[best]), final_lms=float(lms[best]),
+            rec_words=np.asarray(recs[0]), rec_prevs=np.asarray(recs[1]),
+            rec_ams=np.asarray(recs[2]), rec_lmss=np.asarray(recs[3]))
+
+
+class DecodeResult:
+    """1-best plus the word-lattice records of one utterance."""
+
+    def __init__(self, search, final_ptr, log_prob, final_am, final_lms,
+                 rec_words, rec_prevs, rec_ams, rec_lmss):
+        self.search = search
+        self.final_ptr = final_ptr
+        self.log_prob = log_prob
+        self.final_am = final_am
+        self.final_lms = final_lms
+        self.rec_words = rec_words       # [T-1, E]
+        self.rec_prevs = rec_prevs
+        self.rec_ams = rec_ams
+        self.rec_lmss = rec_lmss
+
+    # tuple-compat: (words, log_prob)
+    def __iter__(self):
+        return iter((self.words, self.log_prob))
+
+    def __getitem__(self, i):
+        return (self.words, self.log_prob)[i]
+
+    @property
+    def words(self) -> list:
+        """1-best word strings by unwinding the record chain."""
+        words = []
+        E = self.rec_words.shape[1]
+        ptr = self.final_ptr
         guard = 0
         while ptr >= 0 and guard < 100000:
             f, slot = divmod(ptr, E)
-            w = int(rec_words[f, slot])
+            w = int(self.rec_words[f, slot])
             if w >= 0:
-                words.append(self.tree.vocab[w])
-            ptr = int(rec_prevs[f, slot])
+                words.append(self.search.tree.vocab[w])
+            ptr = int(self.rec_prevs[f, slot])
             guard += 1
         words.reverse()
-        return words, float(total[best])
+        return words
+
+    def word_graph(self):
+        """Build a WordGraph (lattice) from the records."""
+        from aaltoasr_tpu.decoder.wordgraph import WordGraph
+        return WordGraph.from_records(
+            self.search.tree.vocab, self.search.config,
+            self.rec_words, self.rec_prevs, self.rec_ams, self.rec_lmss,
+            self.final_ptr, self.final_am, self.final_lms)

@@ -1,0 +1,153 @@
+"""Word graphs (lattices) from decode records: SLF output and n-best.
+
+Reference: `decoder/src/WordGraph.{hh,cc}` builds an (word, end-frame)
+lattice during search (Ortmanns-Ney, `decoder/src/doc/word-graphs`) and
+`TokenPassSearch::write_word_graph` (TokenPassSearch.cc:2443-2533) emits
+HTK SLF.  Here the lattice falls out of the search's per-frame traceback
+records — every surviving word-end record is a lattice arc (word,
+start = previous record's frame, end = its frame) with cumulative am/lm
+scores, so arc scores are simple differences.
+
+SLF layout matches the reference: VERSION/base/dir/lmscale/wdpenalty
+header, ``I=n\\tt=frame`` nodes, ``J=\\tS=\\tE=\\tW=\\tv=0\\ta=\\tl=``
+links with the LM score unscaled and the insertion penalty removed
+(TokenPassSearch.cc:2520-2530); <s>/</s> map to !NULL.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+
+
+@dataclass
+class WGNode:
+    index: int
+    frame: int
+
+
+@dataclass
+class WGArc:
+    source: int          # node index
+    target: int
+    word: str
+    am: float            # am score of the word segment
+    lm: float            # unscaled LM score (pron+ngram, penalty removed)
+
+
+@dataclass
+class WordGraph:
+    nodes: list = field(default_factory=list)
+    arcs: list = field(default_factory=list)
+    lm_scale: float = 1.0
+    insertion_penalty: float = 0.0
+    start_node: int = 0
+    end_node: int = 0
+
+    @classmethod
+    def from_records(cls, vocab, config, rec_words, rec_prevs, rec_ams,
+                     rec_lmss, final_ptr, final_am, final_lms):
+        T1, E = rec_words.shape
+        g = cls(lm_scale=config.lm_scale,
+                insertion_penalty=config.insertion_penalty)
+
+        # collect records reachable backward from every record (all are
+        # potential lattice arcs); node per record end, plus start/end
+        node_of_rec = {}
+        g.nodes.append(WGNode(0, 0))        # start node at frame 0
+
+        def node_for(ptr):
+            if ptr < 0:
+                return 0
+            if ptr not in node_of_rec:
+                f = ptr // E
+                n = WGNode(len(g.nodes), f + 1)
+                g.nodes.append(n)
+                node_of_rec[ptr] = n.index
+            return node_of_rec[ptr]
+
+        def rec_at(ptr):
+            f, slot = divmod(ptr, E)
+            return (int(rec_words[f, slot]), int(rec_prevs[f, slot]),
+                    float(rec_ams[f, slot]), float(rec_lmss[f, slot]))
+
+        for f in range(T1):
+            for slot in range(E):
+                w = int(rec_words[f, slot])
+                if w < 0:
+                    continue
+                ptr = f * E + slot
+                prev = int(rec_prevs[f, slot])
+                if prev >= 0:
+                    _, _, pam, plms = rec_at(prev)
+                else:
+                    pam = plms = 0.0
+                am = float(rec_ams[f, slot]) - pam
+                lm = (float(rec_lmss[f, slot]) - plms
+                      - config.insertion_penalty)
+                word = vocab[w] if 0 <= w < len(vocab) else "!NULL"
+                if word in ("<s>", "</s>"):
+                    word = "!NULL"
+                g.arcs.append(WGArc(node_for(prev), node_for(ptr),
+                                    word, am, lm))
+
+        # final arc: residual score from the last word end to the end
+        end = WGNode(len(g.nodes), T1 + 1)
+        g.nodes.append(end)
+        g.end_node = end.index
+        if final_ptr >= 0:
+            _, _, pam, plms = rec_at(final_ptr)
+        else:
+            pam = plms = 0.0
+        g.arcs.append(WGArc(node_for(final_ptr), end.index, "!NULL",
+                            final_am - pam, final_lms - plms))
+        return g
+
+    # -- SLF --------------------------------------------------------------
+    def write_slf(self, path_or_file) -> None:
+        own = not hasattr(path_or_file, "write")
+        f = open(path_or_file, "w") if own else path_or_file
+        try:
+            f.write("VERSION=1.1\nbase=10\ndir=f\n")
+            f.write(f"lmscale={self.lm_scale:f} "
+                    f"wdpenalty={self.insertion_penalty:f}\n")
+            f.write(f"N={len(self.nodes)}\tL={len(self.arcs)}\n")
+            f.write(f"start={self.start_node} end={self.end_node}\n")
+            for n in self.nodes:
+                f.write(f"I={n.index}\tt={n.frame}\n")
+            for j, a in enumerate(self.arcs):
+                f.write(f"J={j}\tS={a.source}\tE={a.target}\tW={a.word}"
+                        f"\tv=0\ta={a.am:e}\tl={a.lm:e}\n")
+        finally:
+            if own:
+                f.close()
+
+    # -- n-best -----------------------------------------------------------
+    def nbest(self, n: int = 10) -> list:
+        """Top-n distinct word sequences by total score
+        (am + lm_scale*lm + penalty per word), via best-first search."""
+        out_arcs: dict[int, list] = {}
+        for a in self.arcs:
+            out_arcs.setdefault(a.source, []).append(a)
+
+        def arc_score(a):
+            pen = self.insertion_penalty if a.word != "!NULL" else 0.0
+            return a.am + self.lm_scale * (a.lm + pen)
+
+        results = []
+        seen = set()
+        heap = [(-0.0, 0, self.start_node, ())]
+        counter = 1
+        while heap and len(results) < n:
+            negs, _, node, words = heapq.heappop(heap)
+            if node == self.end_node:
+                if words not in seen:
+                    seen.add(words)
+                    results.append((list(words), -negs))
+                continue
+            for a in out_arcs.get(node, []):
+                w = words if a.word == "!NULL" else words + (a.word,)
+                heapq.heappush(
+                    heap, (negs - arc_score(a), counter, a.target, w))
+                counter += 1
+        return results
