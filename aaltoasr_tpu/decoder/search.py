@@ -336,3 +336,80 @@ class DecodeResult:
             self.search.tree.vocab, self.search.config,
             self.rec_words, self.rec_prevs, self.rec_ams, self.rec_lmss,
             self.final_ptr, self.final_am, self.final_lms)
+
+
+class StreamingDecoder:
+    """Frame-by-frame push decoding — the OneFrameAcoustics path.
+
+    Reference: `decoder/src/OneFrameAcoustics.{hh,cc}` +
+    `Toolbox::use_one_frame_acoustics/set_one_frame/run`
+    (Toolbox.hh:123-145): the caller supplies per-frame state log-probs
+    and steps the search.  Here one jitted searcher step runs per pushed
+    frame on device; records accumulate host-side.  Latency per frame is
+    one tiny device dispatch; for offline batches use BeamSearch.decode.
+    """
+
+    def __init__(self, search: BeamSearch, sentence_start: str = "<s>"):
+        self.search = search
+        self._step_jit = jax.jit(search._step)
+        self._sentence_start = sentence_start
+        self.reset()
+
+    def reset(self) -> None:
+        s = self.search
+        cfg = s.config
+        t = s.tables
+        W = cfg.num_tokens
+        R = t["root_tgt"].shape[0]
+        self._frame = 0
+        self._rec_words = []
+        self._rec_prevs = []
+        self._rec_ams = []
+        self._rec_lmss = []
+        lm_init = s.lm.initial_state(self._sentence_start)
+        node0 = jnp.full((W,), 0, jnp.int32).at[:R].set(t["root_tgt"])
+        alive0 = jnp.zeros((W,), bool).at[:R].set(True)
+        self._pending_init = (node0, alive0, lm_init)
+        self._tokens = None
+
+    def push_frame(self, log_probs: np.ndarray) -> None:
+        """Feed one frame of state log-probs (set_one_frame + run)."""
+        s = self.search
+        obs_t = jnp.asarray(log_probs, dtype=jnp.float32)
+        if self._tokens is None:
+            node0, alive0, lm_init = self._pending_init
+            am0 = jnp.where(alive0, obs_t[s.tables["pdf"][node0]],
+                            LOG_ZERO)
+            W = s.config.num_tokens
+            self._tokens = (node0, jnp.full((W,), lm_init, jnp.int32),
+                            am0, jnp.zeros((W,), jnp.float32),
+                            jnp.zeros((W,), jnp.int32),
+                            jnp.full((W,), -1, jnp.int32), alive0)
+        else:
+            self._tokens, recs = self._step_jit(
+                self._tokens, obs_t, jnp.int32(self._frame - 1))
+            self._rec_words.append(np.asarray(recs[0]))
+            self._rec_prevs.append(np.asarray(recs[1]))
+            self._rec_ams.append(np.asarray(recs[2]))
+            self._rec_lmss.append(np.asarray(recs[3]))
+        self._frame += 1
+
+    @property
+    def frame(self) -> int:
+        return self._frame
+
+    def result(self) -> "DecodeResult":
+        """Current best hypothesis (callable any time mid-stream)."""
+        if self._tokens is None:
+            raise RuntimeError("no frames pushed")
+        E = self.search.config.num_records
+        if self._rec_words:
+            recs = (np.stack(self._rec_words), np.stack(self._rec_prevs),
+                    np.stack(self._rec_ams), np.stack(self._rec_lmss))
+        else:
+            recs = (np.full((1, E), -1, np.int32),
+                    np.full((1, E), -1, np.int32),
+                    np.zeros((1, E), np.float32),
+                    np.zeros((1, E), np.float32))
+        tokens = tuple(np.asarray(x) for x in self._tokens)
+        return self.search._result(tokens, recs)

@@ -129,3 +129,25 @@ class Toolbox:
         """Decode one LNA file (lna_open + run loop equivalent)."""
         lp, _ = read_lna(lna_path)
         return self.decode(lp)
+
+    # -- streaming (OneFrameAcoustics; Toolbox.hh:123-145) ----------------
+    def use_one_frame_acoustics(self):
+        """Switch to push-model acoustics; returns the StreamingDecoder."""
+        from aaltoasr_tpu.decoder.search import StreamingDecoder
+        self._stream = StreamingDecoder(
+            self._ensure_search(), sentence_start=self._sentence_start)
+        return self._stream
+
+    def set_one_frame(self, frame: int, log_probs) -> None:
+        """Push one frame of state log-probs (Toolbox::set_one_frame)."""
+        if getattr(self, "_stream", None) is None:
+            self.use_one_frame_acoustics()
+        self._stream.push_frame(log_probs)
+
+    def run(self) -> bool:
+        """Streaming no-op step marker (the push already advanced the
+        search); returns True while the stream is open."""
+        return getattr(self, "_stream", None) is not None
+
+    def stream_result(self):
+        return self._stream.result()

@@ -1,0 +1,68 @@
+"""Dense fast decoder tests: agreement with the exact searcher."""
+
+import numpy as np
+import pytest
+
+from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
+from aaltoasr_tpu.decoder.search_dense import DenseBeamSearch
+
+from tests.test_decoder import make_decode_task, synth_obs
+
+
+class TestDenseSearch:
+    def _pair(self, cfg=None):
+        model, tree, fsa = make_decode_task()
+        cfg = cfg or SearchConfig(num_tokens=256, num_records=16,
+                                  beam=1e9, lm_scale=1.0)
+        return (model, tree, fsa,
+                BeamSearch(tree, fsa, model, cfg),
+                DenseBeamSearch(tree, fsa, model, cfg))
+
+    def test_matches_exact_on_clear_acoustics(self):
+        model, tree, fsa, exact, dense = self._pair()
+        for seed, seq in [(0, ["_", "a", "b", "b", "a", "_"]),
+                          (1, ["c", "a", "a", "b"]),
+                          (2, ["b", "a", "c", "a"])]:
+            obs = synth_obs(tree, model, seq, noise=0.5, seed=seed)
+            r1 = exact.decode(obs)
+            r2 = dense.decode(obs)
+            assert r2.words == r1.words, seq
+            assert r2.log_prob == pytest.approx(r1.log_prob, rel=1e-4)
+
+    def test_close_on_noisy_acoustics(self):
+        model, tree, fsa, exact, dense = self._pair()
+        agree = 0
+        for seed in range(6):
+            obs = synth_obs(tree, model, ["a", "b", "b", "a"],
+                            noise=2.5, seed=seed)
+            r1 = exact.decode(obs)
+            r2 = dense.decode(obs)
+            # dense is an approximation: score can only be <= exact
+            assert r2.log_prob <= r1.log_prob + 1e-3
+            if r2.words == r1.words:
+                agree += 1
+        assert agree >= 4  # mostly identical
+
+    def test_batch_matches_single(self):
+        model, tree, fsa, exact, dense = self._pair()
+        obs1 = synth_obs(tree, model, ["a", "b", "_"], seed=3)
+        obs2 = synth_obs(tree, model, ["c", "a"], seed=4)
+        r1 = dense.decode(obs1)
+        r2 = dense.decode(obs2)
+        T = max(obs1.shape[0], obs2.shape[0])
+        pad = np.full((2, T, obs1.shape[1]), -100.0, dtype=np.float32)
+        pad[0, :obs1.shape[0]] = obs1
+        pad[1, :obs2.shape[0]] = obs2
+        out = dense.decode_batch(pad, np.array([obs1.shape[0],
+                                                obs2.shape[0]]))
+        assert out[0].words == r1.words
+        assert out[1].words == r2.words
+        assert out[0].log_prob == pytest.approx(r1.log_prob, rel=1e-5)
+
+    def test_lattice_output_works(self):
+        model, tree, fsa, exact, dense = self._pair()
+        obs = synth_obs(tree, model, ["_", "a", "b", "b", "a", "_"])
+        res = dense.decode(obs)
+        nb = res.word_graph().nbest(3)
+        assert nb[0][0] == res.words
+        assert nb[0][1] == pytest.approx(res.log_prob, rel=1e-4)
