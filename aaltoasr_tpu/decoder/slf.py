@@ -1,0 +1,195 @@
+"""HTK SLF lattice reading, LM rescoring, and lattice best paths.
+
+Reference: `tools/lattice_rescore` (Rescore.{hh,cc}: context-dependent
+node expansion against a new TreeGram; lattice_rescore.cc driver).  The
+rescoring algorithm is the same context expansion: each (node, LM
+context) pair becomes a node of the rescored lattice, arcs get the new
+LM score for their word in the incoming context.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from aaltoasr_tpu.formats.arpa import ArpaLM
+
+
+@dataclass
+class SlfLattice:
+    nodes: list = field(default_factory=list)     # frame times
+    arcs: list = field(default_factory=list)      # dicts S/E/W/a/l
+    lm_scale: float = 1.0
+    wdpenalty: float = 0.0
+    start: int = 0
+    end: int = 0
+
+    @classmethod
+    def read(cls, path_or_text) -> "SlfLattice":
+        text = path_or_text
+        if "\n" not in str(text):
+            with open(text) as f:
+                text = f.read()
+        lat = cls()
+        times = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            fields = {}
+            for kv in line.split():
+                if "=" in kv:
+                    k, _, v = kv.partition("=")
+                    fields[k] = v
+            if "I" in fields:
+                times[int(fields["I"])] = int(float(fields.get("t", 0)))
+            elif "J" in fields:
+                lat.arcs.append({
+                    "S": int(fields["S"]), "E": int(fields["E"]),
+                    "W": fields.get("W", "!NULL"),
+                    "a": float(fields.get("a", 0.0)),
+                    "l": float(fields.get("l", 0.0)),
+                })
+            else:
+                if "lmscale" in fields:
+                    lat.lm_scale = float(fields["lmscale"])
+                if "wdpenalty" in fields:
+                    lat.wdpenalty = float(fields["wdpenalty"])
+                if "start" in fields:
+                    lat.start = int(fields["start"])
+                if "end" in fields:
+                    lat.end = int(fields["end"])
+        n = max(times) + 1 if times else 0
+        lat.nodes = [times.get(i, 0) for i in range(n)]
+        return lat
+
+    def write(self, path_or_file) -> None:
+        own = not hasattr(path_or_file, "write")
+        f = open(path_or_file, "w") if own else path_or_file
+        try:
+            f.write("VERSION=1.1\nbase=10\ndir=f\n")
+            f.write(f"lmscale={self.lm_scale:f} "
+                    f"wdpenalty={self.wdpenalty:f}\n")
+            f.write(f"N={len(self.nodes)}\tL={len(self.arcs)}\n")
+            f.write(f"start={self.start} end={self.end}\n")
+            for i, t in enumerate(self.nodes):
+                f.write(f"I={i}\tt={t}\n")
+            for j, a in enumerate(self.arcs):
+                f.write(f"J={j}\tS={a['S']}\tE={a['E']}\tW={a['W']}"
+                        f"\tv=0\ta={a['a']:e}\tl={a['l']:e}\n")
+        finally:
+            if own:
+                f.close()
+
+    # -- rescoring --------------------------------------------------------
+    def rescore(self, lm: ArpaLM, sentence_start: str = "<s>",
+                sentence_end: str = "</s>") -> "SlfLattice":
+        """Expand nodes by LM context and replace LM scores.
+
+        Each reachable (node, context) pair becomes a node in the output
+        (Rescore::find_or_create_node semantics); contexts are the last
+        order-1 LM word ids.
+        """
+        out = SlfLattice(lm_scale=self.lm_scale,
+                         wdpenalty=self.wdpenalty)
+        order = lm.order
+        start_ctx = ()
+        if sentence_start in lm.word_index:
+            start_ctx = (lm.word_index[sentence_start],)
+
+        out_arcs_of: dict[int, list] = {}
+        for i, a in enumerate(self.arcs):
+            out_arcs_of.setdefault(a["S"], []).append(a)
+
+        node_map = {}
+
+        def get_node(orig, ctx):
+            key = (orig, ctx)
+            if key not in node_map:
+                node_map[key] = len(out.nodes)
+                out.nodes.append(self.nodes[orig]
+                                 if orig < len(self.nodes) else 0)
+            return node_map[key]
+
+        out.start = get_node(self.start, start_ctx)
+        final_nodes = []
+        stack = [(self.start, start_ctx)]
+        seen = {(self.start, start_ctx)}
+        while stack:
+            orig, ctx = stack.pop()
+            src = get_node(orig, ctx)
+            if orig == self.end:
+                final_nodes.append(src)
+                continue
+            for a in out_arcs_of.get(orig, []):
+                w = a["W"]
+                if w in ("!NULL", ""):
+                    lm_score = 0.0
+                    new_ctx = ctx
+                else:
+                    wid = lm.word_index.get(w)
+                    if wid is None:
+                        continue  # word unknown to the LM: prune
+                    lm_score = lm.log_prob(ctx, wid)
+                    new_ctx = (ctx + (wid,))[-(order - 1):] \
+                        if order > 1 else ()
+                tgt_key = (a["E"], new_ctx)
+                tgt = get_node(a["E"], new_ctx)
+                out.arcs.append({"S": src, "E": tgt, "W": w,
+                                 "a": a["a"], "l": lm_score})
+                if tgt_key not in seen:
+                    seen.add(tgt_key)
+                    stack.append(tgt_key)
+
+        # single final node: join expanded finals with !NULL arcs
+        if len(final_nodes) == 1:
+            out.end = final_nodes[0]
+        else:
+            out.end = len(out.nodes)
+            out.nodes.append(self.nodes[self.end]
+                             if self.end < len(self.nodes) else 0)
+            for fn in final_nodes:
+                out.arcs.append({"S": fn, "E": out.end, "W": "!NULL",
+                                 "a": 0.0, "l": 0.0})
+        return out
+
+    # -- best path --------------------------------------------------------
+    def best_path(self) -> tuple:
+        """(words, total) via topological DP over am + lm_scale*lm."""
+        import collections
+        order_in = collections.defaultdict(int)
+        out_arcs = collections.defaultdict(list)
+        nodes = set([self.start, self.end])
+        for a in self.arcs:
+            order_in[a["E"]] += 1
+            out_arcs[a["S"]].append(a)
+            nodes.update((a["S"], a["E"]))
+        best = {self.start: (0.0, None, None)}
+        queue = [n for n in nodes if order_in[n] == 0]
+        topo = []
+        while queue:
+            n = queue.pop()
+            topo.append(n)
+            for a in out_arcs[n]:
+                order_in[a["E"]] -= 1
+                if order_in[a["E"]] == 0:
+                    queue.append(a["E"])
+        for n in topo:
+            if n not in best:
+                continue
+            score = best[n][0]
+            for a in out_arcs[n]:
+                s = score + a["a"] + self.lm_scale * a["l"] + (
+                    self.wdpenalty if a["W"] != "!NULL" else 0.0)
+                if a["E"] not in best or s > best[a["E"]][0]:
+                    best[a["E"]] = (s, n, a)
+        if self.end not in best:
+            return [], float("-inf")
+        words = []
+        n = self.end
+        while n != self.start:
+            _, prev, arc = best[n]
+            if arc["W"] != "!NULL":
+                words.append(arc["W"])
+            n = prev
+        words.reverse()
+        return words, best[self.end][0]

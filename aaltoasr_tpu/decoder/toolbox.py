@@ -56,9 +56,11 @@ class Toolbox:
 
     def ngram_read(self, path, binary: bool = False) -> None:
         if binary:
-            raise NotImplementedError(
-                "binary n-gram files not yet supported; use ARPA")
-        self.lm = NGramFsa.from_arpa(read_arpa(path))
+            from aaltoasr_tpu.formats.treegram_bin import read_bin
+            lm = read_bin(path)
+        else:
+            lm = read_arpa(path)
+        self.lm = NGramFsa.from_arpa(lm)
         self._search = None
 
     def fsa_lm_read(self, path, binary: bool = False) -> None:
