@@ -58,10 +58,15 @@ class BeamSearch:
     """Compiled batched decoder for one (tree, LM, model) triple."""
 
     def __init__(self, tree: PrefixTree, lm: NGramFsa, model,
-                 config: SearchConfig = SearchConfig()):
+                 config: SearchConfig = SearchConfig(),
+                 word_classes=None):
         self.tree = tree
         self.lm = lm
         self.config = config
+        if word_classes is not None:
+            word_classes.apply_to_tree(tree, lm)
+        lm_names = (word_classes.lm_word_names(tree.vocab)
+                    if word_classes is not None else tree.vocab)
         self.tables = {
             "arc_tgt": jnp.asarray(tree.arc_tgt),
             "arc_logp": jnp.asarray(tree.arc_logp),
@@ -79,7 +84,7 @@ class BeamSearch:
             # tree word id -> LM word id (LMHistory::Word::lm_id();
             # words absent from the LM are pruned, TokenPassSearch.cc:846)
             "lm_id": jnp.asarray(np.asarray(
-                [lm.word_index.get(w, -1) for w in tree.vocab]
+                [lm.word_index.get(w, -1) for w in lm_names]
                 or [-1], dtype=np.int32)),
             **lm.device_tables(),
         }

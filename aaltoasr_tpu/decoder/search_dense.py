@@ -60,11 +60,15 @@ class DenseBeamSearch:
 
     def __init__(self, tree: PrefixTree, lm: NGramFsa, model,
                  config: SearchConfig = SearchConfig(),
-                 reentry_width: int = 4):
+                 reentry_width: int = 4, word_classes=None):
         self.tree = tree
         self.lm = lm
         self.config = config
         self.reentry_width = reentry_width
+        if word_classes is not None:
+            word_classes.apply_to_tree(tree, lm)
+        lm_names = (word_classes.lm_word_names(tree.vocab)
+                    if word_classes is not None else tree.vocab)
         in_src, in_logp = _invert_arcs(tree)
         # word-end slots as a flat static list (padded to >= num_records
         # so per-frame record buffers have a fixed shape)
@@ -92,7 +96,7 @@ class DenseBeamSearch:
             "dur_tab": jnp.asarray(duration_table(
                 model, config.max_dur, config.duration_scale)),
             "lm_id": jnp.asarray(np.asarray(
-                [lm.word_index.get(w, -1) for w in tree.vocab]
+                [lm.word_index.get(w, -1) for w in lm_names]
                 or [-1], dtype=np.int32)),
             **lm.device_tables(),
         }

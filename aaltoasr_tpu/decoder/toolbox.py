@@ -47,6 +47,7 @@ class Toolbox:
         self._word_boundary = ""
         self._sentence_start = "<s>"
         self._sentence_end = "</s>"
+        self._word_classes = None
 
     # -- model/lexicon/LM loading (Toolbox.hh:42-108) ---------------------
     def lex_read(self, path) -> None:
@@ -69,6 +70,13 @@ class Toolbox:
 
     def read_lookahead_ngram(self, path) -> None:
         self.lookahead_lm = read_arpa(path)  # used in a later phase
+
+    def read_word_classes(self, path) -> None:
+        """Load class-based LM definitions (Toolbox word-class path,
+        decoder/src/WordClasses.cc)."""
+        from aaltoasr_tpu.decoder.classes import WordClasses
+        self._word_classes = WordClasses.read(path)
+        self._search = None
 
     # -- tuning knobs (Toolbox.hh:182-319) --------------------------------
     def set_global_beam(self, b: float):
@@ -111,7 +119,8 @@ class Toolbox:
             raise RuntimeError("language model not loaded (ngram_read)")
         if self._search is None:
             self._search = BeamSearch(self.tree, self.lm, self.model,
-                                      self.config)
+                                      self.config,
+                                      word_classes=self._word_classes)
         return self._search
 
     def decode(self, state_log_probs: np.ndarray,
