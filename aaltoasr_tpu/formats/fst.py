@@ -75,10 +75,14 @@ def parse_fst(text: str, epsilon_string: str = ",") -> Fst:
                         label = in_label[1:]
                     else:
                         first = in_label.split(";")[0]
-                        tr_index = int(first)
-                        parts = in_label.split(";")
-                        if len(parts) > 1:
-                            label = parts[1]
+                        try:
+                            tr_index = int(first)
+                            parts = in_label.split(";")
+                            if len(parts) > 1:
+                                label = parts[1]
+                        except ValueError:
+                            # symbolic input label (lex2fst/hmm-level FSTs)
+                            label = in_label
                 if (in_label and not in_label.startswith("#")
                         and len(fields) > 4):
                     if fields[4] != epsilon_string:
@@ -110,7 +114,12 @@ def write_fst(fst: Fst, path_or_file,
         f.write(f"F {fst.final}\n")
         for a in fst.arcs:
             if a.transition_index == EPSILON:
-                in_label = f"#{a.label}" if a.label else epsilon_string
+                if a.label and a.out_label:
+                    in_label = a.label        # symbolic label arc
+                elif a.label:
+                    in_label = f"#{a.label}"
+                else:
+                    in_label = epsilon_string
             else:
                 in_label = str(a.transition_index)
                 if a.label:

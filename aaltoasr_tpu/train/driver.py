@@ -76,6 +76,7 @@ class EStepDriver:
         self.time_bucket = time_bucket
         self.pos_bucket = pos_bucket
         self._jit_cache = {}
+        self.failed_utterances: list = []
 
     def _stats_fn(self, T_pad: int, P_pad: int, F: int):
         key = (T_pad, P_pad, F)
@@ -152,6 +153,17 @@ class EStepDriver:
             dstats = self._run_graph(feats, T, graph)
             utt = device_stats_to_hmm_stats(
                 self.model, self.table, dstats, mode)
+            # failure detection (stats.cc:79-100 beam-retry analog): a
+            # dense FB has no beams, so a dead utterance means broken
+            # inputs — skip it and record, as the batch-retry protocol
+            # expects (train.pl:372)
+            import math
+            if not math.isfinite(utt.num_ll) or utt.num_ll <= -1e29:
+                import sys
+                print(f"Warning: no valid path for "
+                      f"{rinfo.audio_path}; skipping", file=sys.stderr)
+                self.failed_utterances.append(rinfo.audio_path)
+                continue
             if mmi:
                 den_graph = self._graph_from_fst(
                     read_fst(rinfo.den_hmmnet_path))
