@@ -140,8 +140,23 @@ class NGramFsa:
 
     # -- device tables ----------------------------------------------------
     def device_tables(self) -> dict:
-        max_row = int(np.max(np.diff(self.state_first))) if len(
-            self.trans_word) else 1
+        # dense tables for the empty-context state 0: its row holds every
+        # unigram, so lookups there are a single gather (and it is the
+        # final hop of every backoff chain)
+        V = self.num_words
+        uni_prob = np.full(V, NEG_INF, dtype=np.float32)
+        uni_next = np.zeros(V, dtype=np.int32)
+        lo, hi = int(self.state_first[0]), int(self.state_first[1])
+        uni_prob[self.trans_word[lo:hi]] = self.trans_prob[lo:hi]
+        uni_next[self.trans_word[lo:hi]] = self.trans_next[lo:hi]
+        # widest non-root row bounds the 16-ary search depth
+        rows = np.diff(self.state_first)
+        max_row = int(rows[1:].max()) if len(rows) > 1 else 1
+        iters16 = 0
+        span = max(max_row, 1)
+        while span > 16:
+            span = (span + 15) // 16
+            iters16 += 1
         return {
             "trans_word": jnp.asarray(self.trans_word),
             "trans_prob": jnp.asarray(self.trans_prob),
@@ -149,44 +164,70 @@ class NGramFsa:
             "state_first": jnp.asarray(self.state_first),
             "bo_weight": jnp.asarray(self.bo_weight),
             "bo_next": jnp.asarray(self.bo_next),
-            "lookup_iters": int(np.ceil(np.log2(max(max_row, 2)))) + 1,
+            "uni_prob": jnp.asarray(uni_prob),
+            "uni_next": jnp.asarray(uni_next),
+            "lookup_iters16": iters16,
         }
 
 
 def lm_walk_device(tables: dict, num_words: int, order: int, state, word):
     """Vectorized FSA walk: (state [N], word [N]) -> (next [N], score [N]).
 
-    Two-level lookup: CSR row offsets per state, then a fixed-iteration
-    binary search over that state's word-sorted transitions; backoff hops
-    are unrolled ``order`` times with masking.  int32 throughout — no
-    64-bit keys needed on TPU.
+    Latency-optimized lookup (the walk sits in the decoder's inner scan,
+    so sequential dependent gathers dominate): the empty-context state 0
+    resolves with ONE dense gather; other rows use a 16-ary search (two
+    rounds for thousands of transitions) followed by one 16-wide
+    parallel compare.  Backoff hops unroll ``order`` times with masking.
     """
     tw = tables["trans_word"]
     sf = tables["state_first"]
-    iters = tables["lookup_iters"]
+    iters16 = tables["lookup_iters16"]
     M = tw.shape[0]
 
     def lookup(state, word):
-        lo = sf[state]
-        hi = sf[state + 1]
-        for _ in range(iters):
-            mid = (lo + hi) // 2
-            v = tw[jnp.minimum(mid, M - 1)]
-            go_right = (v < word) & (mid < hi)
-            lo = jnp.where(go_right, mid + 1, lo)
-            hi = jnp.where(go_right, hi, mid)
-        idx = jnp.minimum(lo, M - 1)
-        hit = (lo < sf[state + 1]) & (tw[idx] == word)
+        lo = sf[state].astype(jnp.int32)
+        hi = sf[state + 1].astype(jnp.int32)
+        for _ in range(iters16):
+            span = hi - lo
+            # 15 interior pivots; bucket = count of pivots <= word
+            frac = (jnp.arange(1, 16, dtype=jnp.int32)[None, :]
+                    * span[:, None]) // 16
+            piv_idx = jnp.minimum(lo[:, None] + frac, M - 1)
+            piv = tw[piv_idx]
+            cnt = jnp.sum((piv <= word[:, None]) &
+                          (frac > 0), axis=1).astype(jnp.int32)
+            new_lo = lo + (span * cnt) // 16
+            new_hi = lo + jnp.where(cnt < 15, (span * (cnt + 1)) // 16,
+                                    span)
+            keep = span > 16
+            lo = jnp.where(keep, new_lo, lo)
+            hi = jnp.where(keep, new_hi, hi)
+        # final: 16-wide parallel compare (rows now span <= 16)
+        offs = jnp.arange(16, dtype=jnp.int32)[None, :]
+        idx16 = jnp.minimum(lo[:, None] + offs, M - 1)
+        valid = lo[:, None] + offs < hi[:, None]
+        eq = valid & (tw[idx16] == word[:, None])
+        hit = jnp.any(eq, axis=1)
+        pos = jnp.argmax(eq, axis=1)
+        idx = jnp.minimum(lo + pos, M - 1)
         return hit, idx
 
     score = jnp.zeros(state.shape, jnp.float32)
     next_state = jnp.zeros(state.shape, jnp.int32)
     done = jnp.zeros(state.shape, bool)
-    for _ in range(order + 1):
+    for hop in range(order + 1):
+        is_uni = state == 0
+        # dense path for the empty-context state
+        up = tables["uni_prob"][word]
+        un = tables["uni_next"][word]
+        uni_hit = is_uni & (up > NEG_INF / 2)
         hit, idx = lookup(state, word)
+        hit = jnp.where(is_uni, uni_hit, hit)
+        nxt = jnp.where(is_uni, un, tables["trans_next"][idx])
+        sc = jnp.where(is_uni, up, tables["trans_prob"][idx])
         take = hit & ~done
-        next_state = jnp.where(take, tables["trans_next"][idx], next_state)
-        score = jnp.where(take, score + tables["trans_prob"][idx], score)
+        next_state = jnp.where(take, nxt, next_state)
+        score = jnp.where(take, score + sc, score)
         done = done | hit
         bo = tables["bo_weight"][state]
         dead = ~done & (bo <= NEG_INF / 2)
