@@ -49,26 +49,42 @@ class FeatureGenerator:
         self.config = config
 
         base = config.base
-        if base.type != "audiofile":
+        self.base_type = base.type
+        bcfg = base.config
+        if base.type == "audiofile":
+            self.sample_rate = bcfg.get_int("sample_rate")
+            if self.sample_rate is None:
+                raise ValueError("audiofile: sample_rate is obligatory")
+            self.frame_rate = bcfg.get_float("frame_rate", 125.0)
+            self.window_width = bcfg.get_int(
+                "window_width",
+                int(2 * self.sample_rate / self.frame_rate))
+            self.copy_borders = bcfg.get_int("copy_borders", 1)
+            if not self.copy_borders:
+                raise NotImplementedError("copy_borders=0 not supported")
+            self.pre_emph_coef = bcfg.get_float("pre_emph_coef", 0.97)
+            # float division like the C++ member (FeatureModules.cc:340)
+            self.window_advance = self.sample_rate / self.frame_rate
+            base_dim = self.window_width
+        elif base.type == "pre":
+            # precomputed feature files (PreModule,
+            # FeatureModules.cc:570-760): dim obligatory, declared rates
+            base_dim = bcfg.get_int("dim")
+            if base_dim is None:
+                raise ValueError("PreModule: Must set dimension")
+            self.sample_rate = bcfg.get_int("sample_rate", 16000)
+            self.frame_rate = bcfg.get_float("frame_rate", 125.0)
+            self.window_width = 0
+            self.window_advance = self.sample_rate / self.frame_rate
+            self.pre_emph_coef = 0.0
+            self.legacy_file = bool(bcfg.get_int("legacy_file", 0))
+        else:
             raise NotImplementedError(
                 f"base module type '{base.type}' not yet supported")
-        bcfg = base.config
-        self.sample_rate = bcfg.get_int("sample_rate")
-        if self.sample_rate is None:
-            raise ValueError("audiofile: sample_rate is obligatory")
-        self.frame_rate = bcfg.get_float("frame_rate", 125.0)
-        self.window_width = bcfg.get_int(
-            "window_width", int(2 * self.sample_rate / self.frame_rate))
-        self.copy_borders = bcfg.get_int("copy_borders", 1)
-        if not self.copy_borders:
-            raise NotImplementedError("copy_borders=0 not supported")
-        self.pre_emph_coef = bcfg.get_float("pre_emph_coef", 0.97)
-        # float division like the C++ member (FeatureModules.cc:340)
-        self.window_advance = self.sample_rate / self.frame_rate
 
         # Build ops in config order (sources are guaranteed earlier).
         self.ops: dict[str, M.Op] = {}
-        dims = {base.name: self.window_width}
+        dims = {base.name: base_dim}
         for spec in config.modules[1:]:
             src_dims = [dims[s] for s in spec.sources]
             op = M.build_op(spec.type, spec.config, src_dims, self.sample_rate)
@@ -96,7 +112,11 @@ class FeatureGenerator:
         return self.dims[self.config.last.name]
 
     def num_frames(self, num_samples: int) -> int:
-        """Valid frame count: last_frame + 1 (FeatureModules.cc:305-308)."""
+        """Valid frame count: last_frame + 1 (FeatureModules.cc:305-308).
+
+        For a 'pre' base, the input unit is frames already."""
+        if self.base_type == "pre":
+            return int(num_samples)
         n = (num_samples - self.window_width - 1) / self.window_advance
         return int(n) + 1
 
@@ -172,8 +192,13 @@ class FeatureGenerator:
             samples = samples.astype(jnp.float32)
             arrays = {}
             bl, br = need[config.base.name]
-            arrays[config.base.name] = self._base_frames(
-                samples, n_frames, bl, T_pad, br)
+            if self.base_type == "pre":
+                t = jnp.arange(-bl, T_pad + br)
+                t = jnp.clip(t, 0, jnp.maximum(n_frames - 1, 0))
+                arrays[config.base.name] = jnp.take(samples, t, axis=0)
+            else:
+                arrays[config.base.name] = self._base_frames(
+                    samples, n_frames, bl, T_pad, br)
             for spec in config.modules[1:]:
                 op = ops[spec.name]
                 nl, nr = need[spec.name]
@@ -229,3 +254,21 @@ class FeatureGenerator:
             for s in spec.sources:
                 out.write(f"  {s} -> {spec.name}\n")
         out.write("}\n")
+
+
+def read_pre_file(path, dim: int, legacy_file: bool = False):
+    """Read a precomputed-feature file (PreModule format,
+    FeatureModules.cc:594-640): 1-byte (legacy) or int32 dimension
+    header, float32 frames."""
+    import numpy as np
+    with open(path, "rb") as f:
+        data = f.read()
+    if legacy_file:
+        fdim, off = data[0], 1
+    else:
+        fdim = int(np.frombuffer(data, "<i4", 1)[0])
+        off = 4
+    if fdim != dim:
+        raise ValueError("PreModule: The file has invalid dimension")
+    arr = np.frombuffer(data, "<f4", offset=off)
+    return arr.reshape(-1, dim).copy()

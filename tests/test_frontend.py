@@ -410,3 +410,43 @@ module
         fg = FeatureGenerator(cfg)
         with pytest.raises(ValueError):
             fg.features(np.zeros(100, dtype=np.float32))
+
+
+class TestPreModule:
+    def test_pre_base_with_delta(self):
+        text = """\
+module
+{
+  name pre
+  type pre
+  dim 3
+}
+module
+{
+  name delta
+  type delta
+  sources pre
+  width 1
+}
+"""
+        cfg = FeatureConfig.parse(text)
+        fg = FeatureGenerator(cfg)
+        assert fg.dim == 3
+        rng = np.random.default_rng(0)
+        feats = rng.normal(0, 1, (10, 3)).astype(np.float32)
+        out = np.asarray(fg.features(feats))
+        assert out.shape == (10, 3)
+        # delta width 1, norm = 2*1*2*3/6 = 2
+        want = np.zeros_like(feats)
+        padded = np.concatenate([feats[:1], feats, feats[-1:]])
+        want = (padded[2:] - padded[:-2]) / 2.0
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+    def test_pre_file_round_trip(self, tmp_path):
+        from aaltoasr_tpu.frontend.generator import read_pre_file
+        import struct
+        feats = np.arange(12, dtype="<f4").reshape(4, 3)
+        p = tmp_path / "x.fea"
+        p.write_bytes(struct.pack("<i", 3) + feats.tobytes())
+        got = read_pre_file(str(p), 3)
+        np.testing.assert_array_equal(got, feats)
