@@ -35,24 +35,38 @@ from aaltoasr_tpu.decoder.search import DecodeResult, SearchConfig
 from aaltoasr_tpu.ops.logsemiring import LOG_ZERO
 
 
-def _invert_arcs(tree: PrefixTree):
-    """Dense in-arc tables [N, Fin] from the out-arc table."""
+def _shift_structure(tree: PrefixTree):
+    """Split in-arcs into index-shift classes and irregular leftovers.
+
+    TPU gathers are the cost of dense relaxation; but the tree builder
+    numbers each phone instance's states consecutively, so almost every
+    arc has target - source in {0, 1, 2} (self / next / skip) — those
+    relax as array SHIFTS (free vector ops).  Only trie branch arcs and
+    multi-exit fan-ins stay as a compact (src, tgt, logp) list handled
+    by 3k-element gathers + scatter-max instead of [N, F] gathers.
+    """
     N, A = tree.arc_tgt.shape
-    in_lists = [[] for _ in range(N)]
+    shifts = {0: np.full(N, LOG_ZERO, np.float32),
+              1: np.full(N, LOG_ZERO, np.float32),
+              2: np.full(N, LOG_ZERO, np.float32)}
+    irr_src, irr_tgt, irr_logp = [], [], []
     for n in range(N):
         for a in range(A):
             t = int(tree.arc_tgt[n, a])
             lp = float(tree.arc_logp[n, a])
-            if lp > LOG_ZERO / 2:
-                in_lists[t].append((n, lp))
-    F = max((len(l) for l in in_lists), default=1)
-    in_src = np.tile(np.arange(N, dtype=np.int32)[:, None], (1, F))
-    in_logp = np.full((N, F), LOG_ZERO, dtype=np.float32)
-    for n, lst in enumerate(in_lists):
-        for f, (s, lp) in enumerate(lst):
-            in_src[n, f] = s
-            in_logp[n, f] = lp
-    return in_src, in_logp
+            if lp <= LOG_ZERO / 2:
+                continue
+            d = t - n
+            if d in (0, 1, 2) and shifts[d][t] <= LOG_ZERO / 2:
+                shifts[d][t] = lp
+            else:
+                irr_src.append(n)
+                irr_tgt.append(t)
+                irr_logp.append(lp)
+    return (shifts,
+            np.asarray(irr_src, dtype=np.int32),
+            np.asarray(irr_tgt, dtype=np.int32),
+            np.asarray(irr_logp, dtype=np.float32))
 
 
 class DenseBeamSearch:
@@ -69,7 +83,11 @@ class DenseBeamSearch:
             word_classes.apply_to_tree(tree, lm)
         lm_names = (word_classes.lm_word_names(tree.vocab)
                     if word_classes is not None else tree.vocab)
-        in_src, in_logp = _invert_arcs(tree)
+        shifts, irr_src, irr_tgt, irr_logp = _shift_structure(tree)
+        if len(irr_src) == 0:
+            irr_src = np.zeros(1, np.int32)
+            irr_tgt = np.zeros(1, np.int32)
+            irr_logp = np.full(1, LOG_ZERO, np.float32)
         # word-end slots as a flat static list (padded to >= num_records
         # so per-frame record buffers have a fixed shape)
         we_n, we_h = np.nonzero(tree.we_exit_logp > LOG_ZERO / 2)
@@ -80,8 +98,12 @@ class DenseBeamSearch:
             # mark padding rows dead via the exit score below
         self._we_pad = max(pad, 0)
         self.tables = {
-            "in_src": jnp.asarray(in_src),
-            "in_logp": jnp.asarray(in_logp),
+            "self_logp": jnp.asarray(shifts[0]),
+            "prev_logp": jnp.asarray(shifts[1]),
+            "skip_logp": jnp.asarray(shifts[2]),
+            "irr_src": jnp.asarray(irr_src),
+            "irr_tgt": jnp.asarray(irr_tgt),
+            "irr_logp": jnp.asarray(irr_logp),
             "pdf": jnp.asarray(tree.pdf),
             "dur_state": jnp.asarray(tree.dur_state),
             "we_node": jnp.asarray(we_n.astype(np.int32)),
@@ -100,6 +122,8 @@ class DenseBeamSearch:
                 or [-1], dtype=np.int32)),
             **lm.device_tables(),
         }
+        self._has_durations = bool(
+            np.any(np.asarray(self.tables["dur_tab"]) != 0))
         self._decode_jit = jax.jit(self._decode)
 
     def _dur_bonus(self, node, dur):
@@ -116,24 +140,63 @@ class DenseBeamSearch:
         C = self.reentry_width
         total = jnp.where(alive, am + cfg.lm_scale * lms, LOG_ZERO)
 
-        # ---- 1. in-arc relaxation
-        src = t["in_src"]                                  # [N, F]
-        cross = src != jnp.arange(N, dtype=jnp.int32)[:, None]
-        durb = jnp.where(cross, self._dur_bonus(src, dur[src]), 0.0)
-        cand = total[src] + cfg.transition_scale * t["in_logp"] + durb
-        f = jnp.argmax(cand, axis=1)
-        best = jnp.take_along_axis(cand, f[:, None], axis=1)[:, 0]
-        sel = jnp.take_along_axis(src, f[:, None], axis=1)[:, 0]
-        selc = jnp.take_along_axis(cross, f[:, None], axis=1)[:, 0]
-        new_am = (am[sel] + cfg.transition_scale
-                  * jnp.take_along_axis(t["in_logp"], f[:, None],
-                                        axis=1)[:, 0]
-                  + jnp.take_along_axis(durb, f[:, None], axis=1)[:, 0])
-        new_lms = lms[sel]
-        new_lm = lm[sel]
-        new_dur = jnp.where(selc, 0, dur[sel] + 1)
-        new_rec = rec[sel]
-        new_alive = alive[sel] & (best > LOG_ZERO / 2)
+        # ---- 1. in-arc relaxation: shifts + compact irregular arcs.
+        # Node numbering makes nearly all arcs target-source deltas of
+        # 0/1/2, so relaxation is elementwise over shifted arrays; only
+        # the few irregular arcs pay gather/scatter cost.
+        ts = cfg.transition_scale
+        if self._has_durations:
+            durb_all = self._dur_bonus(jnp.arange(N, dtype=jnp.int32),
+                                       dur)
+        else:
+            durb_all = jnp.zeros((N,), jnp.float32)
+        cross_score = total + durb_all          # leaving the state
+
+        def sh(x, k, fill):
+            return jnp.concatenate(
+                [jnp.full((k,), fill, x.dtype), x[:-k]]) if k else x
+
+        cand0 = total + ts * t["self_logp"]
+        cand1 = sh(cross_score, 1, LOG_ZERO) + ts * t["prev_logp"]
+        cand2 = sh(cross_score, 2, LOG_ZERO) + ts * t["skip_logp"]
+
+        isrc, itgt, ilp = t["irr_src"], t["irr_tgt"], t["irr_logp"]
+        i_am = am[isrc] + durb_all[isrc] + ts * ilp      # [Ei]
+        i_sc = total[isrc] + durb_all[isrc] + ts * ilp
+        cand3 = jnp.full((N,), LOG_ZERO, jnp.float32).at[itgt].max(i_sc)
+        # winner arc per irregular target (ties -> larger arc index)
+        aidx = jnp.arange(isrc.shape[0], dtype=jnp.int32)
+        win = jnp.full((N,), -1, jnp.int32).at[itgt].max(
+            jnp.where(i_sc >= cand3[itgt], aidx, -1))
+        is_win = aidx == win[itgt]
+
+        def irr_pay(vals, fill=0):
+            z = jnp.full((N,), fill, vals.dtype)
+            return z.at[itgt].add(jnp.where(is_win, vals,
+                                            jnp.zeros_like(vals)))
+
+        stacked = jnp.stack([cand0, cand1, cand2, cand3])
+        choice = jnp.argmax(stacked, axis=0)
+        best = jnp.max(stacked, axis=0)
+
+        def pick(v_self, v1, v2, v3):
+            return jnp.where(
+                choice == 0, v_self,
+                jnp.where(choice == 1, v1,
+                          jnp.where(choice == 2, v2, v3)))
+
+        am_s = am + ts * t["self_logp"]
+        am_1 = sh(am + durb_all, 1, LOG_ZERO) + ts * t["prev_logp"]
+        am_2 = sh(am + durb_all, 2, LOG_ZERO) + ts * t["skip_logp"]
+        new_am = pick(am_s, am_1, am_2, irr_pay(i_am))
+        new_lms = pick(lms, sh(lms, 1, 0.0), sh(lms, 2, 0.0),
+                       irr_pay(lms[isrc]))
+        new_lm = pick(lm, sh(lm, 1, 0), sh(lm, 2, 0),
+                      irr_pay(lm[isrc]))
+        new_rec = pick(rec, sh(rec, 1, -1), sh(rec, 2, -1),
+                       irr_pay(rec[isrc]))
+        new_dur = jnp.where(choice == 0, dur + 1, 0)
+        new_alive = best > LOG_ZERO / 2
 
         # ---- 2. word ends (from the PREVIOUS frame's state)
         wn = t["we_node"]                                  # [Nw]
