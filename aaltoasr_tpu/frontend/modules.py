@@ -511,6 +511,48 @@ class VtlnOp(Op):
 
 
 # ---------------------------------------------------------------------------
+# quanteq — quantile equalization (FeatureModules.cc QuantEqModule)
+# ---------------------------------------------------------------------------
+
+class QuantEqOp(Op):
+    """Channel-dependent quantile equalization.
+
+    y_k = qmax_k * alpha_k * (x_k/qmax_k)^(gamma_k + (1-alpha_k)*(x_k/qmax_k))
+    (QuantEqModule::generate); identity until alpha/gamma/quant_max
+    runtime parameters arrive (the quanteq estimation tool's output).
+    """
+
+    def __init__(self, cfg, src_dims):
+        (src_dim,) = src_dims
+        self.out_dim = src_dim
+
+    def init_params(self):
+        return {"alpha": np.ones(self.out_dim, np.float32),
+                "gamma": np.ones(self.out_dim, np.float32),
+                "quant_max": np.ones(self.out_dim, np.float32),
+                "identity": np.ones((), np.float32)}
+
+    def set_parameters(self, cfg):
+        alpha = cfg.get_float_vec("alpha")
+        gamma = cfg.get_float_vec("gamma")
+        qmax = cfg.get_float_vec("quant_max")
+        if not (alpha and gamma and qmax):
+            return self.init_params()
+        return {"alpha": np.asarray(alpha, np.float32),
+                "gamma": np.asarray(gamma, np.float32),
+                "quant_max": np.asarray(qmax, np.float32),
+                "identity": np.zeros((), np.float32)}
+
+    def apply(self, srcs, params):
+        x = srcs[0]
+        r = x / params["quant_max"]
+        expo = params["gamma"] + (1.0 - params["alpha"]) * r
+        y = params["quant_max"] * params["alpha"] * jnp.power(
+            jnp.maximum(r, 1e-10), expo)
+        return jnp.where(params["identity"] > 0.5, x, y)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -539,7 +581,9 @@ def build_op(mtype: str, cfg, src_dims: list, sample_rate: float) -> Op:
         return ConcatOp(cfg, src_dims)
     if mtype == "vtln":
         return VtlnOp(cfg, src_dims)
-    if mtype in ("sr_norm", "quanteq"):
+    if mtype == "quanteq":
+        return QuantEqOp(cfg, src_dims)
+    if mtype == "sr_norm":
         raise NotImplementedError(
             f"module type '{mtype}' not yet supported in aaltoasr_tpu")
     raise ValueError(f"Unknown module type '{mtype}'")
