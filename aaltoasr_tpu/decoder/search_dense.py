@@ -69,6 +69,33 @@ def _shift_structure(tree: PrefixTree):
             np.asarray(irr_logp, dtype=np.float32))
 
 
+def _node_duration_params(tree, model, scale):
+    """Per-node gamma duration params so the dense relaxation computes
+    bonus = scale*((a-1) ln d - d/b - a ln b - lgamma(a)) elementwise
+    (identical values to duration_table, no gather)."""
+    import math
+    N = tree.num_nodes
+    valid = np.zeros(N, np.float32)
+    lncoef = np.zeros(N, np.float32)
+    invb = np.zeros(N, np.float32)
+    const = np.zeros(N, np.float32)
+    if model.durations is not None:
+        da = model.durations[:, 0]
+        db = model.durations[:, 1]
+        for n in range(N):
+            s_ = int(tree.dur_state[n])
+            if s_ < len(da) and da[s_] > 0 and db[s_] > 0:
+                valid[n] = 1.0
+                lncoef[n] = scale * (da[s_] - 1.0)
+                invb[n] = scale / db[s_]
+                const[n] = scale * (-da[s_] * math.log(db[s_])
+                                    - math.lgamma(da[s_]))
+    return {"dur_valid": jnp.asarray(valid),
+            "dur_lncoef": jnp.asarray(lncoef),
+            "dur_invb": jnp.asarray(invb),
+            "dur_const": jnp.asarray(const)}
+
+
 class DenseBeamSearch:
     """Compiled dense-mode batched decoder."""
 
@@ -117,6 +144,9 @@ class DenseBeamSearch:
             "root_logp": jnp.asarray(tree.root_logp),
             "dur_tab": jnp.asarray(duration_table(
                 model, config.max_dur, config.duration_scale)),
+            # per-node gamma params for gather-free duration bonuses:
+            # log p(d) = (a-1) ln d - d/b + const (decoder/src/Hmm.cc)
+            **_node_duration_params(tree, model, config.duration_scale),
             "lm_id": jnp.asarray(np.asarray(
                 [lm.word_index.get(w, -1) for w in lm_names]
                 or [-1], dtype=np.int32)),
@@ -127,11 +157,22 @@ class DenseBeamSearch:
         self._decode_jit = jax.jit(self._decode)
 
     def _dur_bonus(self, node, dur):
+        """Table path (used for gathered word-end nodes)."""
         t = self.tables
         d = jnp.clip(dur + 1, 1, self.config.max_dur)
         return t["dur_tab"][t["dur_state"][node], d - 1]
 
+    def _dur_bonus_dense(self, dur):
+        """Gather-free duration bonus for ALL nodes: the gamma formula
+        evaluated elementwise with static per-node parameters."""
+        t = self.tables
+        d = jnp.clip(dur + 1, 1, self.config.max_dur).astype(jnp.float32)
+        return t["dur_valid"] * (
+            t["dur_lncoef"] * jnp.log(d) - d * t["dur_invb"]
+            + t["dur_const"])
+
     def _step(self, state, obs_t, step_idx):
+        # obs_t is ALREADY per-node (gathered once outside the scan)
         cfg = self.config
         t = self.tables
         am, lms, lm, dur, rec, alive = state
@@ -146,8 +187,7 @@ class DenseBeamSearch:
         # the few irregular arcs pay gather/scatter cost.
         ts = cfg.transition_scale
         if self._has_durations:
-            durb_all = self._dur_bonus(jnp.arange(N, dtype=jnp.int32),
-                                       dur)
+            durb_all = self._dur_bonus_dense(dur)
         else:
             durb_all = jnp.zeros((N,), jnp.float32)
         cross_score = total + durb_all          # leaving the state
@@ -260,7 +300,7 @@ class DenseBeamSearch:
         new_alive = new_alive.at[r_tgt].set(new_alive[r_tgt] | take)
 
         # ---- 4. observation + beam
-        new_am = new_am + obs_t[t["pdf"]]
+        new_am = new_am + obs_t
         new_total = jnp.where(new_alive,
                               new_am + cfg.lm_scale * new_lms, LOG_ZERO)
         mx = jnp.max(new_total)
@@ -275,8 +315,9 @@ class DenseBeamSearch:
         N = self.tree.num_nodes
         r_tgt = t["root_tgt"]
 
+        obs_pos = jnp.take(obs, t["pdf"], axis=1)   # [T, N] once
         am0 = jnp.full((N,), LOG_ZERO, jnp.float32)
-        am0 = am0.at[r_tgt].set(obs[0][t["pdf"][r_tgt]])
+        am0 = am0.at[r_tgt].set(obs_pos[0][r_tgt])
         alive0 = jnp.zeros((N,), bool).at[r_tgt].set(True)
         state = (am0, jnp.zeros((N,), jnp.float32),
                  jnp.full((N,), lm_init, jnp.int32),
@@ -297,7 +338,8 @@ class DenseBeamSearch:
                     r, -1 if r.dtype == jnp.int32 else 0)), recs)
             return out, recs
 
-        state, recs = jax.lax.scan(step, state, (obs[1:], valid, steps))
+        state, recs = jax.lax.scan(
+            step, state, (obs_pos[1:], valid, steps))
         return state, recs
 
     # -- public API (mirrors BeamSearch) ----------------------------------
