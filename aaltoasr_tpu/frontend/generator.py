@@ -147,7 +147,8 @@ class FeatureGenerator:
         k[idx, 0, idx + 1] = 1.0
         return k
 
-    def _base_frames(self, samples, n_frames, ext_l, T_pad, ext_r):
+    def _base_frames(self, samples, n_frames, ext_l, T_pad, ext_r,
+                     start: int = 0):
         """Extended framing+pre-emphasis: [-ext_l, T_pad+ext_r) x window.
 
         Pre-emphasis runs once over the sample stream (out[t,i] =
@@ -174,15 +175,18 @@ class FeatureGenerator:
             idx = ws[:, None] + jnp.arange(W + 1)[None, :]
             win = samples[jnp.minimum(idx, samples.shape[0] - 1)]
             patches = win[:, 1:] - jnp.float32(self.pre_emph_coef) * win[:, :-1]
-        t = jnp.arange(-ext_l, T_pad + ext_r)
+        t = jnp.arange(start - ext_l, start + T_pad + ext_r)
         t = jnp.clip(t, 0, jnp.maximum(n_frames - 1, 0))  # border copy
         return jnp.take(patches, t, axis=0)
 
     @functools.lru_cache(maxsize=None)
-    def _compiled(self, padded_len: int):
-        """Jitted [padded_len] samples -> [T_pad, dim] features."""
-        T_pad = self.num_frames(padded_len)
-        if T_pad < 1:
+    def _compiled(self, padded_len: int, start: int = 0,
+                  t_out: int | None = None):
+        """Jitted [padded_len] samples -> [T_out, dim] features for
+        output frames [start, start + T_out) (start may be negative:
+        border-copy frames, the feacat --start-frame semantics)."""
+        T_pad = self.num_frames(padded_len) if t_out is None else t_out
+        if self.num_frames(padded_len) < 1:
             raise ValueError("audio shorter than frame")
         config = self.config
         ops = self.ops
@@ -193,21 +197,21 @@ class FeatureGenerator:
             arrays = {}
             bl, br = need[config.base.name]
             if self.base_type == "pre":
-                t = jnp.arange(-bl, T_pad + br)
+                t = jnp.arange(start - bl, start + T_pad + br)
                 t = jnp.clip(t, 0, jnp.maximum(n_frames - 1, 0))
                 arrays[config.base.name] = jnp.take(samples, t, axis=0)
             else:
                 arrays[config.base.name] = self._base_frames(
-                    samples, n_frames, bl, T_pad, br)
+                    samples, n_frames, bl, T_pad, br, start=start)
             for spec in config.modules[1:]:
                 op = ops[spec.name]
                 nl, nr = need[spec.name]
                 srcs = []
                 for s in spec.sources:
                     snl, _snr = need[s]
-                    start = snl - nl - op.left
+                    off = snl - nl - op.left
                     length = T_pad + nl + nr + op.left + op.right
-                    srcs.append(arrays[s][start:start + length])
+                    srcs.append(arrays[s][off:off + length])
                 arrays[spec.name] = op.apply(
                     srcs, params.get(spec.name, {}))
             return arrays[config.last.name]
@@ -228,6 +232,17 @@ class FeatureGenerator:
         fn = self._compiled(int(samples.shape[0]))
         out = fn(samples, jnp.int32(T), self.params)
         return out[:T]
+
+    def features_range(self, samples: np.ndarray, start_frame: int,
+                       end_frame: int):
+        """Features for frames [start_frame, end_frame) with border
+        copies outside the valid range (feacat --start-frame/--end-frame
+        semantics incl. negative starts, `aku/feacat.cc:50-120`)."""
+        samples = jnp.asarray(samples)
+        n = self.num_frames(int(samples.shape[0]))
+        fn = self._compiled(int(samples.shape[0]), int(start_frame),
+                            int(end_frame - start_frame))
+        return fn(samples, jnp.int32(n), self.params)
 
     def features_batch(self, samples: np.ndarray, num_samples: np.ndarray):
         """[B, S] padded samples + [B] lengths -> [B, T_pad, dim].
