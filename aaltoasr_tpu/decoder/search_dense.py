@@ -154,6 +154,8 @@ class DenseBeamSearch:
         }
         self._has_durations = bool(
             np.any(np.asarray(self.tables["dur_tab"]) != 0))
+        self._precompute_obs = True
+        self._obs_budget_bytes = 2_000_000_000
         self._decode_jit = jax.jit(self._decode)
 
     def _dur_bonus(self, node, dur):
@@ -315,9 +317,15 @@ class DenseBeamSearch:
         N = self.tree.num_nodes
         r_tgt = t["root_tgt"]
 
-        obs_pos = jnp.take(obs, t["pdf"], axis=1)   # [T, N] once
+        if self._precompute_obs:
+            # one [T, N] gather outside the scan (HBM permitting)
+            obs_pos = jnp.take(obs, t["pdf"], axis=1)
+        else:
+            obs_pos = None
+        first = obs[0][t["pdf"][r_tgt]] if obs_pos is None \
+            else obs_pos[0][r_tgt]
         am0 = jnp.full((N,), LOG_ZERO, jnp.float32)
-        am0 = am0.at[r_tgt].set(obs_pos[0][r_tgt])
+        am0 = am0.at[r_tgt].set(first)
         alive0 = jnp.zeros((N,), bool).at[r_tgt].set(True)
         state = (am0, jnp.zeros((N,), jnp.float32),
                  jnp.full((N,), lm_init, jnp.int32),
@@ -330,6 +338,8 @@ class DenseBeamSearch:
 
         def step(state, xs):
             obs_t, v, i = xs
+            if obs_pos is None:
+                obs_t = obs_t[t["pdf"]]
             new_state, recs = self._step(state, obs_t, i)
             out = tuple(jnp.where(v, n, o)
                         for n, o in zip(new_state, state))
@@ -338,8 +348,8 @@ class DenseBeamSearch:
                     r, -1 if r.dtype == jnp.int32 else 0)), recs)
             return out, recs
 
-        state, recs = jax.lax.scan(
-            step, state, (obs_pos[1:], valid, steps))
+        xs_obs = obs[1:] if obs_pos is None else obs_pos[1:]
+        state, recs = jax.lax.scan(step, state, (xs_obs, valid, steps))
         return state, recs
 
     # -- public API (mirrors BeamSearch) ----------------------------------
@@ -354,6 +364,9 @@ class DenseBeamSearch:
 
     def decode_batch(self, obs, n_frames, sentence_start="<s>"):
         lm_init = self.lm.initial_state(sentence_start)
+        B, T = obs.shape[0], obs.shape[1]
+        need = 4 * B * T * self.tree.num_nodes
+        self._precompute_obs = need <= self._obs_budget_bytes
         fn = jax.jit(jax.vmap(
             lambda o, n: self._decode(o, n, jnp.int32(lm_init))))
         state, recs = fn(jnp.asarray(obs, jnp.float32),
