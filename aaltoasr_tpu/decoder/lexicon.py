@@ -82,10 +82,51 @@ class PrefixTree:
     silence_word: int = -1
 
 
+def expand_context_phones(phones: list, phone_map: dict,
+                          boundary: str = "_") -> list:
+    """Map a word's phone sequence to context-dependent model labels.
+
+    For tied-triphone models (labels like ``l-c+r`` from decision-tree
+    tying) each within-word phone resolves with fallbacks: full triphone
+    -> left biphone -> right biphone -> monophone.  Word boundaries use
+    the ``boundary`` context (cross-word fan-in/fan-out networks,
+    `TPLexPrefixTree.hh:172-240`, are a planned extension).  Monophone
+    lexicons pass through unchanged.
+    """
+    out = []
+    n = len(phones)
+    for i, p in enumerate(phones):
+        left = phones[i - 1] if i > 0 else boundary
+        right = phones[i + 1] if i + 1 < n else boundary
+        for cand in (f"{left}-{p}+{right}", f"{left}-{p}", f"{p}+{right}",
+                     p):
+            if cand in phone_map:
+                out.append(cand)
+                break
+        else:
+            out.append(p)  # unknown; caller reports it
+    return out
+
+
 def build_prefix_tree(model: HmmModel, entries: list,
-                      silence_is_word: bool = True) -> PrefixTree:
-    """Compile lexicon entries against the acoustic model's phones."""
+                      silence_is_word: bool = True,
+                      use_context_phones: bool | None = None) -> PrefixTree:
+    """Compile lexicon entries against the acoustic model's phones.
+
+    use_context_phones: expand lexicon monophone strings to the model's
+    tied context-dependent labels (auto-detected from the model's phone
+    inventory by default).
+    """
     phone_map = {p.label: p for p in model.phones}
+    if use_context_phones is None:
+        use_context_phones = any(
+            ("-" in lbl or "+" in lbl) for lbl in phone_map)
+    if use_context_phones:
+        entries = [
+            LexiconEntry(word=e.word,
+                         phones=expand_context_phones(e.phones, phone_map),
+                         prob=e.prob)
+            for e in entries]
 
     vocab: list[str] = []
     word_index: dict[str, int] = {}

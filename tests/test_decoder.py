@@ -273,3 +273,65 @@ class TestBeamSearch:
         assert out[1][0] == r2[0]
         assert out[0][1] == pytest.approx(r1[1], rel=1e-5)
         assert out[1][1] == pytest.approx(r2[1], rel=1e-5)
+
+
+class TestContextPhones:
+    def test_expansion_with_fallbacks(self):
+        from aaltoasr_tpu.decoder.lexicon import expand_context_phones
+        pm = {"_-a+b": 1, "a-b+_": 1, "b": 1, "a-b": 1}
+        # full triphones available
+        assert expand_context_phones(["a", "b"], pm) == ["_-a+b", "a-b+_"]
+        # missing right triphone falls back left-biphone then mono
+        pm2 = {"_-a+b": 1, "a-b": 1}
+        assert expand_context_phones(["a", "b"], pm2) == ["_-a+b", "a-b"]
+        pm3 = {"a": 1, "b": 1}
+        assert expand_context_phones(["a", "b"], pm3) == ["a", "b"]
+
+    def test_triphone_tree_decodes(self):
+        """A tied-triphone model (labels l-c+r) decodes a monophone
+        lexicon via automatic context expansion."""
+        from aaltoasr_tpu.formats import model_io
+        from aaltoasr_tpu.decoder.lexicon import (
+            build_prefix_tree, read_lexicon)
+        from aaltoasr_tpu.decoder.ngram import NGramFsa
+        from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
+        from aaltoasr_tpu.formats.arpa import read_arpa
+        from aaltoasr_tpu.ops.gmm import GmmScorer
+
+        D = 4
+        # triphone states: distinct means per context-dependent phone
+        labels = ["_-a+b", "a-b+_", "_-b+a", "b-a+_", "_-c+a", "c-a+_",
+                  "_"]
+        means = np.zeros((len(labels), D))
+        base = {"a": 0, "b": 1, "c": 2, "_": 3}
+        for i, lbl in enumerate(labels):
+            from aaltoasr_tpu.train.tie import center_phone
+            means[i, base[center_phone(lbl)]] = 5.0
+        model = model_io.HmmModel(
+            dim=D, cov_type="diagonal_cov", means=means,
+            covars=np.ones((len(labels), D)),
+            mixtures=[(np.array([i], np.int32), np.array([1.0]))
+                      for i in range(len(labels))],
+            phones=[model_io.HmmPhone(lbl, [i])
+                    for i, lbl in enumerate(labels)],
+            transitions={i: [(0, 0.5), (1, 0.5)]
+                         for i in range(len(labels))})
+        lex = read_lexicon("yksi a b\nkaksi b a\nkolme c a\n_ _\n")
+        tree = build_prefix_tree(model, lex)
+        fsa = NGramFsa.from_arpa(read_arpa(ARPA_TEXT))
+        bs = BeamSearch(tree, fsa, model,
+                        SearchConfig(num_tokens=128, num_records=16,
+                                     beam=1e9, lm_scale=1.0))
+        # states visited for "yksi kaksi": _-a+b, a-b+_, _-b+a, b-a+_
+        scorer = GmmScorer.from_model(model)
+        seq = [6, 0, 1, 2, 3, 6]
+        import jax.numpy as jnp
+        T = len(seq) * 3
+        X = np.zeros((T, D), dtype=np.float32)
+        for t in range(T):
+            X[t] = means[seq[t // 3]] + 0.2 * np.random.default_rng(
+                t).standard_normal(D)
+        obs = np.asarray(scorer.state_log_likelihoods(
+            jnp.asarray(X)))[:, :model.num_states]
+        res = bs.decode(obs)
+        assert res.words == ["yksi", "kaksi"]
