@@ -123,6 +123,62 @@ class EStepDriver:
         feats, T = self._padded_features(samples)
         return self._run_graph(feats, T, self._graph_from_chain(labels))
 
+    def _batched_fn(self, T_pad, P_pad, F, B):
+        key = ("batch", T_pad, P_pad, F, B)
+        if key not in self._jit_cache:
+            per_utt = jax.vmap(
+                lambda f, g, n: estep.chain_stats(
+                    self.scorer, f, g, n, self.table.num_slots,
+                    self.mode))
+            self._jit_cache[key] = jax.jit(per_utt)
+        return self._jit_cache[key]
+
+    def run_recipe_batched(self, recipe: Recipe, batch_size: int = 8,
+                           info: int = 0) -> HmmStats:
+        """Batched ML E-step: utterances bucketed by padded shape, each
+        bucket vmapped into one device call (the TPU replacement for
+        running `stats` workers in parallel)."""
+        total = HmmStats.zeros(self.model, self.table)
+        buckets: dict = {}
+        for rinfo in recipe:
+            if info > 0:
+                import sys
+                print(f"Loading: {rinfo.audio_path}", file=sys.stderr)
+            samples, _ = read_audio(rinfo.audio_path, self.fg.sample_rate)
+            feats, T = self._padded_features(samples)
+            graph = self._graph_from_chain(
+                [e.label for e in read_phn(rinfo.transcript_path)])
+            key = (int(feats.shape[0]), int(graph["pdf"].shape[0]),
+                   int(graph["in_src"].shape[1]))
+            buckets.setdefault(key, []).append(
+                (feats, graph, T, rinfo.audio_path))
+
+        import math
+        for (T_pad, P_pad, F), items in buckets.items():
+            for i in range(0, len(items), batch_size):
+                chunk = items[i:i + batch_size]
+                B = len(chunk)
+                feats = jnp.stack([c[0] for c in chunk])
+                graphs = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[c[1] for c in chunk])
+                n = jnp.asarray([c[2] for c in chunk], jnp.int32)
+                out = self._batched_fn(T_pad, P_pad, F, B)(
+                    feats, graphs, n)
+                lls = np.asarray(out["log_likelihood"])
+                for b in range(B):
+                    if not math.isfinite(lls[b]) or lls[b] <= -1e29:
+                        import sys
+                        print(f"Warning: no valid path for "
+                              f"{chunk[b][3]}; skipping",
+                              file=sys.stderr)
+                        self.failed_utterances.append(chunk[b][3])
+                        continue
+                    utt = device_stats_to_hmm_stats(
+                        self.model, self.table,
+                        jax.tree.map(lambda x: x[b], out))
+                    total.add(utt)
+        return total
+
     def run_recipe(self, recipe: Recipe, info: int = 0,
                    use_hmmnet: bool = False,
                    mmi: bool = False) -> HmmStats:

@@ -271,3 +271,99 @@ def device_stats_to_hmm_stats(model, table, dstats) -> HmmStats:
     """Convert a device stats pytree to host HmmStats (ML buffer)."""
     from aaltoasr_tpu.train.driver import device_stats_to_hmm_stats as f
     return f(model, table, dstats)
+
+
+class TestBatchedDriver:
+    def test_batched_matches_sequential(self, tmp_path):
+        """run_recipe_batched must produce identical statistics to the
+        sequential path."""
+        import wave
+        from aaltoasr_tpu.formats import model_io as mio
+        from aaltoasr_tpu.formats.recipe import Recipe
+        from aaltoasr_tpu.train.driver import EStepDriver
+
+        rng = np.random.default_rng(0)
+        D = 13
+        model = mio.HmmModel(
+            dim=D, cov_type="diagonal_cov",
+            means=rng.normal(0, 1, (4, D)),
+            covars=np.ones((4, D)),
+            mixtures=[(np.array([i], np.int32), np.array([1.0]))
+                      for i in range(4)],
+            phones=[mio.HmmPhone("a", [0, 1]), mio.HmmPhone("_", [2]),
+                    mio.HmmPhone("b", [3])],
+            transitions={i: [(0, .7), (1, .3)] for i in range(4)})
+        cfgtext = """\
+module
+{
+  name audio
+  type audiofile
+  sample_rate 16000
+}
+module
+{
+  name fft
+  type fft
+  sources audio
+}
+module
+{
+  name mel
+  type mel
+  sources fft
+}
+module
+{
+  name dct
+  type dct
+  sources mel
+}
+module
+{
+  name power
+  type power
+  sources fft
+}
+module
+{
+  name out
+  type merge
+  sources dct power
+}
+"""
+        from aaltoasr_tpu.formats.feaconf import FeatureConfig
+        cfg = FeatureConfig.parse(cfgtext)
+        lines = []
+        for u, (n, seq) in enumerate([(4000, "_ a b _"),
+                                      (4200, "a b"),
+                                      (4000, "b a _")]):
+            sig = (2000 * np.sin(
+                2 * np.pi * (300 + 100 * u)
+                * np.arange(n) / 16000)
+                + 200 * rng.standard_normal(n)).astype("<i2")
+            wav = tmp_path / f"u{u}.wav"
+            with wave.open(str(wav), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(sig.tobytes())
+            phn = tmp_path / f"u{u}.phn"
+            phn.write_text("\n".join(seq.split()) + "\n")
+            lines.append(f"audio={wav} transcript={phn}")
+        recipe = Recipe.read(lines)
+
+        d1 = EStepDriver(model, cfg)
+        s1 = d1.run_recipe(recipe)
+        d2 = EStepDriver(model, cfg)
+        s2 = d2.run_recipe_batched(recipe, batch_size=2)
+        from aaltoasr_tpu.train.accumulators import ML_BUF
+        # vmapped f32 reductions reorder accumulation: tolerance-level
+        np.testing.assert_allclose(
+            s2.buffers[ML_BUF].gamma, s1.buffers[ML_BUF].gamma,
+            rtol=2e-3, atol=1e-3)
+        np.testing.assert_allclose(
+            s2.buffers[ML_BUF].mean_acc, s1.buffers[ML_BUF].mean_acc,
+            rtol=5e-3, atol=0.05)
+        np.testing.assert_allclose(s2.trans_acc, s1.trans_acc,
+                                   rtol=2e-3, atol=2e-3)
+        assert s2.num_ll == pytest.approx(s1.num_ll, rel=1e-4)
