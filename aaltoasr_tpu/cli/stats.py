@@ -36,6 +36,8 @@ def main(argv=None) -> int:
                    help="collect also MMI statistics from den-hmmnet=")
     p.add_argument("-t", "--transitions", action="store_true",
                    help="collect also transition statistics (always on)")
+    p.add_argument("--device-batch", type=int, default=8,
+                   help="utterances per device E-step call (ML path)")
     p.add_argument("-B", "--batch", type=int, default=0)
     p.add_argument("-I", "--bindex", type=int, default=0)
     p.add_argument("-i", "--info", type=int, default=0)
@@ -46,8 +48,12 @@ def main(argv=None) -> int:
         model = read_model(model)
     driver = EStepDriver(model, args.config, mode=args.mode)
     recipe = Recipe.read(args.recipe, args.batch, args.bindex)
-    stats = driver.run_recipe(recipe, info=args.info,
-                              use_hmmnet=args.hmmnet, mmi=args.mmi)
+    if args.hmmnet or args.mmi or args.mode != "bw":
+        stats = driver.run_recipe(recipe, info=args.info,
+                                  use_hmmnet=args.hmmnet, mmi=args.mmi)
+    else:
+        stats = driver.run_recipe_batched(
+            recipe, batch_size=args.device_batch, info=args.info)
     stats.dump(args.out)
     if args.info > 0:
         print(f"Total log likelihood: {stats.num_ll:.4f} over "

@@ -51,6 +51,8 @@ def main(argv=None) -> int:
     p.add_argument("-H", "--hmmnet", action="store_true",
                    help="train from hmmnet= networks")
     p.add_argument("-M", "--mode", default="bw", choices=["bw", "vit"])
+    p.add_argument("--device-batch", type=int, default=8,
+                   help="utterances per device E-step call")
     p.add_argument("--num-clusters", type=int, default=0,
                    help="Gaussian clusters for the final model (gcluster)")
     p.add_argument("--durations", action="store_true",
@@ -74,8 +76,13 @@ def main(argv=None) -> int:
             continue
         model = read_model(model_base)
         driver = EStepDriver(model, args.config, mode=args.mode)
-        stats = driver.run_recipe(recipe, info=max(0, args.info - 1),
-                                  use_hmmnet=args.hmmnet)
+        if args.hmmnet:
+            stats = driver.run_recipe(recipe, info=max(0, args.info - 1),
+                                      use_hmmnet=True)
+        else:
+            stats = driver.run_recipe_batched(
+                recipe, batch_size=args.device_batch,
+                info=max(0, args.info - 1))
         new_model = estimate_ml(model, driver.table, stats,
                                 minvar=args.minvar)
         did_split = 0
