@@ -45,6 +45,8 @@ def main(argv=None) -> int:
                    help="write SLF word graphs next to the LNAs")
     p.add_argument("--nbest", type=int, default=0,
                    help="print n-best lists")
+    p.add_argument("--confidence", action="store_true",
+                   help="print per-word confusion-network confidences")
     p.add_argument("-B", "--batch", type=int, default=0)
     p.add_argument("-I", "--bindex", type=int, default=0)
     p.add_argument("-i", "--info", type=int, default=0)
@@ -108,13 +110,19 @@ def main(argv=None) -> int:
         res = t.lna_decode(lna_path)
         key = rinfo.utterance_id or os.path.basename(lna_path)
         print(f"{' '.join(res.words)} ({key})")
-        if args.lattices or args.nbest:
+        if args.lattices or args.nbest or args.confidence:
             g = res.word_graph()
             if args.lattices:
                 g.write_slf(lna_path + ".slf")
             if args.nbest > 0:
                 for i, (words, score) in enumerate(g.nbest(args.nbest)):
                     print(f"  {i + 1}: {' '.join(words)} ({score:.3f})")
+            if args.confidence:
+                from aaltoasr_tpu.decoder.wordgraph import (
+                    confusion_network)
+                cn = confusion_network(g)
+                conf = " ".join(f"{w}({c:.2f})" for w, c, _ in cn)
+                print(f"  conf: {conf}")
     return 0
 
 

@@ -151,3 +151,127 @@ class WordGraph:
                     heap, (negs - arc_score(a), counter, a.target, w))
                 counter += 1
         return results
+
+
+def _logaddexp(a, b):
+    import math
+    if a == float("-inf"):
+        return b
+    if b == float("-inf"):
+        return a
+    m = max(a, b)
+    return m + math.log1p(math.exp(min(a, b) - m))
+
+
+def arc_posteriors(graph: WordGraph) -> list:
+    """Posterior probability per arc via lattice forward-backward
+    (scores = am + lm_scale*lm, log-domain, host)."""
+    import collections
+    import math
+    NEG = float("-inf")
+    out_arcs = collections.defaultdict(list)
+    in_arcs = collections.defaultdict(list)
+    nodes = {graph.start_node, graph.end_node}
+    indeg = collections.defaultdict(int)
+    for i, a in enumerate(graph.arcs):
+        out_arcs[a.source].append(i)
+        in_arcs[a.target].append(i)
+        indeg[a.target] += 1
+        nodes.update((a.source, a.target))
+
+    def score(a):
+        pen = graph.insertion_penalty if a.word != "!NULL" else 0.0
+        return a.am + graph.lm_scale * (a.lm + pen)
+
+    # topological order
+    topo, queue = [], [n for n in nodes if indeg[n] == 0]
+    seen_deg = dict(indeg)
+    while queue:
+        n = queue.pop()
+        topo.append(n)
+        for i in out_arcs[n]:
+            t = graph.arcs[i].target
+            seen_deg[t] -= 1
+            if seen_deg[t] == 0:
+                queue.append(t)
+
+    alpha = collections.defaultdict(lambda: NEG)
+    alpha[graph.start_node] = 0.0
+    for n in topo:
+        for i in out_arcs[n]:
+            a = graph.arcs[i]
+            alpha[a.target] = _logaddexp(
+                alpha[a.target], alpha[n] + score(a))
+    beta = collections.defaultdict(lambda: NEG)
+    beta[graph.end_node] = 0.0
+    for n in reversed(topo):
+        for i in out_arcs[n]:
+            a = graph.arcs[i]
+            beta[n] = _logaddexp(beta[n], score(a) + beta[a.target])
+    total = alpha[graph.end_node]
+    post = []
+    for a in graph.arcs:
+        lp = alpha[a.source] + score(a) + beta[a.target] - total
+        post.append(math.exp(min(lp, 0.0)))
+    return post
+
+
+def confusion_network(graph: WordGraph) -> list:
+    """Pivot-aligned confusion network with word posteriors.
+
+    The rectool confidence path (rectool.py:961,1100) derives per-word
+    confidences from lattice posteriors; here slots come from the 1-best
+    path's word arcs and every other arc joins the slot with maximal
+    time overlap.  Returns [(best_word, confidence,
+    {word: posterior, ...}), ...].
+    """
+    post = arc_posteriors(graph)
+    best = graph.nbest(1)
+    if not best:
+        return []
+    # pivot arcs: recover by best-first walk marking the 1-best sequence
+    # (approximate: use the highest-posterior arc per word position)
+    frames = {n.index: n.frame for n in graph.nodes}
+    word_arcs = [i for i, a in enumerate(graph.arcs)
+                 if a.word != "!NULL"]
+    # build slots from the 1-best words in order using best path arcs:
+    # walk greedily from start following max-posterior word arcs
+    slots = []
+    words_1best = best[0][0]
+    # pivot spans: choose for each 1-best word the max-posterior arc
+    # with that word (in sequence order by start frame)
+    used = set()
+    cursor = 0
+    for w in words_1best:
+        cands = [i for i in word_arcs
+                 if graph.arcs[i].word == w and i not in used
+                 and frames.get(graph.arcs[i].source, 0) >= cursor]
+        if not cands:
+            cands = [i for i in word_arcs if graph.arcs[i].word == w]
+        i = max(cands, key=lambda j: post[j])
+        used.add(i)
+        a = graph.arcs[i]
+        s0 = frames.get(a.source, 0)
+        e0 = frames.get(a.target, s0 + 1)
+        cursor = s0
+        slots.append({"span": (s0, e0), "words": {}})
+    # assign every word arc to the best-overlapping slot
+    for i in word_arcs:
+        a = graph.arcs[i]
+        s0 = frames.get(a.source, 0)
+        e0 = frames.get(a.target, s0 + 1)
+        best_slot, best_ov = None, 0.0
+        for sl in slots:
+            lo = max(s0, sl["span"][0])
+            hi = min(e0, sl["span"][1])
+            if hi - lo > best_ov:
+                best_ov = hi - lo
+                best_slot = sl
+        if best_slot is not None:
+            best_slot["words"][a.word] = (
+                best_slot["words"].get(a.word, 0.0) + post[i])
+    out = []
+    for w, sl in zip(words_1best, slots):
+        conf = min(sl["words"].get(w, 0.0), 1.0)
+        out.append((w, conf, dict(sl["words"])))
+    return out

@@ -63,3 +63,33 @@ class TestWordGraph:
         g = res.word_graph()
         nb = g.nbest(1)
         assert nb[0][1] == pytest.approx(res.log_prob, rel=1e-4)
+
+
+class TestConfidence:
+    def test_arc_posteriors_sum(self):
+        from aaltoasr_tpu.decoder.wordgraph import arc_posteriors
+        model, tree, fsa = make_decode_task()
+        obs = synth_obs(tree, model, ["_", "a", "b", "b", "a", "_"])
+        bs = BeamSearch(tree, fsa, model,
+                        SearchConfig(num_tokens=128, num_records=16,
+                                     beam=1e9, lm_scale=1.0))
+        g = bs.decode(obs).word_graph()
+        post = arc_posteriors(g)
+        assert all(0.0 <= p <= 1.0 + 1e-6 for p in post)
+        assert max(post) > 0.5  # the 1-best path arcs dominate
+
+    def test_confusion_network_confidences(self):
+        from aaltoasr_tpu.decoder.wordgraph import confusion_network
+        model, tree, fsa = make_decode_task()
+        obs = synth_obs(tree, model, ["_", "a", "b", "b", "a", "_"])
+        bs = BeamSearch(tree, fsa, model,
+                        SearchConfig(num_tokens=128, num_records=16,
+                                     beam=1e9, lm_scale=1.0))
+        res = bs.decode(obs)
+        cn = confusion_network(res.word_graph())
+        assert [w for w, _, _ in cn] == res.words
+        for w, conf, alts in cn:
+            assert 0.0 <= conf <= 1.0
+            assert w in alts
+        # clear acoustics: high confidence
+        assert all(conf > 0.5 for _, conf, _ in cn)
