@@ -215,7 +215,9 @@ def lm_walk_device(tables: dict, num_words: int, order: int, state, word):
     score = jnp.zeros(state.shape, jnp.float32)
     next_state = jnp.zeros(state.shape, jnp.int32)
     done = jnp.zeros(state.shape, bool)
-    for hop in range(order + 1):
+    # contexts have length <= order-1, so at most `order` hops reach the
+    # dense empty-context state (which always resolves)
+    for hop in range(order):
         is_uni = state == 0
         # dense path for the empty-context state
         up = tables["uni_prob"][word]

@@ -140,6 +140,9 @@ class DenseBeamSearch:
                 tree.we_exit_logp[we_n, we_h], LOG_ZERO)),
             "we_pron": jnp.asarray(tree.we_pron_logp[we_n, we_h]),
             "we_skip": jnp.asarray(tree.we_skip_lm[we_n, we_h]),
+            # static per-we-slot duration constants (no dur_state gather)
+            "we_dur_valid": None, "we_dur_lncoef": None,
+            "we_dur_invb": None, "we_dur_const": None,
             "root_tgt": jnp.asarray(tree.root_tgt),
             "root_logp": jnp.asarray(tree.root_logp),
             "dur_tab": jnp.asarray(duration_table(
@@ -154,8 +157,11 @@ class DenseBeamSearch:
         }
         self._has_durations = bool(
             np.any(np.asarray(self.tables["dur_tab"]) != 0))
+        for key in ("valid", "lncoef", "invb", "const"):
+            self.tables[f"we_dur_{key}"] = jnp.asarray(
+                np.asarray(self.tables[f"dur_{key}"])[we_n])
         self._precompute_obs = True
-        self._obs_budget_bytes = 2_000_000_000
+        self._obs_budget_bytes = 4_000_000_000
         self._decode_jit = jax.jit(self._decode)
 
     def _dur_bonus(self, node, dur):
@@ -250,8 +256,12 @@ class DenseBeamSearch:
             jnp.maximum(w_lmid, 0))
         lm_next = jnp.where(skip, lm[wn], lm_next)
         lm_score = jnp.where(skip, 0.0, lm_score)
-        we_am = (am[wn] + cfg.transition_scale * t["we_exit"]
-                 + self._dur_bonus(wn, dur[wn]))
+        d_we = jnp.clip(dur[wn] + 1, 1,
+                        cfg.max_dur).astype(jnp.float32)
+        we_durb = t["we_dur_valid"] * (
+            t["we_dur_lncoef"] * jnp.log(d_we)
+            - d_we * t["we_dur_invb"] + t["we_dur_const"])
+        we_am = (am[wn] + cfg.transition_scale * t["we_exit"] + we_durb)
         we_lms = (lms[wn] + lm_score + t["we_pron"]
                   + jnp.where(skip, 0.0, cfg.insertion_penalty))
         we_alive = (alive[wn] & (lm_score > LOG_ZERO / 2)
