@@ -147,7 +147,7 @@ class BeamSearch:
 
         # compact word-end candidates into E record slots (best first)
         flat_total = jnp.where(we_alive, we_total, -jnp.inf).reshape(-1)
-        order = jnp.argsort(-flat_total)[:E]            # top-E word ends
+        _, order = jax.lax.top_k(flat_total, E)         # top-E word ends
         e_alive = jnp.take(we_alive.reshape(-1), order)
         e_word = jnp.take(w_word.reshape(-1), order)
         e_prev = jnp.take(

@@ -270,8 +270,8 @@ class DenseBeamSearch:
         we_total = jnp.where(we_alive, we_am + cfg.lm_scale * we_lms,
                              -jnp.inf)
 
-        # records: top-E word ends
-        order = jnp.argsort(-we_total)[:E]
+        # records: top-E word ends (top_k: cheaper than full argsort)
+        _, order = jax.lax.top_k(we_total, E)
         e_alive = jnp.take(we_alive, order)
         e_word = jnp.take(w_word, order)
         e_prev = jnp.take(rec[wn], order)
