@@ -87,3 +87,29 @@ class TestGoldenFeacat:
         f2 = np.asarray(FeatureGenerator(cfg2).features_range(
             short_wav, -10, 81))
         np.testing.assert_array_equal(f1, f2)
+
+
+class TestGoldenPreModule:
+    def test_pre_round_trip_matches_reference(self, short_wav, tmp_path):
+        """pre_test.script: raw feacat output (frames 10..60, -H header)
+        re-read through a 'pre' base module must match pre_test.ref."""
+        import struct
+        from aaltoasr_tpu.formats.feaconf import FeatureConfig
+        from aaltoasr_tpu.frontend.generator import (
+            FeatureGenerator, read_pre_file)
+        mf = FeatureConfig.load(os.path.join(REF_TESTS,
+                                             "mfcc_p_dd.feaconf"))
+        fg = FeatureGenerator(mf)
+        feats = np.asarray(fg.features_range(short_wav, 10, 61))
+        # write like feacat -H --raw-output (int32 dim header + floats)
+        tmp = tmp_path / "pre_test.tmp"
+        tmp.write_bytes(struct.pack("<i", fg.dim)
+                        + feats.astype("<f4").tobytes())
+        # read through the 'pre' config
+        pc = FeatureConfig.load(os.path.join(REF_TESTS, "pre.feaconf"))
+        pre_fg = FeatureGenerator(pc)
+        loaded = read_pre_file(str(tmp), pre_fg.dim)
+        out = np.asarray(pre_fg.features(loaded))
+        ref = load_ref(os.path.join(REF_TESTS, "pre_test.ref"), fg.dim)
+        assert out.shape[0] == ref.shape[0]
+        assert np.abs(out - ref).max() < 0.01
