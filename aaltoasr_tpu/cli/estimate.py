@@ -1,9 +1,10 @@
 """estimate: the M-step — statistics dumps -> new model
 (`aku/estimate.cc:108-430`).
 
-Supported now: ``--ml`` with ``--minvar`` (default 0.1), ``--mixture-minweight``,
-``--no-mixture-update``, ``--no-transition-update``, ``-s`` summary.
-Discriminative modes (--mmi/--mpe EBW) land with train.ebw.
+Supported: ``--ml`` with ``--minvar`` (default 0.1), ``--mixture-minweight``,
+``--no-mixture-update``, ``--no-transition-update``, ``-s`` summary, and
+the EBW discriminative modes ``--mmi``/``--mpe`` with ``--C1/--C2`` and
+``--ismooth`` (train.ebw).
 """
 
 from __future__ import annotations
@@ -26,6 +27,8 @@ def main(argv=None) -> int:
     p.add_argument("--ml", action="store_true", help="ML estimation")
     p.add_argument("--mmi", action="store_true",
                    help="maximum mutual information estimation")
+    p.add_argument("--mpe", action="store_true",
+                   help="minimum phone (frame) error estimation")
     p.add_argument("--C1", type=float, default=2.0,
                    help='constant "C1" for EBW updates (default 2.0)')
     p.add_argument("--C2", type=float, default=2.0,
@@ -55,7 +58,11 @@ def main(argv=None) -> int:
         PDF_ML_STATS, PDF_MMI_STATS)
     model = read_model(args.base)
     table = TransitionTable.from_model(model)
-    mode = PDF_ML_STATS | (PDF_MMI_STATS if args.mmi else 0)
+    from aaltoasr_tpu.train.accumulators import (
+        PDF_MPE_DEN_STATS, PDF_MPE_NUM_STATS)
+    mode = (PDF_ML_STATS | (PDF_MMI_STATS if args.mmi else 0)
+            | ((PDF_MPE_NUM_STATS | PDF_MPE_DEN_STATS)
+               if args.mpe else 0))
     stats = HmmStats.zeros(model, table, mode)
     with open(args.list) as f:
         for line in f:
@@ -63,11 +70,12 @@ def main(argv=None) -> int:
             if base:
                 stats.load(base, table)
 
-    if args.mmi:
+    if args.mmi or args.mpe:
         from aaltoasr_tpu.train.ebw import estimate_mmi
         new_model = estimate_mmi(
             model, table, stats, c1=args.C1, c2=args.C2,
             tau=args.ismooth, minvar=args.minvar,
+            mode="mpe" if args.mpe else "mmi",
             update_mixtures=not args.no_mixture_update)
     else:
         new_model = estimate_ml(

@@ -2,8 +2,9 @@
 
 Flag-compatible subset of the reference tool (`aku/stats.cc:309-470`):
 ``-b/-g/-m/-p`` model, ``-c`` config, ``-r`` recipe, ``-o`` output base,
-``-M bw|vit``, ``-B/-I`` sharding, ``--ml``.  Transcript (.phn) E-steps are
-supported; hmmnet lattice E-steps arrive with the FST layer.
+``-M bw|vit``, ``-B/-I`` sharding, ``--ml``, ``-H`` hmmnet lattice
+E-steps, ``--mmi`` (den-hmmnet= into the MMI buffer) and ``--mpe``
+(MPFE_PDF frame-error statistics into the MPE num/den buffers).
 """
 
 from __future__ import annotations
@@ -34,6 +35,9 @@ def main(argv=None) -> int:
                    help="collect ML statistics (default)")
     p.add_argument("--mmi", action="store_true",
                    help="collect also MMI statistics from den-hmmnet=")
+    p.add_argument("--mpe", action="store_true",
+                   help="collect MPE (frame error) statistics from "
+                        "den-hmmnet=")
     p.add_argument("-t", "--transitions", action="store_true",
                    help="collect also transition statistics (always on)")
     p.add_argument("--device-batch", type=int, default=8,
@@ -48,9 +52,10 @@ def main(argv=None) -> int:
         model = read_model(model)
     driver = EStepDriver(model, args.config, mode=args.mode)
     recipe = Recipe.read(args.recipe, args.batch, args.bindex)
-    if args.hmmnet or args.mmi or args.mode != "bw":
+    if args.hmmnet or args.mmi or args.mpe or args.mode != "bw":
         stats = driver.run_recipe(recipe, info=args.info,
-                                  use_hmmnet=args.hmmnet, mmi=args.mmi)
+                                  use_hmmnet=args.hmmnet, mmi=args.mmi,
+                                  mpe=args.mpe)
     else:
         stats = driver.run_recipe_batched(
             recipe, batch_size=args.device_batch, info=args.info)

@@ -181,17 +181,22 @@ class EStepDriver:
 
     def run_recipe(self, recipe: Recipe, info: int = 0,
                    use_hmmnet: bool = False,
-                   mmi: bool = False) -> HmmStats:
+                   mmi: bool = False, mpe: bool = False) -> HmmStats:
         """Accumulate statistics over a recipe shard.
 
         use_hmmnet: read hmmnet= FSTs instead of transcripts (-H);
         mmi: additionally run the den-hmmnet= network into the MMI
-        buffer (stats.cc --mmi path).
+        buffer (stats.cc --mmi path);
+        mpe: MPFE_PDF statistics into the MPE num/den buffers
+        (stats.cc --mpe with the frame-error evaluator).
         """
         from aaltoasr_tpu.formats.fst import read_fst
         from aaltoasr_tpu.train.accumulators import (
-            MMI_BUF, PDF_MMI_STATS)
-        mode = PDF_ML_STATS | (PDF_MMI_STATS if mmi else 0)
+            MMI_BUF, MPE_DEN_BUF, MPE_NUM_BUF, PDF_MMI_STATS,
+            PDF_MPE_DEN_STATS, PDF_MPE_NUM_STATS)
+        mode = (PDF_ML_STATS | (PDF_MMI_STATS if mmi else 0)
+                | ((PDF_MPE_NUM_STATS | PDF_MPE_DEN_STATS)
+                   if mpe else 0))
         total = HmmStats.zeros(self.model, self.table, mode)
         for rinfo in recipe:
             if info > 0:
@@ -220,6 +225,10 @@ class EStepDriver:
                       f"{rinfo.audio_path}; skipping", file=sys.stderr)
                 self.failed_utterances.append(rinfo.audio_path)
                 continue
+            if (mmi or mpe) and not rinfo.den_hmmnet_path:
+                raise ValueError(
+                    f"--mmi/--mpe requires den-hmmnet= in the recipe "
+                    f"(missing for {rinfo.audio_path})")
             if mmi:
                 den_graph = self._graph_from_fst(
                     read_fst(rinfo.den_hmmnet_path))
@@ -227,5 +236,21 @@ class EStepDriver:
                 device_stats_to_hmm_stats(
                     self.model, self.table, den, mode,
                     buffer_id=MMI_BUF, stats=utt)
+            if mpe:
+                from aaltoasr_tpu.train.mpe import mpe_stats
+                den_graph = self._graph_from_fst(
+                    read_fst(rinfo.den_hmmnet_path))
+                out = mpe_stats(self.scorer, feats, graph, den_graph,
+                                jnp.int32(T), self.table.num_slots)
+                for buf_id, key in ((MPE_NUM_BUF, "num"),
+                                    (MPE_DEN_BUF, "den")):
+                    d = dict(out[key])
+                    d["trans_acc"] = np.zeros(self.table.num_slots)
+                    d["log_likelihood"] = out["log_likelihood"]
+                    d["num_frames"] = T
+                    device_stats_to_hmm_stats(
+                        self.model, self.table, d, mode,
+                        buffer_id=buf_id, stats=utt)
+                utt.den_ll = float(out["avg_accuracy"])
             total.add(utt)
         return total
