@@ -187,6 +187,29 @@ def pad_hmmnet(graph: dict, pad_positions: int, fan: int = 0) -> dict:
 # numerator hmmnet construction (create_hmmnets.pl replacement)
 # ---------------------------------------------------------------------------
 
+def _expand_phone(fst: Fst, model: HmmModel, table: TransitionTable,
+                  label: str, entry_node: int, node) -> int:
+    """Wire one phone's HMM between ``entry_node`` and a fresh exit
+    node (transition slots as arc input labels); returns the exit."""
+    phone = model.phone(label)
+    k = len(phone.states)
+    snode = {0: entry_node}
+    for i in range(1, k):
+        snode[i] = node()
+    exit_node = node()
+    for i, s in enumerate(phone.states):
+        for t in range(table.state_first[s],
+                       table.state_first[s] + table.state_count[s]):
+            off = int(table.offset[t])
+            if i + off < k:
+                tgt = snode[i + off]
+            elif i + off == k:
+                tgt = exit_node
+            else:
+                continue
+            fst.add_arc(FstArc(snode[i], tgt, int(t), label=label))
+    return exit_node
+
 def transcript_hmmnet(model: HmmModel, table: TransitionTable,
                       labels: list, optional_silence: str = "_",
                       silence_in_between: bool = True) -> Fst:
@@ -208,25 +231,7 @@ def transcript_hmmnet(model: HmmModel, table: TransitionTable,
         return n
 
     def add_phone(label, entry_node):
-        """Wire one phone between entry and a fresh exit node."""
-        phone = model.phone(label)
-        k = len(phone.states)
-        snode = {0: entry_node}
-        for i in range(1, k):
-            snode[i] = node()
-        exit_node = node()
-        for i, s in enumerate(phone.states):
-            for t in range(table.state_first[s],
-                           table.state_first[s] + table.state_count[s]):
-                off = int(table.offset[t])
-                if i + off < k:
-                    tgt = snode[i + off]
-                elif i + off == k:
-                    tgt = exit_node
-                else:
-                    continue
-                fst.add_arc(FstArc(snode[i], tgt, int(t), label=label))
-        return exit_node
+        return _expand_phone(fst, model, table, label, entry_node, node)
 
     start = node()
     fst.initial = start
@@ -257,3 +262,104 @@ def transcript_hmmnet(model: HmmModel, table: TransitionTable,
             cur = maybe_silence(cur)
     fst.final = cur
     return fst
+
+
+# ---------------------------------------------------------------------------
+# denominator hmmnet construction (generate_den_hmmnets.pl replacement)
+# ---------------------------------------------------------------------------
+
+def wordgraph_hmmnet(model: HmmModel, table: TransitionTable,
+                     lexicon_entries: list, graph,
+                     posterior_prune: float = 0.0) -> Fst:
+    """Denominator FST from a decoded word graph.
+
+    The reference pipeline (create_hmmnets.pl:469-480) rescoures the
+    recognition lattice, posterior-prunes it with SRI lattice-tool, and
+    expands words to HMM transition arcs; here each surviving lattice
+    arc expands directly through the lexicon's pronunciations, with the
+    scaled LM score as a static score on the entry epsilon arc.
+
+    posterior_prune: drop lattice arcs whose posterior is below this
+    (lattice-tool -posterior-prune).
+    """
+    from aaltoasr_tpu.decoder.wordgraph import arc_posteriors
+
+    prons: dict = {}
+    for e in lexicon_entries:
+        prons.setdefault(e.word, []).append(
+            (e.phones, np.log(max(e.prob, 1e-30))))
+
+    keep = [True] * len(graph.arcs)
+    if posterior_prune > 0.0 and graph.arcs:
+        post = arc_posteriors(graph)
+        keep = [p >= posterior_prune for p in post]
+
+    fst = Fst()
+    next_node = [0]
+
+    def node():
+        n = next_node[0]
+        next_node[0] += 1
+        fst.num_nodes = max(fst.num_nodes, n + 1)
+        return n
+
+    wg_node = {}
+
+    def node_for(idx):
+        if idx not in wg_node:
+            wg_node[idx] = node()
+        return wg_node[idx]
+
+    fst.initial = node_for(graph.start_node)
+    for arc, k in zip(graph.arcs, keep):
+        if not k:
+            continue
+        src, tgt = node_for(arc.source), node_for(arc.target)
+        word = arc.word
+        lm = graph.lm_scale * arc.lm
+        if word in prons:
+            cands = prons[word]
+        else:
+            # sentence boundaries / bare phone labels (e.g. silence)
+            try:
+                model.phone(word)
+                cands = [([word], 0.0)]
+            except (KeyError, ValueError):
+                fst.add_arc(FstArc(src, tgt, score=lm, out_label=word))
+                continue
+        for phones, logp in cands:
+            entry = node()
+            fst.add_arc(FstArc(src, entry, score=lm + logp,
+                               out_label=word))
+            cur = entry
+            for i, ph in enumerate(phones):
+                if i > 0:
+                    nxt = node()
+                    fst.add_arc(FstArc(cur, nxt))
+                    cur = nxt
+                cur = _expand_phone(fst, model, table, ph, cur, node)
+            fst.add_arc(FstArc(cur, tgt))
+    fst.final = node_for(graph.end_node)
+    return fst
+
+
+def union_fst(a: Fst, b: Fst) -> Fst:
+    """Union of two hmmnet FSTs (mitfst fst_union): fresh initial and
+    final joined by epsilon arcs; b's nodes offset past a's."""
+    out = Fst()
+    off = a.num_nodes
+    ini, fin = a.num_nodes + b.num_nodes, a.num_nodes + b.num_nodes + 1
+    out.initial, out.final = ini, fin
+    out.num_nodes = fin + 1
+    for arc in a.arcs:
+        out.add_arc(FstArc(arc.source, arc.target, arc.transition_index,
+                           arc.label, arc.out_label, arc.score))
+    for arc in b.arcs:
+        out.add_arc(FstArc(arc.source + off, arc.target + off,
+                           arc.transition_index, arc.label,
+                           arc.out_label, arc.score))
+    out.add_arc(FstArc(ini, a.initial))
+    out.add_arc(FstArc(ini, b.initial + off))
+    out.add_arc(FstArc(a.final, fin))
+    out.add_arc(FstArc(b.final + off, fin))
+    return out
