@@ -49,24 +49,48 @@ class GmmScorer:
     score_bias: jax.Array
     comp_idx: jax.Array
     comp_logw: jax.Array
+    full_cov: bool = False
 
     @classmethod
     def from_model(cls, model: HmmModel, pad_gaussians_to: int = 128,
                    pad_states_to: int = 8) -> "GmmScorer":
-        if model.cov_type == "full_cov" or "full" in model.gauss_kind:
-            raise NotImplementedError(
-                "full-covariance scoring path not yet implemented")
         means = model.means
-        prec = model.precisions()
-        const = model.gauss_constants()
         G, D = means.shape
         Gp = _round_up(G, pad_gaussians_to)
+        full_cov = (model.cov_type == "full_cov"
+                    or "full" in model.gauss_kind)
 
-        A = np.zeros((2 * D, Gp), dtype=np.float32)
-        A[:D, :G] = (-0.5 * prec).T
-        A[D:, :G] = (means * prec).T
-        bias = np.full(Gp, LOG_ZERO, dtype=np.float32)
-        bias[:G] = const - 0.5 * np.sum(means * means * prec, axis=1)
+        if full_cov:
+            # exponential form over phi(x) = [vec(x x^T), x]:
+            # logN = C - mu'P mu/2 + (P mu).x - vec(P).vec(xx')/2
+            # (FullCovarianceGaussian::compute_log_likelihood,
+            # Distributions.cc:1413-1426; diagonal Gaussians embed as
+            # diagonal precision matrices so `variable` models score in
+            # the same matmul).
+            diag_prec = model.precisions()
+            A = np.zeros((D * D + D, Gp), dtype=np.float32)
+            bias = np.full(Gp, LOG_ZERO, dtype=np.float32)
+            for g in range(G):
+                if g in model.full_covars:
+                    cov = np.asarray(model.full_covars[g], np.float64)
+                    P, C = _spd_precision(cov)
+                else:
+                    P = np.diag(diag_prec[g])
+                    pr = np.prod(diag_prec[g])
+                    C = 0.5 * np.log(max(pr, 1e-300)) if pr > 0 else 0.0
+                mu = means[g]
+                A[:D * D, g] = (-0.5 * P).reshape(-1)
+                A[D * D:, g] = P @ mu
+                bias[g] = C - 0.5 * mu @ P @ mu
+        else:
+            prec = model.precisions()
+            const = model.gauss_constants()
+            A = np.zeros((2 * D, Gp), dtype=np.float32)
+            A[:D, :G] = (-0.5 * prec).T
+            A[D:, :G] = (means * prec).T
+            bias = np.full(Gp, LOG_ZERO, dtype=np.float32)
+            bias[:G] = const - 0.5 * np.sum(
+                means * means * prec, axis=1)
 
         S = len(model.mixtures)
         K = max((len(ix) for ix, _ in model.mixtures), default=1)
@@ -82,13 +106,19 @@ class GmmScorer:
             dim=D, num_states=S, num_gaussians=G,
             score_matrix=jnp.asarray(A), score_bias=jnp.asarray(bias),
             comp_idx=jnp.asarray(comp_idx), comp_logw=jnp.asarray(comp_logw),
+            full_cov=full_cov,
         )
 
     # -- scoring ----------------------------------------------------------
     def gaussian_log_likelihoods(self, features: jax.Array) -> jax.Array:
         """[T, D] features -> [T, Gp] per-Gaussian log-likelihoods."""
         x = features.astype(jnp.float32)
-        xx = jnp.concatenate([x * x, x], axis=-1)
+        if self.full_cov:
+            T = x.shape[0]
+            outer = (x[:, :, None] * x[:, None, :]).reshape(T, -1)
+            xx = jnp.concatenate([outer, x], axis=-1)
+        else:
+            xx = jnp.concatenate([x * x, x], axis=-1)
         return jnp.dot(xx, self.score_matrix, precision=_F32) + self.score_bias
 
     def state_log_likelihoods(self, features: jax.Array) -> jax.Array:
@@ -115,6 +145,22 @@ class GmmScorer:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _spd_precision(cov: np.ndarray):
+    """(precision, log sqrt det precision) for an SPD covariance;
+    zeros when not SPD (FullCovarianceGaussian::set_covariance,
+    Distributions.cc:1560-1580: invalid parameters score constant)."""
+    try:
+        eig = np.linalg.eigvalsh(cov)
+        if eig.min() <= 0:
+            raise np.linalg.LinAlgError
+        P = np.linalg.inv(cov)
+        C = 0.5 * float(np.linalg.slogdet(P)[1])
+        return P, C
+    except np.linalg.LinAlgError:
+        D = cov.shape[0]
+        return np.zeros((D, D)), 0.0
 
 
 # ---------------------------------------------------------------------------

@@ -132,3 +132,82 @@ class TestPhoneProbsPipeline:
         model = random_model(D=10)
         with pytest.raises(ValueError):
             PhoneProbs(model, FeatureConfig.parse(cfg_mfcc_full()))
+
+
+class TestFullCovariance:
+    def _full_model(self, seed=0, D=5, G=6):
+        rng = np.random.default_rng(seed)
+        means = rng.normal(0, 1, (G, D))
+        covars = np.ones((G, D))
+        full = {}
+        kinds = []
+        for g in range(G):
+            if g % 2 == 0:
+                L = rng.normal(0, 0.4, (D, D))
+                full[g] = L @ L.T + np.eye(D)
+                kinds.append("full")
+            else:
+                covars[g] = rng.uniform(0.5, 2.0, D)
+                kinds.append("diag")
+        mixtures = [(np.arange(G, dtype=np.int32),
+                     np.full(G, 1.0 / G))]
+        model = model_io.HmmModel(
+            dim=D, cov_type="variable", means=means, covars=covars,
+            mixtures=mixtures,
+            phones=[model_io.HmmPhone("a", [0])],
+            transitions={0: [(0, .5), (1, .5)]},
+            full_covars=full, gauss_kind=kinds)
+        return model
+
+    def test_matches_quadratic_form(self):
+        """Scorer's single-matmul path == per-Gaussian quadratic form
+        C - (x-mu)'P(x-mu)/2 (Distributions.cc:1413-1426)."""
+        model = self._full_model()
+        sc = GmmScorer.from_model(model)
+        assert sc.full_cov
+        rng = np.random.default_rng(1)
+        X = rng.normal(0, 1, (7, model.dim)).astype(np.float32)
+        got = np.asarray(sc.gaussian_log_likelihoods(X))
+        prec_diag = model.precisions()
+        for g in range(6):
+            if g in model.full_covars:
+                P = np.linalg.inv(model.full_covars[g])
+                C = 0.5 * np.linalg.slogdet(P)[1]
+            else:
+                P = np.diag(prec_diag[g])
+                C = 0.5 * np.log(np.prod(prec_diag[g]))
+            for t in range(7):
+                d = X[t] - model.means[g]
+                want = C - 0.5 * d @ P @ d
+                np.testing.assert_allclose(got[t, g], want,
+                                           rtol=2e-4, atol=2e-4)
+
+    def test_diag_embedding_matches_diag_path(self):
+        """A variable model whose Gaussians are all diagonal scores
+        identically through both code paths."""
+        model = random_model(G=8, S=3, D=6, K=2, seed=3)
+        diag = GmmScorer.from_model(model)
+        model.cov_type = "variable"
+        model.gauss_kind = ["diag"] * 8
+        # force the full path without any full Gaussians registered
+        model.gauss_kind[0] = "full"
+        model.full_covars = {0: np.diag(model.covars[0])}
+        full = GmmScorer.from_model(model)
+        assert full.full_cov and not diag.full_cov
+        rng = np.random.default_rng(4)
+        X = rng.normal(0, 1, (5, 6)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(full.gaussian_log_likelihoods(X))[:, :8],
+            np.asarray(diag.gaussian_log_likelihoods(X))[:, :8],
+            rtol=2e-4, atol=2e-4)
+
+    def test_non_spd_scores_zero(self):
+        """Non-SPD covariance -> zero precision and constant
+        (set_covariance invalid-parameters branch)."""
+        model = self._full_model()
+        model.full_covars[0] = -np.eye(model.dim)
+        sc = GmmScorer.from_model(model)
+        X = np.random.default_rng(2).normal(
+            0, 1, (3, model.dim)).astype(np.float32)
+        got = np.asarray(sc.gaussian_log_likelihoods(X))
+        np.testing.assert_allclose(got[:, 0], 0.0, atol=1e-5)
