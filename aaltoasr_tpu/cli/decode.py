@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     p.add_argument("--lm-scale", type=float, default=30.0)
     p.add_argument("--duration-scale", type=float, default=3.0)
     p.add_argument("--insertion-penalty", type=float, default=0.0)
+    p.add_argument("--lookahead", type=int, default=0, choices=[0, 1],
+                   help="LM lookahead mode (1 = unigram)")
+    p.add_argument("--lookahead-ngram",
+                   help="separate ARPA LM for lookahead scores")
     p.add_argument("-B", "--batch", type=int, default=0)
     p.add_argument("-I", "--bindex", type=int, default=0)
     p.add_argument("-i", "--info", type=int, default=0)
@@ -43,6 +47,10 @@ def main(argv=None) -> int:
     t.set_lm_scale(args.lm_scale)
     t.set_duration_scale(args.duration_scale)
     t.set_insertion_penalty(args.insertion_penalty)
+    if args.lookahead_ngram:
+        t.read_lookahead_ngram(args.lookahead_ngram)
+    if args.lookahead:
+        t.set_lm_lookahead(args.lookahead)
 
     recipe = Recipe.read(args.recipe, args.batch, args.bindex)
     for rinfo in recipe:

@@ -52,6 +52,48 @@ class SearchConfig:
     transition_scale: float = 1.0
     duration_scale: float = 3.0     # rectool.py:547
     max_dur: int = 64
+    lm_lookahead: int = 0           # 0 off, 1 unigram (TokenPassSearch
+                                    # m_lm_lookahead; bigram mode not
+                                    # supported on the dense path)
+
+
+def unigram_lookahead(tree: PrefixTree, lm: NGramFsa,
+                      lm_names: list) -> np.ndarray:
+    """[N] per-node lookahead scores: the best unigram LM log-prob
+    over the words completing at or below each node.
+
+    The vectorized replacement for the reference's per-node word lists
+    + score cache (`decoder/src/TPLexPrefixTree.hh` lookahead word list,
+    `TokenPassSearch.cc` get_lm_lookahead_score): a bottom-up max over
+    the static tree, so applying lookahead at decode time is one gather.
+    Words that bypass the LM (we_skip / silence) contribute 0 — they
+    will pay no LM score, making the estimate optimistic (admissible).
+    """
+    V = lm.num_words
+    uni = np.full(V, -np.inf, dtype=np.float64)
+    lo, hi = int(lm.state_first[0]), int(lm.state_first[1])
+    uni[lm.trans_word[lo:hi]] = lm.trans_prob[lo:hi]
+    word_uni = np.array(
+        [uni[lm.word_index[w]] if w in lm.word_index else -np.inf
+         for w in lm_names] or [-np.inf])
+
+    valid_we = tree.we_exit_logp > LOG_ZERO / 2
+    w = np.maximum(tree.we_word, 0)
+    contrib = np.where(tree.we_skip_lm, 0.0, word_uni[w])
+    contrib = np.where(valid_we & (tree.we_word >= 0), contrib,
+                       np.where(valid_we, 0.0, -np.inf))
+    la = contrib.max(axis=1)                     # [N] local word ends
+
+    not_self = ((tree.arc_tgt != np.arange(tree.num_nodes)[:, None])
+                & (tree.arc_logp > LOG_ZERO / 2))
+    tgt = np.maximum(tree.arc_tgt, 0)
+    for _ in range(tree.num_nodes):
+        child = np.where(not_self, la[tgt], -np.inf).max(axis=1)
+        new = np.maximum(la, child)
+        if np.array_equal(new, la):
+            break
+        la = new
+    return np.where(np.isfinite(la), la, 0.0).astype(np.float32)
 
 
 class BeamSearch:
@@ -59,7 +101,7 @@ class BeamSearch:
 
     def __init__(self, tree: PrefixTree, lm: NGramFsa, model,
                  config: SearchConfig = SearchConfig(),
-                 word_classes=None):
+                 word_classes=None, lookahead_lm: NGramFsa | None = None):
         self.tree = tree
         self.lm = lm
         self.config = config
@@ -88,6 +130,10 @@ class BeamSearch:
                 or [-1], dtype=np.int32)),
             **lm.device_tables(),
         }
+        self._la_on = bool(config.lm_lookahead)
+        if self._la_on:
+            self.tables["la"] = jnp.asarray(unigram_lookahead(
+                tree, lookahead_lm or lm, lm_names))
         self._decode_jit = jax.jit(self._decode, static_argnames=())
 
     # -- candidate container: dict of parallel arrays ---------------------
@@ -186,6 +232,12 @@ class BeamSearch:
         obs = obs_t[t["pdf"][cand["node"]]]
         cand["am"] = cand["am"] + obs
         total = cand["am"] + cfg.lm_scale * cand["lms"]
+        if self._la_on:
+            # pruning/ranking only: stored am/lms stay pure, and the
+            # recombination key (node, lm) shares one la value, so
+            # within-key order is unchanged (TokenPassSearch.hh:543
+            # get_token_log_prob + lookahead)
+            total = total + cfg.lm_scale * t["la"][cand["node"]]
         total = jnp.where(cand["alive"], total, -jnp.inf)
         best = jnp.max(total)
         cand["alive"] = cand["alive"] & (total >= best - cfg.beam)

@@ -69,7 +69,16 @@ class Toolbox:
         self.ngram_read(path, binary)
 
     def read_lookahead_ngram(self, path) -> None:
-        self.lookahead_lm = read_arpa(path)  # used in a later phase
+        """Separate (smaller) LM for lookahead scores
+        (Toolbox::read_lookahead_ngram)."""
+        from aaltoasr_tpu.decoder.ngram import NGramFsa
+        self.lookahead_lm = NGramFsa.from_arpa(read_arpa(path))
+        self._search = None
+
+    def set_lm_lookahead(self, mode: int) -> None:
+        """0 off, 1 unigram lookahead (lm_lookahead option)."""
+        self.config.lm_lookahead = int(mode)
+        self._search = None
 
     def read_word_classes(self, path) -> None:
         """Load class-based LM definitions (Toolbox word-class path,
@@ -118,9 +127,10 @@ class Toolbox:
         if self.lm is None:
             raise RuntimeError("language model not loaded (ngram_read)")
         if self._search is None:
-            self._search = BeamSearch(self.tree, self.lm, self.model,
-                                      self.config,
-                                      word_classes=self._word_classes)
+            self._search = BeamSearch(
+                self.tree, self.lm, self.model, self.config,
+                word_classes=self._word_classes,
+                lookahead_lm=getattr(self, "lookahead_lm", None))
         return self._search
 
     def decode(self, state_log_probs: np.ndarray,

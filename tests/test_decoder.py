@@ -335,3 +335,76 @@ class TestContextPhones:
             jnp.asarray(X)))[:, :model.num_states]
         res = bs.decode(obs)
         assert res.words == ["yksi", "kaksi"]
+
+
+class TestLmLookahead:
+    def test_la_table_values(self):
+        """Per-node lookahead = best unigram below the node."""
+        from aaltoasr_tpu.decoder.search import unigram_lookahead
+        model, tree, fsa = make_decode_task()
+        la = unigram_lookahead(tree, fsa, tree.vocab)
+        LN10 = np.log(10.0)
+        uni = {"yksi": -0.6 * LN10, "kaksi": -0.5 * LN10,
+               "kolme": -0.9 * LN10}
+        # root children: a -> {yksi}, b -> {kaksi}, c -> {kolme},
+        # _ -> skip (la 0)
+        for first, words in [("a", ["yksi"]), ("b", ["kaksi"]),
+                             ("c", ["kolme"])]:
+            # find the root arc whose pdf matches the phone's state
+            pid = [i for i, p in enumerate(model.phones)
+                   if p.label == first][0]
+            nodes = [n for n in tree.root_tgt
+                     if tree.pdf[n] == pid]
+            assert nodes, first
+            want = max(uni[w] for w in words)
+            assert la[nodes[0]] == pytest.approx(want, abs=1e-5)
+        sil = [n for n in tree.root_tgt if tree.pdf[n] == 3]
+        if sil:
+            assert la[sil[0]] == pytest.approx(0.0, abs=1e-6)
+
+    def test_wide_beam_invariant(self):
+        """Lookahead only biases pruning: with beams wide open the
+        decoded words and total score are identical."""
+        from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
+        model, tree, fsa = make_decode_task()
+        obs = synth_obs(tree, model, ["_", "a", "b", "b", "a", "_"])
+        base = dict(num_tokens=256, beam=1e9, lm_scale=1.0,
+                    duration_scale=0.0)
+        off = BeamSearch(tree, fsa, model,
+                         SearchConfig(**base, lm_lookahead=0))
+        on = BeamSearch(tree, fsa, model,
+                        SearchConfig(**base, lm_lookahead=1))
+        w0, s0 = off.decode(obs)
+        w1, s1 = on.decode(obs)
+        assert w0 == w1
+        assert s1 == pytest.approx(s0, abs=1e-4)
+
+    def test_tight_beam_rescued_by_lookahead(self):
+        """Under a tight beam, lookahead keeps the branch whose
+        completion the LM prefers alive."""
+        from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
+        model, tree, fsa = make_decode_task()
+        # acoustics: 'b a' (kaksi), but frame of 'b' is slightly
+        # ambiguous with 'c'; unigram(kaksi)=-0.5 > unigram(kolme)=-0.9
+        T = 6
+        S = tree.pdf.max() + 1
+        obs = np.full((T, 8), -20.0, dtype=np.float32)
+        seq = [3, 1, 1, 0, 0, 3]          # _ b b a a _
+        for t, s in enumerate(seq):
+            obs[t, s] = 0.0
+        # make 'c' marginally more likely than 'b' on frames 1-2: the
+        # am edge is smaller than the lm_scale * unigram gap
+        obs[1, 2] = 0.2
+        obs[2, 2] = 0.2
+        # beam 0.1 < am edge 0.2 < lm_scale * unigram gap 2.76: only
+        # the lookahead term can keep the b-branch inside the beam
+        base = dict(num_tokens=16, num_records=4, beam=0.1,
+                    lm_scale=3.0, duration_scale=0.0)
+        off = BeamSearch(tree, fsa, model,
+                         SearchConfig(**base, lm_lookahead=0))
+        on = BeamSearch(tree, fsa, model,
+                        SearchConfig(**base, lm_lookahead=1))
+        w_off, _ = off.decode(obs)
+        w_on, _ = on.decode(obs)
+        assert w_on == ["kaksi"]
+        assert w_off != w_on  # without lookahead the c-branch survives
