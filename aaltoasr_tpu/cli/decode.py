@@ -21,7 +21,10 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--ph", required=True, help="HMM definitions")
     p.add_argument("-d", "--dur", default="", help="duration file")
     p.add_argument("-l", "--lexicon", required=True)
-    p.add_argument("-n", "--ngram", required=True, help="ARPA LM")
+    p.add_argument("-n", "--ngram", help="ARPA LM")
+    p.add_argument("--lattice-grammar",
+                   help="HTK SLF lattice used as the grammar instead "
+                        "of an n-gram (htk_lattice_grammar_read)")
     p.add_argument("-r", "--recipe", required=True,
                    help="recipe with lna= fields")
     p.add_argument("--beam", type=float, default=280.0)
@@ -39,9 +42,14 @@ def main(argv=None) -> int:
     p.add_argument("-i", "--info", type=int, default=0)
     args = p.parse_args(argv)
 
+    if not (args.ngram or args.lattice_grammar):
+        p.error("one of -n/--ngram or --lattice-grammar is required")
     t = Toolbox(args.ph, args.dur)
     t.lex_read(args.lexicon)
-    t.ngram_read(args.ngram)
+    if args.lattice_grammar:
+        t.htk_lattice_grammar_read(args.lattice_grammar)
+    else:
+        t.ngram_read(args.ngram)
     t.set_global_beam(args.beam)
     t.set_token_limit(args.tokens)
     t.set_lm_scale(args.lm_scale)

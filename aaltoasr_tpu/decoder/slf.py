@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from aaltoasr_tpu.formats.arpa import ArpaLM
 
 
@@ -193,3 +195,97 @@ class SlfLattice:
             n = prev
         words.reverse()
         return words, best[self.end][0]
+
+
+# ---------------------------------------------------------------------------
+# lattice-as-grammar (decoder/src/HTKLatticeGrammar.{hh,cc})
+# ---------------------------------------------------------------------------
+
+def lattice_grammar(lat: "SlfLattice", null_word: str = "!NULL"):
+    """Compile an HTK lattice into an FSA grammar for the decoder.
+
+    The reference HTKLatticeGrammar is a pure acceptor: a word sequence
+    scores 0 when it is a prefix of some lattice path and
+    IMPOSSIBLE_LOGPROB otherwise (HTKLatticeGrammar.hh:28-53
+    log_prob_bo via match_begin); lattice arc scores are ignored.  Here
+    the lattice is subset-determinized over word labels (``!NULL`` arcs
+    are epsilon) into the same dense CSR tables the n-gram FSA uses, so
+    the decoder's vectorized walk needs no new code: every transition
+    scores 0 and every state has no backoff (a miss is a dead path).
+    """
+    from aaltoasr_tpu.decoder.ngram import NEG_INF, NGramFsa
+
+    # epsilon (!NULL) closure, forward
+    eps_adj: dict = {}
+    word_arcs: dict = {}
+    for a in lat.arcs:
+        w = a.get("W", null_word)
+        if w == null_word:
+            eps_adj.setdefault(a["S"], set()).add(a["E"])
+        else:
+            word_arcs.setdefault(a["S"], []).append((w, a["E"]))
+
+    def closure(nodes):
+        out = set(nodes)
+        stack = list(nodes)
+        while stack:
+            n = stack.pop()
+            for m in eps_adj.get(n, ()):
+                if m not in out:
+                    out.add(m)
+                    stack.append(m)
+        return frozenset(out)
+
+    vocab: list = []
+    word_index: dict = {}
+
+    def wid(w):
+        if w not in word_index:
+            word_index[w] = len(vocab)
+            vocab.append(w)
+        return word_index[w]
+
+    start = closure([lat.start])
+    subsets = {start: 0}
+    order_list = [start]
+    trans: list = []                      # (state, word, next_state)
+    i = 0
+    while i < len(order_list):
+        cur = order_list[i]
+        s = subsets[cur]
+        by_word: dict = {}
+        for n in cur:
+            for w, e in word_arcs.get(n, ()):
+                by_word.setdefault(wid(w), set()).add(e)
+        for w, tgts in sorted(by_word.items()):
+            nxt = closure(tgts)
+            if nxt not in subsets:
+                subsets[nxt] = len(order_list)
+                order_list.append(nxt)
+            trans.append((s, w, subsets[nxt]))
+        i += 1
+
+    S = len(order_list)
+    V = max(len(vocab), 1)
+    keys = np.asarray([s * V + w for s, w, _ in trans], dtype=np.int64)
+    srt = np.argsort(keys, kind="stable")
+    states = (keys[srt] // V).astype(np.int64)
+    words = (keys[srt] % V).astype(np.int32)
+    nexts = np.asarray([t for _, _, t in trans],
+                       dtype=np.int32)[srt]
+    state_first = np.zeros(S + 1, dtype=np.int32)
+    np.add.at(state_first, states + 1, 1)
+    state_first = np.cumsum(state_first).astype(np.int32)
+
+    return NGramFsa(
+        order=1, vocab=vocab, word_index=word_index,
+        num_states=S,
+        context_of_state=[()] + [None] * (S - 1),
+        state_of_context={(): 0},
+        trans_word=words,
+        trans_prob=np.zeros(len(trans), dtype=np.float32),
+        trans_next=nexts,
+        state_first=state_first,
+        bo_weight=np.full(S, NEG_INF, dtype=np.float32),
+        bo_next=np.zeros(S, dtype=np.int32),
+        num_words=V)

@@ -80,6 +80,14 @@ class Toolbox:
         self.config.lm_lookahead = int(mode)
         self._search = None
 
+    def htk_lattice_grammar_read(self, path, quiet: bool = True) -> None:
+        """Use an HTK SLF lattice as the grammar
+        (Toolbox::htk_lattice_grammar_read, Toolbox.cc:199-220): the
+        decode is constrained to word sequences the lattice accepts."""
+        from aaltoasr_tpu.decoder.slf import SlfLattice, lattice_grammar
+        self.lm = lattice_grammar(SlfLattice.read(path))
+        self._search = None
+
     def read_word_classes(self, path) -> None:
         """Load class-based LM definitions (Toolbox word-class path,
         decoder/src/WordClasses.cc)."""

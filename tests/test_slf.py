@@ -55,3 +55,75 @@ class TestSlf:
         assert penalized
         import math
         assert min(a["l"] for a in penalized) <= -9.0 * math.log(10) + 1
+
+
+class TestLatticeGrammar:
+    SLF = """\
+VERSION=1.0
+N=5 L=6
+I=0 t=0.0
+I=1 t=0.1
+I=2 t=0.2
+I=3 t=0.3
+I=4 t=0.4
+J=0 S=0 E=1 W=!NULL a=0 l=0
+J=1 S=1 E=2 W=yksi a=-1 l=-0.5
+J=2 S=1 E=2 W=kaksi a=-2 l=-0.7
+J=3 S=2 E=3 W=kolme a=-1 l=-0.2
+J=4 S=2 E=4 W=kaksi a=-3 l=-0.9
+J=5 S=3 E=4 W=!NULL a=0 l=0
+"""
+
+    def test_acceptor_semantics(self):
+        """score 0 along lattice prefixes, dead otherwise
+        (HTKLatticeGrammar::match_begin)."""
+        from aaltoasr_tpu.decoder.slf import SlfLattice, lattice_grammar
+        fsa = lattice_grammar(SlfLattice.read(self.SLF))
+        w = fsa.word_index
+        s = 0
+        for word, ok in [("yksi", True), ("kolme", True),
+                         ("yksi", False)]:
+            s2, sc = fsa.walk(s, w[word])
+            if ok:
+                assert sc == 0.0
+                s = s2
+            else:
+                assert sc < -1e20
+        # branch: kaksi then kaksi is a path (1->2->4)
+        s, sc = fsa.walk(0, w["kaksi"])
+        assert sc == 0.0
+        s, sc = fsa.walk(s, w["kaksi"])
+        assert sc == 0.0
+        # but kaksi kaksi kaksi is not
+        _, sc = fsa.walk(s, w["kaksi"])
+        assert sc < -1e20
+
+    def test_constrained_decode(self):
+        """The decoder restricted by a lattice grammar only emits
+        lattice paths, even against the acoustics' preference."""
+        from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
+        from aaltoasr_tpu.decoder.slf import SlfLattice, lattice_grammar
+        from tests.test_decoder import make_decode_task, synth_obs
+        model, tree, fsa = make_decode_task()
+        # acoustics say "yksi kaksi" (a b b a)
+        obs = synth_obs(tree, model, ["_", "a", "b", "b", "a", "_"])
+        cfg = SearchConfig(num_tokens=256, beam=1e9, lm_scale=1.0,
+                           duration_scale=0.0)
+        words, _ = BeamSearch(tree, fsa, model, cfg).decode(obs)
+        assert words == ["yksi", "kaksi"]
+        # lattice only admits "kaksi kolme" / "kaksi yksi"
+        slf = """\
+VERSION=1.0
+N=3 L=3
+I=0 t=0.0
+I=1 t=0.1
+I=2 t=0.2
+J=0 S=0 E=1 W=kaksi a=0 l=0
+J=1 S=1 E=2 W=kolme a=0 l=0
+J=2 S=1 E=2 W=yksi a=0 l=0
+"""
+        lg = lattice_grammar(SlfLattice.read(slf))
+        words2, _ = BeamSearch(tree, lg, model, cfg).decode(obs)
+        assert words2 and words2[0] == "kaksi"
+        assert all(w in ("kaksi", "kolme", "yksi") for w in words2)
+        assert words2 != words
