@@ -15,6 +15,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="lattice_rescore")
     p.add_argument("-l", "--lm", required=True,
                    help="new language model (ARPA or binary)")
+    p.add_argument("--mix", action="append", nargs=2, default=[],
+                   metavar=("FILE", "COEFF"),
+                   help="interpolate another LM with this coefficient "
+                        "(repeatable; InterTreeGram)")
     p.add_argument("-b", "--binary", action="store_true",
                    help="LM is binary TreeGram")
     p.add_argument("-o", "--out", help="output lattice (default stdout)")
@@ -26,6 +30,13 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     lm = read_bin(args.lm) if args.binary else read_arpa(args.lm)
+    if args.mix:
+        from aaltoasr_tpu.decoder.intergram import InterTreeGram
+        extra = [(read_bin(f) if f.endswith(".bin") else read_arpa(f),
+                  float(c)) for f, c in args.mix]
+        coeffs = ([1.0 - sum(c for _, c in extra)]
+                  + [c for _, c in extra])
+        lm = InterTreeGram([lm] + [m for m, _ in extra], coeffs)
     lat = SlfLattice.read(args.lattice)
     if args.lm_scale is not None:
         lat.lm_scale = args.lm_scale

@@ -13,11 +13,22 @@ from aaltoasr_tpu.formats.treegram_bin import read_bin
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="perplexity")
     p.add_argument("-l", "--lm", required=True)
+    p.add_argument("--mix", action="append", nargs=2, default=[],
+                   metavar=("FILE", "COEFF"),
+                   help="interpolate another LM with this coefficient "
+                        "(repeatable; InterTreeGram)")
     p.add_argument("-b", "--binary", action="store_true")
     p.add_argument("text", nargs="?", help="text file (default stdin)")
     args = p.parse_args(argv)
 
     lm = read_bin(args.lm) if args.binary else read_arpa(args.lm)
+    if args.mix:
+        from aaltoasr_tpu.decoder.intergram import InterTreeGram
+        extra = [(read_bin(f) if f.endswith(".bin") else read_arpa(f),
+                  float(c)) for f, c in args.mix]
+        coeffs = [1.0 - sum(c for _, c in extra)] + [c for _, c in extra]
+        lm = InterTreeGram(
+            [lm] + [m for m, _ in extra], coeffs)
     f = open(args.text) if args.text else sys.stdin
     total = 0.0
     n = 0

@@ -127,3 +127,65 @@ J=2 S=1 E=2 W=yksi a=0 l=0
         assert words2 and words2[0] == "kaksi"
         assert all(w in ("kaksi", "kolme", "yksi") for w in words2)
         assert words2 != words
+
+
+class TestInterTreeGram:
+    def test_interpolation_math(self):
+        """ln P = ln(sum alpha_i P_i) with per-member backoff
+        (InterTreeGram::log_prob)."""
+        import math
+        from aaltoasr_tpu.decoder.intergram import InterTreeGram
+        from aaltoasr_tpu.formats.arpa import read_arpa
+        from tests.test_decoder import ARPA_TEXT
+        lm1 = read_arpa(ARPA_TEXT)
+        lm2_text = """\
+\\data\\
+ngram 1=3
+
+\\1-grams:
+-0.3 yksi
+-0.6 kaksi
+-0.9 uusi
+
+\\end\\
+"""
+        lm2 = read_arpa(lm2_text)
+        inter = InterTreeGram([lm1, lm2], [0.7, 0.3])
+        assert inter.order == 2
+        w = inter.word_index
+        # in-both word under a bigram context known only to lm1
+        ctx = (w["yksi"],)
+        got = inter.log_prob(ctx, w["kaksi"])
+        p1 = math.exp(lm1.log_prob((lm1.word_index["yksi"],),
+                                   lm1.word_index["kaksi"]))
+        p2 = math.exp(lm2.log_prob((), lm2.word_index["kaksi"]))
+        assert got == pytest.approx(math.log(0.7 * p1 + 0.3 * p2),
+                                    abs=1e-9)
+        # word only in lm2
+        got2 = inter.log_prob((), w["uusi"])
+        p2u = math.exp(lm2.log_prob((), lm2.word_index["uusi"]))
+        assert got2 == pytest.approx(math.log(0.3 * p2u), abs=1e-9)
+
+    def test_coeff_validation(self):
+        from aaltoasr_tpu.decoder.intergram import InterTreeGram
+        from aaltoasr_tpu.formats.arpa import read_arpa
+        from tests.test_decoder import ARPA_TEXT
+        lm = read_arpa(ARPA_TEXT)
+        with pytest.raises(ValueError):
+            InterTreeGram([lm, lm], [0.5, 0.1])
+
+    def test_rescore_with_interpolated(self, tmp_path):
+        """SlfLattice.rescore accepts the interpolated LM unchanged."""
+        from aaltoasr_tpu.decoder.intergram import InterTreeGram
+        from aaltoasr_tpu.formats.arpa import read_arpa
+        from tests.test_decoder import ARPA_TEXT
+        lm = read_arpa(ARPA_TEXT)
+        inter = InterTreeGram([lm, lm], [0.5, 0.5])
+        lat = SlfLattice.read(TestLatticeGrammar.SLF)
+        out1 = lat.rescore(lm)
+        out2 = lat.rescore(inter)
+        w1, s1 = out1.best_path()
+        w2, s2 = out2.best_path()
+        # identical members -> identical interpolation
+        assert w1 == w2
+        assert s2 == pytest.approx(s1, abs=1e-4)
