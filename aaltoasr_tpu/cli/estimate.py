@@ -41,6 +41,10 @@ def main(argv=None) -> int:
     p.add_argument("--no-mixture-update", action="store_true")
     p.add_argument("--split", action="store_true",
                    help="Enable Gaussian splitting")
+    p.add_argument("--delete", type=float,
+                   help="delete Gaussians with occupancy below this")
+    p.add_argument("--mremove", type=float,
+                   help="remove mixture components below this weight")
     p.add_argument("--minocc", type=float, default=0.0,
                    help="Occupancy threshold for Gaussian splitting")
     p.add_argument("--maxmixgauss", type=int, default=2**30,
@@ -83,6 +87,16 @@ def main(argv=None) -> int:
             mixture_minweight=args.mixture_minweight,
             update_mixtures=not args.no_mixture_update,
             update_transitions=not args.no_transition_update)
+    if args.delete is not None:
+        from aaltoasr_tpu.train.split import delete_gaussians
+        new_model, n = delete_gaussians(new_model, stats, args.delete)
+        if args.info > 0:
+            print(f"Deleted {n} Gaussians", file=sys.stderr)
+    if args.mremove is not None:
+        from aaltoasr_tpu.train.split import remove_mixture_components
+        new_model, n = remove_mixture_components(new_model, args.mremove)
+        if args.info > 0:
+            print(f"Removed {n} mixture components", file=sys.stderr)
     if args.split:
         from aaltoasr_tpu.train.split import split_gaussians
         new_model, n = split_gaussians(

@@ -115,3 +115,75 @@ def split_gaussians(model: HmmModel, stats: HmmStats,
         transitions={k: list(v) for k, v in model.transitions.items()},
         durations=model.durations)
     return new_model, num_splits
+
+
+# ---------------------------------------------------------------------------
+# Gaussian / mixture-component removal (estimate --delete / --mremove)
+# ---------------------------------------------------------------------------
+
+def _compact_pool(model: HmmModel, keep: np.ndarray,
+                  mixtures: list) -> HmmModel:
+    """Drop unkept Gaussians, remap mixture indices, renormalize."""
+    new_id = np.cumsum(keep) - 1
+    means = model.means[keep]
+    covars = model.covars[keep]
+    full = {int(new_id[g]): c for g, c in model.full_covars.items()
+            if keep[g]}
+    kind = [k for g, k in enumerate(model.gauss_kind) if keep[g]]
+    out_mix = []
+    for idx, w in mixtures:
+        idx = np.asarray(idx, dtype=np.int64)
+        w = np.asarray(w, dtype=np.float64)
+        m = keep[idx]
+        idx, w = new_id[idx[m]], w[m]
+        s = w.sum()
+        if s > 0:
+            w = w / s
+        out_mix.append((idx.astype(np.int32), w))
+    return HmmModel(
+        dim=model.dim, cov_type=model.cov_type, means=means,
+        covars=covars, mixtures=out_mix, phones=model.phones,
+        transitions=model.transitions, full_covars=full,
+        gauss_kind=kind)
+
+
+def delete_gaussians(model: HmmModel, stats: HmmStats,
+                     minocc: float) -> tuple[HmmModel, int]:
+    """Delete Gaussians whose ML occupancy is below ``minocc``
+    (`aku/HmmSet.cc:1058-1140` delete_gaussians): every mixture keeps
+    at least its maximum-weight component."""
+    G = model.num_gaussians
+    occ = stats.buffers[ML_BUF].gamma[:G]
+    keep = occ >= minocc
+    for idx, w in model.mixtures:
+        idx = np.asarray(idx)
+        if not keep[idx].any():
+            keep[idx[int(np.argmax(w))]] = True      # retain the best
+    removed = int(G - keep.sum())
+    return _compact_pool(model, keep, list(model.mixtures)), removed
+
+
+def remove_mixture_components(model: HmmModel,
+                              min_weight: float) -> tuple[HmmModel, int]:
+    """Remove mixture components at or below ``min_weight``
+    (`aku/HmmSet.cc:1145-1180` remove_mixture_components): weights
+    renormalize after each removal, so a component can climb back above
+    the threshold; Gaussians left unused are dropped from the pool."""
+    mixtures = []
+    for idx, w in model.mixtures:
+        idx = list(map(int, idx))
+        w = list(map(float, w))
+        while len(w) > 1:
+            i = int(np.argmin(w))
+            if w[i] > min_weight:
+                break
+            del idx[i], w[i]
+            s = sum(w)
+            w = [x / s for x in w]
+        mixtures.append((np.asarray(idx, np.int32),
+                         np.asarray(w, np.float64)))
+    used = np.zeros(model.num_gaussians, dtype=bool)
+    for idx, _ in mixtures:
+        used[idx] = True
+    removed = int((~used).sum())
+    return _compact_pool(model, used, mixtures), removed

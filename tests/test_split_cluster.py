@@ -77,3 +77,60 @@ class TestGcluster:
         loaded, n = read_gcl(str(p))
         assert n == 3
         np.testing.assert_array_equal(loaded, a)
+
+
+class TestRemoval:
+    def test_delete_gaussians_keeps_best(self):
+        """Low-occupancy Gaussians die, but each mixture keeps at least
+        its max-weight component (HmmSet.cc:1058-1140)."""
+        from aaltoasr_tpu.train.split import delete_gaussians
+        from aaltoasr_tpu.train.accumulators import HmmStats, ML_BUF
+        from aaltoasr_tpu.models.hmm import TransitionTable
+        from tests.test_gmm import random_model
+        model = random_model(G=8, S=3, D=4, K=3, seed=1)
+        table = TransitionTable.from_model(model)
+        stats = HmmStats.zeros(model, table)
+        occ = np.array([10, 0.1, 10, 0.1, 0.1, 0.1, 10, 0.1])
+        stats.buffers[ML_BUF].gamma[:8] = occ
+        new, removed = delete_gaussians(model, stats, minocc=1.0)
+        assert removed > 0
+        assert new.num_gaussians == 8 - removed
+        # weights renormalized
+        for idx, w in new.mixtures:
+            assert len(idx) >= 1
+            np.testing.assert_allclose(w.sum(), 1.0, atol=1e-9)
+
+    def test_delete_all_keeps_one_per_mixture(self):
+        from aaltoasr_tpu.train.split import delete_gaussians
+        from aaltoasr_tpu.train.accumulators import HmmStats
+        from aaltoasr_tpu.models.hmm import TransitionTable
+        from tests.test_gmm import random_model
+        model = random_model(G=8, S=3, D=4, K=3, seed=2)
+        table = TransitionTable.from_model(model)
+        stats = HmmStats.zeros(model, table)   # all occupancies 0
+        new, _ = delete_gaussians(model, stats, minocc=5.0)
+        for idx, w in new.mixtures:
+            assert len(idx) == 1
+            np.testing.assert_allclose(w, [1.0])
+
+    def test_remove_mixture_components(self):
+        """Renormalize-after-each-removal loop: a component below the
+        threshold can survive once the others are gone."""
+        from aaltoasr_tpu.train.split import remove_mixture_components
+        from aaltoasr_tpu.formats import model_io
+        rng = np.random.default_rng(3)
+        model = model_io.HmmModel(
+            dim=3, cov_type="diagonal_cov",
+            means=rng.normal(0, 1, (4, 3)), covars=np.ones((4, 3)),
+            mixtures=[(np.array([0, 1, 2, 3], np.int32),
+                       np.array([0.85, 0.07, 0.05, 0.03]))],
+            phones=[model_io.HmmPhone("a", [0])],
+            transitions={0: [(0, .5), (1, .5)]})
+        new, removed = remove_mixture_components(model, 0.1)
+        idx, w = new.mixtures[0]
+        # 0.03 goes first, renorm; 0.05/0.97 still < 0.1 -> out; then
+        # 0.07/0.92 < 0.1 -> out; 0.85 alone = 1.0
+        assert len(idx) == 1
+        np.testing.assert_allclose(w, [1.0])
+        assert removed == 3
+        assert new.num_gaussians == 1
