@@ -514,6 +514,69 @@ class VtlnOp(Op):
 # quanteq — quantile equalization (FeatureModules.cc QuantEqModule)
 # ---------------------------------------------------------------------------
 
+class SRNormOp(Op):
+    """Speech-rate normalization: Lanczos resampling of a stacked
+    frame window (`aku/FeatureModules.cc` SRNormModule::set_speech_rate
+    + ::generate).
+
+    The input is ``in_frames`` concatenated frames; the output re-reads
+    them at ``out_frames`` positions spaced by 1/speech_rate around the
+    window center.  The per-rate Lanczos coefficients form one
+    [in_frames, out_frames] matrix, so generation is a tensordot +
+    relu (the reference clamps at 0 assuming non-negative features).
+    """
+
+    def __init__(self, cfg, src_dims):
+        (src_dim,) = src_dims
+        self.in_frames = cfg.get_int("in_frames", 0)
+        self.out_frames = cfg.get_int("out_frames", 0)
+        if not self.in_frames or not self.out_frames:
+            raise ValueError(
+                "SRNormModule: Must set both in_frames and out_frames.")
+        if src_dim % self.in_frames != 0:
+            raise ValueError("SRNormModule: in_frames does not match "
+                             "with the input dimension")
+        self.frame_dim = src_dim // self.in_frames
+        self.out_dim = self.out_frames * self.frame_dim
+        self.lanczos_order = cfg.get_int("lanczos_order", 4)
+        if self.lanczos_order < 1:
+            raise ValueError(
+                "SRNormModule: lanczos_order must be positive.")
+        self.default_rate = cfg.get_float("speech_rate", 1.0)
+
+    def _weights(self, rate: float) -> np.ndarray:
+        """[in_frames, out_frames] Lanczos matrix (set_speech_rate)."""
+        a = self.lanczos_order
+        in_cent = (self.in_frames - 1) / 2.0
+        out_cent = (self.out_frames - 1) / 2.0
+        W = np.zeros((self.in_frames, self.out_frames), np.float32)
+        for i in range(self.out_frames):
+            tp = (i - out_cent) / rate + in_cent
+            cent = int(np.round(tp))
+            lo = max(cent - a, 0)
+            hi = min(cent + a + 1, self.in_frames)
+            for j in range(lo, hi):
+                if abs(j - tp) < a:
+                    W[j, i] = _sinc(j - tp) * _sinc((j - tp) / a)
+        return W
+
+    def init_params(self):
+        return {"weights": self._weights(self.default_rate)}
+
+    def set_parameters(self, cfg):
+        rate = cfg.get_float("speech_rate", 1.0)
+        return {"weights": self._weights(rate)}
+
+    def apply(self, srcs, params):
+        x = srcs[0]
+        T = x.shape[0]
+        xf = x.reshape(T, self.in_frames, self.frame_dim)
+        y = jnp.einsum("tif,io->tof", xf,
+                       jnp.asarray(params["weights"]),
+                       precision=_F32)
+        return jnp.maximum(y, 0.0).reshape(T, self.out_dim)
+
+
 class QuantEqOp(Op):
     """Channel-dependent quantile equalization.
 
@@ -584,6 +647,5 @@ def build_op(mtype: str, cfg, src_dims: list, sample_rate: float) -> Op:
     if mtype == "quanteq":
         return QuantEqOp(cfg, src_dims)
     if mtype == "sr_norm":
-        raise NotImplementedError(
-            f"module type '{mtype}' not yet supported in aaltoasr_tpu")
+        return SRNormOp(cfg, src_dims)
     raise ValueError(f"Unknown module type '{mtype}'")

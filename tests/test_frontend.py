@@ -450,3 +450,56 @@ module
         p.write_bytes(struct.pack("<i", 3) + feats.tobytes())
         got = read_pre_file(str(p), 3)
         np.testing.assert_array_equal(got, feats)
+
+
+class TestSRNorm:
+    def _op(self, in_frames=5, out_frames=5, rate=1.0, dim=3):
+        from aaltoasr_tpu.formats.feaconf import ModuleConfig
+        from aaltoasr_tpu.frontend.modules import SRNormOp
+        cfg = ModuleConfig([("in_frames", in_frames),
+                            ("out_frames", out_frames),
+                            ("speech_rate", rate)])
+        return SRNormOp(cfg, [in_frames * dim])
+
+    def test_identity_at_unit_rate(self):
+        """speech_rate 1 with equal frame counts resamples at exactly
+        the input positions: Lanczos kernel degenerates to identity."""
+        import jax.numpy as jnp
+        op = self._op()
+        rng = np.random.default_rng(0)
+        x = np.abs(rng.normal(1, 0.3, (4, 15))).astype(np.float32)
+        y = np.asarray(op.apply([jnp.asarray(x)], op.init_params()))
+        np.testing.assert_allclose(y, x, rtol=1e-5, atol=1e-5)
+
+    def test_rate_compresses_window(self):
+        """rate > 1 (fast speech) reads positions closer together:
+        output frame 0 interpolates inside the window, not at frame 0."""
+        import jax.numpy as jnp
+        op = self._op(rate=2.0)
+        W = op.init_params()["weights"]
+        # output 0 targets (0-2)/2+2 = 1.0 -> peak at input frame 1
+        assert np.argmax(W[:, 0]) == 1
+        # center column stays centered
+        assert np.argmax(W[:, 2]) == 2
+        x = np.abs(np.random.default_rng(1).normal(
+            1, 0.3, (2, 15))).astype(np.float32)
+        y = np.asarray(op.apply([jnp.asarray(x)], op.init_params()))
+        assert y.shape == (2, 15)
+        assert (y >= 0).all()   # relu clamp (generate's max(t, 0))
+
+    def test_speaker_parameter_update(self):
+        from aaltoasr_tpu.formats.feaconf import ModuleConfig
+        op = self._op()
+        p2 = op.set_parameters(ModuleConfig([("speech_rate", 0.5)]))
+        assert not np.allclose(p2["weights"],
+                               op.init_params()["weights"])
+
+    def test_config_validation(self):
+        from aaltoasr_tpu.formats.feaconf import ModuleConfig
+        from aaltoasr_tpu.frontend.modules import SRNormOp
+        import pytest
+        with pytest.raises(ValueError):
+            SRNormOp(ModuleConfig([("in_frames", 4)]), [12])
+        with pytest.raises(ValueError):
+            SRNormOp(ModuleConfig([("in_frames", 5),
+                                   ("out_frames", 5)]), [16])
