@@ -33,6 +33,9 @@ def main(argv=None) -> int:
                    help="minimum occupancy count per tied state")
     p.add_argument("--sgain", type=float, default=0.0,
                    help="minimum splitting likelihood gain")
+    p.add_argument("--mloss", type=float,
+                   help="cluster merging with maximum loglikelihood "
+                        "loss")
     p.add_argument("--mcontext", type=int, default=0,
                    help="maximum context index (0 = unlimited)")
     p.add_argument("-O", "--ophn", action="store_true",
@@ -67,6 +70,11 @@ def main(argv=None) -> int:
                 np.ones(ef - sf), feats[sf:ef])
 
     pool.tie(max_context_index=args.mcontext)
+    if args.mloss is not None:
+        n = pool.merge(args.mloss)
+        if args.info > 0:
+            import sys
+            print(f"Merged {n} cluster pairs", file=sys.stderr)
     if args.basebind:
         pool.save_basebind(args.basebind)
     if args.out:

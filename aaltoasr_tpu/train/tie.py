@@ -238,6 +238,42 @@ class PhonePool:
         self.result = result
         return result
 
+    def merge(self, max_merge_loss: float) -> int:
+        """Post-clustering merge pass (PhonePool.cc:844-900
+        merge_context_phones): within each (phone, state), repeatedly
+        absorb the partner whose merge costs the least log-likelihood,
+        while that cost stays under ``max_merge_loss``.  Returns the
+        number of merges performed."""
+        merged_total = 0
+        for key, clusters in self.result.items():
+            c = 0
+            while c < len(clusters):
+                min_loss = 2 * max_merge_loss
+                best = -1
+                for i in range(c + 1, len(clusters)):
+                    loss = self._gain(
+                        Cluster(clusters[c].members
+                                + clusters[i].members),
+                        clusters[c].members, clusters[i].members)
+                    if loss < min_loss:
+                        min_loss = loss
+                        best = i
+                if best >= 0 and min_loss < max_merge_loss:
+                    clusters[c] = Cluster(
+                        clusters[c].members + clusters[best].members,
+                        clusters[c].rules)
+                    del clusters[best]
+                    merged_total += 1
+                    # reprocess the grown cluster (PhonePool.cc:884 c--)
+                else:
+                    c += 1
+            if self.info > 0:
+                import sys
+                print(f"Phone {key[0]} state {key[1]}: "
+                      f"{len(clusters)} clusters after merging",
+                      file=sys.stderr)
+        return merged_total
+
     # -- outputs ----------------------------------------------------------
     def make_model(self, diagonal: bool = True) -> HmmModel:
         """Initial tied model: one Gaussian per tied state, transitions

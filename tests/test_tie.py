@@ -91,3 +91,40 @@ class TestTying:
         b.add(np.ones(100), np.full((100, 1), 2.0))
         result = pool.tie()
         assert len(result[("a", 0)]) == 2
+
+
+class TestMergePass:
+    def test_merge_rejoins_similar_clusters(self):
+        """Two clusters with near-identical statistics merge back under
+        a permissive loss bound; distinct ones survive a tight bound
+        (PhonePool::merge_context_phones)."""
+        from aaltoasr_tpu.train.tie import Cluster, PhonePool
+        rng = np.random.default_rng(0)
+        D = 3
+        pool = PhonePool(dim=D)
+
+        def stats_for(center_mu, label):
+            from aaltoasr_tpu.train.tie import ContextPhoneStats
+            st = ContextPhoneStats(label=label)
+            for _ in range(50):
+                x = center_mu + rng.normal(0, 1, D)
+                st.add(1.0, x)
+            return st
+
+        a1 = stats_for(np.zeros(D), "x-a+y")
+        a2 = stats_for(np.zeros(D), "y-a+x")     # same distribution
+        b = stats_for(np.full(D, 8.0), "z-a+z")  # far away
+        pool.result = {("a", 0): [Cluster([a1]), Cluster([a2]),
+                                  Cluster([b])]}
+        import copy
+        pool2 = copy.deepcopy(pool)
+
+        n = pool.merge(max_merge_loss=60.0)
+        assert n == 1
+        assert len(pool.result[("a", 0)]) == 2
+        sizes = sorted(len(c.members) for c in pool.result[("a", 0)])
+        assert sizes == [1, 2]
+
+        # tight bound: nothing merges
+        assert pool2.merge(max_merge_loss=1e-6) == 0
+        assert len(pool2.result[("a", 0)]) == 3
