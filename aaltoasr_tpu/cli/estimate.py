@@ -35,6 +35,9 @@ def main(argv=None) -> int:
                    help='constant "C2" for EBW updates (default 2.0)')
     p.add_argument("--ismooth", type=float, default=0.0,
                    help="I-smoothing tau for EBW updates")
+    p.add_argument("--limit", type=float, default=0.0,
+                   help="global KLD limit for parameter change "
+                        "(constrained EBW)")
     p.add_argument("--minvar", type=float, default=0.1,
                    help="minimum variance (default 0.1)")
     p.add_argument("--mixture-minweight", type=float, default=0.0)
@@ -79,7 +82,7 @@ def main(argv=None) -> int:
         new_model = estimate_mmi(
             model, table, stats, c1=args.C1, c2=args.C2,
             tau=args.ismooth, minvar=args.minvar,
-            mode="mpe" if args.mpe else "mmi",
+            mode="mpe" if args.mpe else "mmi", max_kld=args.limit,
             update_mixtures=not args.no_mixture_update)
     else:
         new_model = estimate_ml(

@@ -42,16 +42,66 @@ def ebw_min_d(old_means, old_covars, c, mu_t, sigma_t) -> np.ndarray:
     return np.maximum(root, 0.0).max(axis=1)
 
 
+def _ebw_solution(old_means, old_covars, c, mu_t, sigma_t, d):
+    denom = c + d
+    safe = np.where(np.abs(denom) > 1e-10, denom, 1.0)
+    new_mean = (mu_t + d[:, None] * old_means) / safe[:, None]
+    new_cov = ((sigma_t + d[:, None] * (old_covars + old_means ** 2))
+               / safe[:, None] - new_mean ** 2)
+    return new_mean, new_cov
+
+
+def ebw_constrained_d(old_means, old_covars, c, mu_t, sigma_t,
+                      d0, max_kld: float) -> np.ndarray:
+    """Grow each Gaussian's D until the parameter change fits the KLD
+    budget (Gaussian::ConstrainedEBWSolver::constrained_update,
+    Distributions.cc:464-495): kld = max(mean KLD, diagonal cov KLD),
+    doubling then bisection — all Gaussians in lockstep instead of the
+    reference's per-Gaussian scalar search."""
+    D = old_means.shape[1]
+
+    def kld(d):
+        nm, nc = _ebw_solution(old_means, old_covars, c, mu_t,
+                               sigma_t, d)
+        nc = np.maximum(nc, 1e-10)
+        km = 0.5 * (((nm - old_means) ** 2) / old_covars).sum(axis=1)
+        kc = 0.5 * ((nc / old_covars
+                     + np.log(old_covars / nc)).sum(axis=1) - D)
+        return np.maximum(km, kc)
+
+    need = kld(d0) > max_kld
+    if not need.any():
+        return d0
+    lo = d0.copy()
+    hi = np.maximum(d0, 1e-10)
+    for _ in range(200):                        # doubling phase
+        over = need & (kld(hi) > max_kld)
+        if not over.any():
+            break
+        lo = np.where(over, hi, lo)
+        hi = np.where(over, hi * 2, hi)
+    for _ in range(60):                         # bisection (kld is
+        mid = 0.5 * (lo + hi)                   # decreasing in D)
+        over = kld(mid) > max_kld
+        lo = np.where(need & over, mid, lo)
+        hi = np.where(need & ~over, mid, hi)
+    return np.where(need, hi, d0)
+
+
 def ebw_gaussian_update(old_means, old_covars, num_gamma, num_m1, num_m2,
                         den_gamma, den_m1, den_m2,
                         c1: float = 2.0, c2: float = 2.0,
-                        tau: float = 0.0, minvar: float = 0.1):
+                        tau: float = 0.0, minvar: float = 0.1,
+                        max_kld: float = 0.0):
     """Vectorized EBW update; returns (means, covars, realized_d)."""
     c = num_gamma - den_gamma
     mu_t = num_m1 - den_m1
     sigma_t = num_m2 - den_m2
     min_d = ebw_min_d(old_means, old_covars, c, mu_t, sigma_t)
     d = np.maximum(c1 * den_gamma + tau, c2 * min_d)
+    if max_kld > 0:
+        d = ebw_constrained_d(old_means, old_covars, c, mu_t, sigma_t,
+                              d, max_kld)
     denom = c + d
     safe = np.where(np.abs(denom) > 1e-10, denom, 1.0)
     new_mean = (mu_t + d[:, None] * old_means) / safe[:, None]
@@ -115,7 +165,7 @@ def mmi_mixture_weights(num_gamma, den_gamma, old_weights,
 def estimate_mmi(model: HmmModel, table: TransitionTable,
                  stats: HmmStats, c1: float = 2.0, c2: float = 2.0,
                  tau: float = 0.0, minvar: float = 0.1,
-                 mode: str = "mmi",
+                 mode: str = "mmi", max_kld: float = 0.0,
                  update_mixtures: bool = True) -> HmmModel:
     """Discriminative M-step from num/den buffers -> new model."""
     if mode == "mmi":
@@ -128,7 +178,7 @@ def estimate_mmi(model: HmmModel, table: TransitionTable,
         model.means, model.covars,
         num.gamma[:G], num.mean_acc[:G], num.sec_acc[:G],
         den.gamma[:G], den.mean_acc[:G], den.sec_acc[:G],
-        c1=c1, c2=c2, tau=tau, minvar=minvar)
+        c1=c1, c2=c2, tau=tau, minvar=minvar, max_kld=max_kld)
     means = np.where(has_data[:, None], means, model.means)
     covars = np.where(has_data[:, None], covars, model.covars)
 

@@ -162,3 +162,57 @@ class TestMmiPipeline:
         new_model = estimate_mmi(model, table, stats, minvar=0.01)
         obj1, _, _ = mmi_objective(new_model)
         assert obj1 > obj0
+
+
+class TestConstrainedEbw:
+    def test_kld_limit_shrinks_step(self):
+        """With a KLD budget the update moves less, and the realized
+        change respects max(mean_kld, cov_kld) <= limit."""
+        from aaltoasr_tpu.train.ebw import (
+            _ebw_solution, ebw_constrained_d, ebw_gaussian_update)
+        rng = np.random.default_rng(0)
+        G, D = 6, 4
+        mu = rng.normal(0, 1, (G, D))
+        cov = np.full((G, D), 1.0)
+        ng = np.full(G, 20.0)
+        nm1 = (mu + 1.5) * ng[:, None]          # pull means up hard
+        nm2 = (cov + (mu + 1.5) ** 2) * ng[:, None]
+        dg = np.full(G, 5.0)
+        dm1 = mu * dg[:, None]
+        dm2 = (cov + mu ** 2) * dg[:, None]
+
+        m_free, c_free, d_free = ebw_gaussian_update(
+            mu, cov, ng, nm1, nm2, dg, dm1, dm2, minvar=1e-4)
+        limit = 0.05
+        m_lim, c_lim, d_lim = ebw_gaussian_update(
+            mu, cov, ng, nm1, nm2, dg, dm1, dm2, minvar=1e-4,
+            max_kld=limit)
+        # step strictly smaller
+        assert (np.abs(m_lim - mu).sum()
+                < np.abs(m_free - mu).sum())
+        assert (d_lim >= d_free - 1e-9).all()
+        # realized KLD at the chosen D within budget (small tolerance
+        # for the bisection)
+        km = 0.5 * (((m_lim - mu) ** 2) / cov).sum(axis=1)
+        kc = 0.5 * ((np.maximum(c_lim, 1e-10) / cov
+                     + np.log(cov / np.maximum(c_lim, 1e-10))
+                     ).sum(axis=1) - D)
+        assert (np.maximum(km, kc) <= limit * 1.05 + 1e-6).all()
+
+    def test_no_op_when_within_budget(self):
+        from aaltoasr_tpu.train.ebw import ebw_gaussian_update
+        rng = np.random.default_rng(1)
+        G, D = 4, 3
+        mu = rng.normal(0, 1, (G, D))
+        cov = np.ones((G, D))
+        ng = np.full(G, 10.0)
+        nm1 = (mu + 0.001) * ng[:, None]
+        nm2 = (cov + (mu + 0.001) ** 2) * ng[:, None]
+        dg = np.full(G, 2.0)
+        dm1 = mu * dg[:, None]
+        dm2 = (cov + mu ** 2) * dg[:, None]
+        a = ebw_gaussian_update(mu, cov, ng, nm1, nm2, dg, dm1, dm2)
+        b = ebw_gaussian_update(mu, cov, ng, nm1, nm2, dg, dm1, dm2,
+                                max_kld=100.0)
+        np.testing.assert_allclose(a[0], b[0])
+        np.testing.assert_allclose(a[2], b[2])
