@@ -69,6 +69,9 @@ def main(argv=None) -> int:
                     normalize=not args.no_normalization)
     if args.speakers:
         pp.read_speaker_config(args.speakers)
+    if args.clusters:
+        pp.read_clustering(args.clusters, args.eval_minc,
+                           args.eval_ming)
     recipe = Recipe.read(args.recipe, args.batch, args.bindex)
     if args.sort_recipe:
         recipe.sort_by_speaker()

@@ -49,6 +49,16 @@ class PhoneProbs:
         self.speaker_config: SpeakerConfig | None = None
 
     # -- speaker adaptation ----------------------------------------------
+    def read_clustering(self, path, eval_minc: float = 0.0,
+                        eval_ming: float = 0.1) -> None:
+        """Gaussian clustering for gated evaluation (phone_probs -C,
+        `aku/phone_probs.cc:112-117`)."""
+        from aaltoasr_tpu.train.gcluster import read_gcl
+        assign, C = read_gcl(path)
+        self.scorer = self.scorer.with_clustering(
+            self.model, assign, C, eval_minc, eval_ming)
+        type(self)._program.cache_clear()   # programs close over scorer
+
     def read_speaker_config(self, path) -> None:
         self.speaker_config = SpeakerConfig.load(path)
 

@@ -50,6 +50,14 @@ class GmmScorer:
     comp_idx: jax.Array
     comp_logw: jax.Array
     full_cov: bool = False
+    # cluster gating (PDFPool::compute_likelihoods clustering branch,
+    # Distributions.cc:2684-2722): None = dense evaluation
+    cluster_of: jax.Array | None = None       # [Gp] cluster per Gaussian
+    cluster_matrix: jax.Array | None = None   # [2D, C] center tables
+    cluster_bias: jax.Array | None = None     # [C]
+    cluster_sizes: jax.Array | None = None    # [C]
+    min_eval_clusters: int = 0
+    min_eval_gauss: int = 0
 
     @classmethod
     def from_model(cls, model: HmmModel, pad_gaussians_to: int = 128,
@@ -121,13 +129,84 @@ class GmmScorer:
             xx = jnp.concatenate([x * x, x], axis=-1)
         return jnp.dot(xx, self.score_matrix, precision=_F32) + self.score_bias
 
+    def with_clustering(self, model: HmmModel, assign: np.ndarray,
+                        num_clusters: int, eval_minc: float = 0.0,
+                        eval_ming: float = 0.1) -> "GmmScorer":
+        """Attach Gaussian clustering for gated evaluation
+        (HmmSet::set_clustering_min_evals, HmmSet.cc:1354-1366).
+
+        Cluster centers merge their members with equal weights
+        (PDFPool::read_clustering); non-selected Gaussians score their
+        center's likelihood.  On the MXU the dense matmul is already
+        cheap — the gate reproduces the reference's approximation
+        OUTPUT (for parity), rather than saving compute."""
+        import dataclasses
+        G, D = model.means.shape
+        C = num_clusters
+        mu = np.zeros((C, D))
+        var = np.ones((C, D))
+        sizes = np.zeros(C, dtype=np.int32)
+        for c in range(C):
+            m = assign == c
+            sizes[c] = int(m.sum())
+            if sizes[c]:
+                mu[c] = model.means[m].mean(axis=0)
+                var[c] = ((model.covars[m]
+                           + model.means[m] ** 2).mean(axis=0)
+                          - mu[c] ** 2)
+        with np.errstate(divide="ignore"):
+            prec = np.where(var > 0, 1.0 / var, 0.0)
+        A = np.zeros((2 * D, C), dtype=np.float32)
+        A[:D] = (-0.5 * prec).T
+        A[D:] = (mu * prec).T
+        prod = np.prod(prec, axis=1)
+        const = np.where(prod > 0,
+                         0.5 * np.log(np.maximum(prod, 1e-300)), 0.0)
+        bias = (const - 0.5 * np.sum(mu * mu * prec, axis=1)
+                ).astype(np.float32)
+        Gp = int(self.score_matrix.shape[1])
+        cl = np.zeros(Gp, dtype=np.int32)
+        cl[:G] = assign
+        return dataclasses.replace(
+            self,
+            cluster_of=jnp.asarray(cl),
+            cluster_matrix=jnp.asarray(A),
+            cluster_bias=jnp.asarray(bias),
+            cluster_sizes=jnp.asarray(sizes),
+            min_eval_clusters=max(int(eval_minc * C), 1),
+            min_eval_gauss=max(int(eval_ming * G), 1))
+
+    def gated_gaussian_log_likelihoods(self, features: jax.Array):
+        """Clustered evaluation: exact likelihoods inside the
+        top-ranked clusters, the center likelihood elsewhere
+        (Distributions.cc:2695-2722)."""
+        x = features.astype(jnp.float32)
+        gll = self.gaussian_log_likelihoods(features)
+        xx = jnp.concatenate([x * x, x], axis=-1)
+        cll = (jnp.dot(xx, self.cluster_matrix, precision=_F32)
+               + self.cluster_bias)                       # [T, C]
+        C = cll.shape[1]
+        order = jnp.argsort(-cll, axis=1)
+        sizes = self.cluster_sizes[order]
+        cum_before = jnp.cumsum(sizes, axis=1) - sizes
+        sel_sorted = ((jnp.arange(C)[None, :] < self.min_eval_clusters)
+                      | (cum_before < self.min_eval_gauss))
+        T = cll.shape[0]
+        sel = jnp.zeros(cll.shape, bool).at[
+            jnp.arange(T)[:, None], order].set(sel_sorted)
+        mask = sel[:, self.cluster_of]                    # [T, Gp]
+        return jnp.where(mask, gll, cll[:, self.cluster_of])
+
     def state_log_likelihoods(self, features: jax.Array) -> jax.Array:
         """[T, D] -> [T, Sp] mixture (tied-state) log-likelihoods.
 
         Equivalent of HmmSet::precompute_likelihoods + state_likelihood
         (`aku/HmmSet.cc:485`, `aku/Distributions.cc:2079`) over all frames.
         """
-        gll = self.gaussian_log_likelihoods(features)      # [T, Gp]
+        if self.cluster_of is not None:
+            gll = self.gated_gaussian_log_likelihoods(features)
+        else:
+            gll = self.gaussian_log_likelihoods(features)   # [T, Gp]
         comp = gll[:, self.comp_idx]                        # [T, Sp, K]
         return logsumexp(comp + self.comp_logw, axis=-1)    # [T, Sp]
 

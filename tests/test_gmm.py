@@ -211,3 +211,47 @@ class TestFullCovariance:
             0, 1, (3, model.dim)).astype(np.float32)
         got = np.asarray(sc.gaussian_log_likelihoods(X))
         np.testing.assert_allclose(got[:, 0], 0.0, atol=1e-5)
+
+
+class TestClusterGating:
+    def test_gated_semantics(self):
+        """Selected clusters score exactly; the rest inherit their
+        center's likelihood (Distributions.cc:2684-2722)."""
+        import jax.numpy as jnp
+        from aaltoasr_tpu.train.gcluster import cluster_gaussians
+        model = random_model(G=16, S=5, D=6, K=3, seed=7)
+        assign = cluster_gaussians(model.means, 4)
+        sc = GmmScorer.from_model(model)
+        gated_sc = sc.with_clustering(model, assign, 4, eval_minc=0.0,
+                                      eval_ming=0.25)
+        rng = np.random.default_rng(8)
+        X = jnp.asarray(rng.normal(0, 1, (5, 6)).astype(np.float32))
+        exact = np.asarray(sc.gaussian_log_likelihoods(X))
+        gated = np.asarray(gated_sc.gated_gaussian_log_likelihoods(X))
+        cll_cols = np.asarray(gated_sc.cluster_of)[:16]
+        for t in range(5):
+            for g in range(16):
+                v = gated[t, g]
+                # either the exact value or a shared per-cluster value
+                same_cluster = [gated[t, h] for h in range(16)
+                                if cll_cols[h] == cll_cols[g]]
+                assert (np.isclose(v, exact[t, g], atol=1e-4)
+                        or np.allclose(same_cluster, v, atol=1e-4))
+        # at least min_eval_gauss Gaussians exact per frame
+        exact_hits = np.isclose(gated[:, :16], exact[:, :16],
+                                atol=1e-4).sum(axis=1)
+        assert (exact_hits >= gated_sc.min_eval_gauss).all()
+
+    def test_full_eval_ratio_recovers_exact(self):
+        """eval_ming=1.0 selects every cluster: gated == dense."""
+        import jax.numpy as jnp
+        from aaltoasr_tpu.train.gcluster import cluster_gaussians
+        model = random_model(G=12, S=4, D=5, K=2, seed=9)
+        assign = cluster_gaussians(model.means, 3)
+        sc = GmmScorer.from_model(model)
+        g2 = sc.with_clustering(model, assign, 3, eval_ming=1.0)
+        X = jnp.asarray(np.random.default_rng(1).normal(
+            0, 1, (4, 5)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(g2.state_log_likelihoods(X)),
+            np.asarray(sc.state_log_likelihoods(X)), atol=1e-4)
