@@ -14,8 +14,12 @@ into dense SoA arrays the batched beam search consumes directly —
   closure of word-end -> root -> first states, so the device search needs
   exactly one in-word expansion + one word-end expansion per frame).
 
-This round builds the monophone tree; cross-word triphone fan-in/fan-out
-(`TPLexPrefixTree.hh:172-240`) is a planned extension of the same arrays.
+Triphone lexicons build cross-word fan-in/fan-out variants
+(`TPLexPrefixTree.hh:172-240`): boundary phones get one copy per
+context class, word ends carry (last-phone class, assumed-next-class
+set) pair ids, and re-entry gathers the matching ``root_pair_tgt``
+row — so the device search pays exactly one extra [E] gather per frame
+for full cross-word context modeling.
 """
 
 from __future__ import annotations
@@ -63,7 +67,7 @@ def read_lexicon(path_or_text) -> list:
 
 @dataclass
 class PrefixTree:
-    """Flattened monophone lexical prefix tree."""
+    """Flattened lexical prefix tree (monophone or cross-word triphone)."""
 
     num_nodes: int
     vocab: list                    # word id -> string
@@ -77,9 +81,27 @@ class PrefixTree:
     we_pron_logp: np.ndarray       # [N, H] pronunciation ln-prob (LM side,
                                    #        cm_log_prob in the reference)
     we_skip_lm: np.ndarray         # [N, H] bool: no LM score (silence)
-    root_tgt: np.ndarray           # [R] entry nodes
+    root_tgt: np.ndarray           # [R] entry nodes (union over contexts)
     root_logp: np.ndarray          # [R]
     silence_word: int = -1
+    # cross-word triphone re-entry (TPLexPrefixTree fan-in/fan-out,
+    # decoder/src/TPLexPrefixTree.hh:172-240).  A word end carries a
+    # pair id = (last monophone class of the word, set of next first
+    # phones its fan-out variant assumed); re-entry gathers that row.
+    # Monophone trees degenerate to one row == the union root arcs, so
+    # the search kernel is context-free of the tree flavor.
+    we_pair: np.ndarray | None = None        # [N, H] pair ids
+    root_pair_tgt: np.ndarray | None = None  # [P, R]
+    root_pair_logp: np.ndarray | None = None # [P, R]
+    init_pair: int = 0                       # utterance-initial row
+
+    def __post_init__(self):
+        if self.root_pair_tgt is None:
+            R = len(self.root_tgt)
+            self.root_pair_tgt = self.root_tgt.reshape(1, R)
+            self.root_pair_logp = self.root_logp.reshape(1, R)
+        if self.we_pair is None:
+            self.we_pair = np.zeros(self.we_word.shape, dtype=np.int32)
 
 
 def expand_context_phones(phones: list, phone_map: dict,
@@ -108,19 +130,38 @@ def expand_context_phones(phones: list, phone_map: dict,
     return out
 
 
+def _resolve_context(phone_map: dict, left: str, p: str,
+                     right: str) -> str | None:
+    """Tied-triphone label with fallbacks: l-c+r -> l-c -> c+r -> c."""
+    for cand in (f"{left}-{p}+{right}", f"{left}-{p}", f"{p}+{right}", p):
+        if cand in phone_map:
+            return cand
+    return None
+
+
 def build_prefix_tree(model: HmmModel, entries: list,
                       silence_is_word: bool = True,
-                      use_context_phones: bool | None = None) -> PrefixTree:
+                      use_context_phones: bool | None = None,
+                      cross_word: bool | None = None,
+                      boundary: str = "_") -> PrefixTree:
     """Compile lexicon entries against the acoustic model's phones.
 
     use_context_phones: expand lexicon monophone strings to the model's
     tied context-dependent labels (auto-detected from the model's phone
     inventory by default).
+    cross_word: build fan-in/fan-out variants for the word-boundary
+    phones so triphone contexts hold ACROSS words (TPLexPrefixTree
+    fan-in/fan-out, `decoder/src/TPLexPrefixTree.hh:172-240`); defaults
+    to use_context_phones.
     """
     phone_map = {p.label: p for p in model.phones}
     if use_context_phones is None:
         use_context_phones = any(
             ("-" in lbl or "+" in lbl) for lbl in phone_map)
+    if cross_word is None:
+        cross_word = use_context_phones
+    if use_context_phones and cross_word:
+        return _build_crossword_tree(model, entries, phone_map, boundary)
     if use_context_phones:
         entries = [
             LexiconEntry(word=e.word,
@@ -237,6 +278,256 @@ def build_prefix_tree(model: HmmModel, entries: list,
         root_tgt=np.asarray(root_tgt, dtype=np.int32),
         root_logp=np.asarray(root_logp, dtype=np.float32),
         silence_word=silence_word)
+
+
+def _build_crossword_tree(model: HmmModel, entries: list,
+                          phone_map: dict, boundary: str) -> PrefixTree:
+    """Cross-word triphone tree: boundary phones expand into context
+    variants (fan-in per preceding class, fan-out per following class);
+    interiors stay a shared trie keyed by the resolved label chain.
+
+    Word ends carry pair ids (last monophone class, fan-out class set);
+    ``root_pair_tgt[pair]`` lists the fan-in entries that continue them.
+    """
+    import sys
+
+    words = [e for e in entries if e.phones]
+
+    classes = sorted({e.phones[0] for e in words}
+                     | {e.phones[-1] for e in words} | {boundary})
+    cid = {c: i for i, c in enumerate(classes)}
+    NC = len(classes)
+
+    vocab: list = []
+    word_index: dict = {}
+
+    def wid(w):
+        if w not in word_index:
+            word_index[w] = len(vocab)
+            vocab.append(w)
+        return word_index[w]
+
+    pdf: list = []
+    dur_state: list = []
+    arcs: list = []
+    we: list = []
+
+    def new_node(pdf_id):
+        pdf.append(pdf_id)
+        dur_state.append(pdf_id)
+        arcs.append([])
+        we.append([])
+        return len(pdf) - 1
+
+    def log(p):
+        return math.log(p) if p > 0 else LOG_ZERO
+
+    class Inst:
+        def __init__(self, label):
+            phone = phone_map[label]
+            self.nodes = [new_node(s) for s in phone.states]
+            self.exits = []
+            k = len(phone.states)
+            for i, s in enumerate(phone.states):
+                for off, prob in model.transitions.get(s, []):
+                    lp = log(prob)
+                    if i + off < k:
+                        arcs[self.nodes[i]].append(
+                            (self.nodes[i + off], lp))
+                    elif i + off == k:
+                        self.exits.append((self.nodes[i], lp))
+
+    class Variant:
+        def __init__(self, label):
+            self.inst = Inst(label)
+            self.left: set = set()       # allowed preceding classes
+            self.rset: set = set()       # assumed following classes
+            self.first_class = -1        # monophone class of phone 1
+            self.ends: list = []         # (word, pron, skip, last_cls)
+
+    interior: dict = {}      # tuple(monophones incl right ctx) -> Inst
+    fanin: dict = {}         # (p1, p2) -> {label: Variant}
+    fanout: dict = {}        # tuple(word phones) -> {label: Variant}
+    single: dict = {}        # p1 -> {label: Variant}
+    edges: set = set()       # (src Inst id, tgt node) wired once
+
+    def wire(src: Inst, dst: Inst):
+        key = (id(src), dst.nodes[0])
+        if key in edges:
+            return
+        edges.add(key)
+        for (n, lp) in src.exits:
+            arcs[n].append((dst.nodes[0], lp))
+
+    for e in words:
+        p = e.phones
+        k = len(p)
+        is_sil = e.word == "_"
+        w = -1 if is_sil else wid(e.word)
+        if k == 1:
+            vd = single.setdefault(p[0], {})
+            variants = {}
+            for c in classes:
+                for r in classes:
+                    lbl = _resolve_context(phone_map, c, p[0], r)
+                    if lbl is None:
+                        continue          # this context pair unmodeled
+                    v = vd.get(lbl)
+                    if v is None:
+                        v = vd[lbl] = Variant(lbl)
+                        v.first_class = cid[p[0]]
+                    v.left.add(cid[c])
+                    v.rset.add(cid[r])
+                    variants[lbl] = v
+            if not variants:
+                print(f"build_prefix_tree: unknown hmm {p[0]} in "
+                      f"word '{e.word}'", file=sys.stderr)
+                continue
+            for v in variants.values():
+                v.ends.append((w, log(e.prob), is_sil, cid[p[0]]))
+            continue
+
+        # resolve everything before touching shared state
+        first_lbls = {c: _resolve_context(phone_map, c, p[0], p[1])
+                      for c in classes}
+        first_lbls = {c: l for c, l in first_lbls.items()
+                      if l is not None}
+        inner_lbls = [_resolve_context(phone_map, p[i - 1], p[i],
+                                       p[i + 1])
+                      for i in range(1, k - 1)]
+        last_lbls = {r: _resolve_context(phone_map, p[k - 2], p[k - 1],
+                                         r)
+                     for r in classes}
+        last_lbls = {r: l for r, l in last_lbls.items()
+                     if l is not None}
+        if (not first_lbls or not last_lbls
+                or any(l is None for l in inner_lbls)):
+            bad = (p[0] if not first_lbls else
+                   p[k - 1] if not last_lbls else
+                   p[1 + inner_lbls.index(None)])
+            print(f"build_prefix_tree: unknown hmm {bad} in word "
+                  f"'{e.word}'", file=sys.stderr)
+            continue
+
+        # fan-in variants of the first phone
+        fi = fanin.setdefault((p[0], p[1]), {})
+        first_vars = {}
+        for c, lbl in first_lbls.items():
+            v = fi.get(lbl)
+            if v is None:
+                v = fi[lbl] = Variant(lbl)
+                v.first_class = cid[p[0]]
+            v.left.add(cid[c])
+            first_vars[lbl] = v
+
+        # shared interior chain
+        prev_insts = [v.inst for v in first_vars.values()]
+        for i in range(1, k - 1):
+            key = tuple(p[:i + 2])
+            inst = interior.get(key)
+            if inst is None:
+                inst = interior[key] = Inst(inner_lbls[i - 1])
+            for src in prev_insts:
+                wire(src, inst)
+            prev_insts = [inst]
+
+        # fan-out variants of the last phone
+        fo = fanout.setdefault(tuple(p), {})
+        last_vars = {}
+        for r, lbl in last_lbls.items():
+            v = fo.get(lbl)
+            if v is None:
+                v = fo[lbl] = Variant(lbl)
+            v.rset.add(cid[r])
+            last_vars[lbl] = v
+        for v in last_vars.values():
+            for src in prev_insts:
+                wire(src, v.inst)
+            v.ends.append((w, log(e.prob), is_sil, cid[p[k - 1]]))
+
+    # ---- pair table: (last class, rc set) -> root row
+    all_variants = ([v for d in fanin.values() for v in d.values()]
+                    + [v for d in single.values() for v in d.values()])
+    end_variants = ([v for d in fanout.values() for v in d.values()]
+                    + [v for d in single.values() for v in d.values()])
+    rcsets: dict = {}
+
+    def rcset_id(fs):
+        fs = frozenset(fs)
+        if fs not in rcsets:
+            rcsets[fs] = len(rcsets)
+        return rcsets[fs]
+
+    full_set = rcset_id(frozenset(range(NC)))
+    for v in end_variants:
+        v.rcid = rcset_id(v.rset)
+    NR = len(rcsets)
+    P = NC * NR
+
+    rows_tgt: list = [[] for _ in range(P)]
+    rows_lp: list = [[] for _ in range(P)]
+    rcset_list = [None] * NR
+    for fs, i in rcsets.items():
+        rcset_list[i] = fs
+    for pair in range(P):
+        c_id, rc_i = divmod(pair, NR)
+        rc = rcset_list[rc_i]
+        for v in all_variants:
+            if c_id in v.left and v.first_class in rc:
+                rows_tgt[pair].append(v.inst.nodes[0])
+                rows_lp[pair].append(0.0)
+
+    # word ends on the exit states, tagged with the pair id
+    for v in end_variants:
+        for (w, pron, skip, last_cls) in v.ends:
+            pair = last_cls * NR + v.rcid
+            for (n, lp) in v.inst.exits:
+                we[n].append((w, lp, pron, skip, pair))
+
+    init_pair = cid.get(boundary, 0) * NR + full_set
+    union = sorted({v.inst.nodes[0] for v in all_variants})
+
+    # ---- pack to SoA
+    N = len(pdf)
+    A = max((len(a) for a in arcs), default=1)
+    H = max((len(h) for h in we), default=1)
+    R = max((len(r) for r in rows_tgt), default=1)
+    arc_tgt = np.tile(np.arange(N, dtype=np.int32)[:, None], (1, A))
+    arc_logp = np.full((N, A), LOG_ZERO, dtype=np.float32)
+    we_word = np.full((N, H), -1, dtype=np.int32)
+    we_exit = np.full((N, H), LOG_ZERO, dtype=np.float32)
+    we_pron = np.zeros((N, H), dtype=np.float32)
+    we_skip = np.zeros((N, H), dtype=bool)
+    we_pair = np.zeros((N, H), dtype=np.int32)
+    for n in range(N):
+        for a, (tgt, lp) in enumerate(arcs[n]):
+            arc_tgt[n, a] = tgt
+            arc_logp[n, a] = lp
+        for h, (w, lp, pron, skip, pair) in enumerate(we[n]):
+            we_word[n, h] = w
+            we_exit[n, h] = lp
+            we_pron[n, h] = pron
+            we_skip[n, h] = skip
+            we_pair[n, h] = pair
+    root_pair_tgt = np.zeros((P, R), dtype=np.int32)
+    root_pair_logp = np.full((P, R), LOG_ZERO, dtype=np.float32)
+    for pair in range(P):
+        for r, (tgt, lp) in enumerate(zip(rows_tgt[pair],
+                                          rows_lp[pair])):
+            root_pair_tgt[pair, r] = tgt
+            root_pair_logp[pair, r] = lp
+
+    return PrefixTree(
+        num_nodes=N, vocab=vocab, word_index=word_index,
+        pdf=np.asarray(pdf, dtype=np.int32),
+        dur_state=np.asarray(dur_state, dtype=np.int32),
+        arc_tgt=arc_tgt, arc_logp=arc_logp,
+        we_word=we_word, we_exit_logp=we_exit, we_pron_logp=we_pron,
+        we_skip_lm=we_skip,
+        root_tgt=np.asarray(union, dtype=np.int32),
+        root_logp=np.zeros(len(union), dtype=np.float32),
+        we_pair=we_pair, root_pair_tgt=root_pair_tgt,
+        root_pair_logp=root_pair_logp, init_pair=init_pair)
 
 
 def duration_table(model: HmmModel, max_dur: int = 64,

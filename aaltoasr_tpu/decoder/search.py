@@ -118,8 +118,9 @@ class BeamSearch:
             "we_exit": jnp.asarray(tree.we_exit_logp),
             "we_pron": jnp.asarray(tree.we_pron_logp),
             "we_skip": jnp.asarray(tree.we_skip_lm),
-            "root_tgt": jnp.asarray(tree.root_tgt),
-            "root_logp": jnp.asarray(tree.root_logp),
+            "root_tgt": jnp.asarray(tree.root_pair_tgt),
+            "root_logp": jnp.asarray(tree.root_pair_logp),
+            "we_pair": jnp.asarray(tree.we_pair),
             "dur_tab": jnp.asarray(
                 duration_table(model, config.max_dur,
                                config.duration_scale)),
@@ -130,6 +131,7 @@ class BeamSearch:
                 or [-1], dtype=np.int32)),
             **lm.device_tables(),
         }
+        self._init_pair = int(tree.init_pair)
         self._la_on = bool(config.lm_lookahead)
         if self._la_on:
             self.tables["la"] = jnp.asarray(unigram_lookahead(
@@ -201,6 +203,8 @@ class BeamSearch:
         e_lm = jnp.take(lm_next.reshape(-1), order)
         e_am = jnp.take(we_am.reshape(-1), order)
         e_lms = jnp.take(we_lms.reshape(-1), order)
+        w_pair = jnp.broadcast_to(t["we_pair"][node], w_word.shape)
+        e_pair = jnp.take(w_pair.reshape(-1), order)
         # records: silence (word<0) keeps its previous record pointer;
         # pointers are globally unique: step_idx * E + slot.  Cumulative
         # am/lm scores ride along for lattice (SLF) construction.
@@ -212,17 +216,20 @@ class BeamSearch:
         slot_ptr = step_idx * E + jnp.arange(E, dtype=jnp.int32)
         new_rec = jnp.where(is_word, slot_ptr, e_prev)
 
-        # re-entry through root arcs [E, R]
-        r_tgt = t["root_tgt"]                           # [R]
-        R = r_tgt.shape[0]
+        # re-entry through the word end's context row [E, R]
+        # (cross-word fan-in: silence/monophone trees have one row)
+        r_tgt = t["root_tgt"][e_pair]                   # [E, R]
+        r_lp = t["root_logp"][e_pair]
+        R = r_tgt.shape[1]
         c2 = {
-            "node": jnp.broadcast_to(r_tgt[None, :], (E, R)),
+            "node": r_tgt,
             "lm": jnp.broadcast_to(e_lm[:, None], (E, R)),
-            "am": e_am[:, None] + t["root_logp"][None, :],
+            "am": e_am[:, None] + r_lp,
             "lms": jnp.broadcast_to(e_lms[:, None], (E, R)),
             "dur": jnp.zeros((E, R), jnp.int32),
             "rec": jnp.broadcast_to(new_rec[:, None], (E, R)),
-            "alive": jnp.broadcast_to(e_alive[:, None], (E, R)),
+            "alive": (jnp.broadcast_to(e_alive[:, None], (E, R))
+                      & (r_lp > LOG_ZERO / 2)),
         }
         c2 = {k: v.reshape(-1) for k, v in c2.items()}
 
@@ -274,12 +281,15 @@ class BeamSearch:
         cfg = self.config
         t = self.tables
         W = cfg.num_tokens
-        R = t["root_tgt"].shape[0]
+        R = t["root_tgt"].shape[1]
 
-        # init: expand root arcs at frame 0
+        # init: expand the utterance-initial root row at frame 0
+        init_tgt = t["root_tgt"][self._init_pair]
+        init_lp = t["root_logp"][self._init_pair]
         node0 = jnp.full((W,), 0, jnp.int32)
-        node0 = node0.at[:R].set(t["root_tgt"])
-        alive0 = jnp.zeros((W,), bool).at[:R].set(True)
+        node0 = node0.at[:R].set(init_tgt)
+        alive0 = jnp.zeros((W,), bool).at[:R].set(
+            init_lp > LOG_ZERO / 2)
         am0 = jnp.where(alive0, obs[0][t["pdf"][node0]], LOG_ZERO)
         tokens = (node0, jnp.full((W,), lm_init, jnp.int32), am0,
                   jnp.zeros((W,), jnp.float32), jnp.zeros((W,), jnp.int32),
@@ -417,15 +427,17 @@ class StreamingDecoder:
         cfg = s.config
         t = s.tables
         W = cfg.num_tokens
-        R = t["root_tgt"].shape[0]
+        R = t["root_tgt"].shape[1]
         self._frame = 0
         self._rec_words = []
         self._rec_prevs = []
         self._rec_ams = []
         self._rec_lmss = []
         lm_init = s.lm.initial_state(self._sentence_start)
-        node0 = jnp.full((W,), 0, jnp.int32).at[:R].set(t["root_tgt"])
-        alive0 = jnp.zeros((W,), bool).at[:R].set(True)
+        node0 = jnp.full((W,), 0, jnp.int32).at[:R].set(
+            t["root_tgt"][s._init_pair])
+        alive0 = jnp.zeros((W,), bool).at[:R].set(
+            t["root_logp"][s._init_pair] > LOG_ZERO / 2)
         self._pending_init = (node0, alive0, lm_init)
         self._tokens = None
 

@@ -102,6 +102,11 @@ class DenseBeamSearch:
     def __init__(self, tree: PrefixTree, lm: NGramFsa, model,
                  config: SearchConfig = SearchConfig(),
                  reentry_width: int = 4, word_classes=None):
+        if tree.root_pair_tgt.shape[0] > 1:
+            raise ValueError(
+                "DenseBeamSearch does not support cross-word triphone "
+                "trees; use the exact BeamSearch, or build the tree "
+                "with cross_word=False")
         self.tree = tree
         self.lm = lm
         self.config = config

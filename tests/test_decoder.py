@@ -408,3 +408,108 @@ class TestLmLookahead:
         w_on, _ = on.decode(obs)
         assert w_on == ["kaksi"]
         assert w_off != w_on  # without lookahead the c-branch survives
+
+
+class TestCrossWordTriphones:
+    """Cross-word fan-in/fan-out (TPLexPrefixTree.hh:172-240)."""
+
+    def _make(self):
+        from aaltoasr_tpu.formats import model_io
+        rng = np.random.default_rng(11)
+        ctx = ["a", "b", "_"]
+        labels = [f"{l}-{c}+{r}" for c in ("a", "b")
+                  for l in ctx for r in ctx] + ["_"]
+        D = 6
+        means = rng.normal(0, 1, (len(labels), D)) * 4
+        model = model_io.HmmModel(
+            dim=D, cov_type="diagonal_cov", means=means,
+            covars=np.ones((len(labels), D)),
+            mixtures=[(np.array([i], np.int32), np.array([1.0]))
+                      for i in range(len(labels))],
+            phones=[model_io.HmmPhone(lbl, [i])
+                    for i, lbl in enumerate(labels)],
+            transitions={i: [(0, 0.5), (1, 0.5)]
+                         for i in range(len(labels))})
+        lex = read_lexicon("xa a\nxb b\n_ _\n")
+        arpa = """\
+\\data\\
+ngram 1=4
+
+\\1-grams:
+-0.5 </s>
+-99 <s>
+-0.4 xa
+-0.4 xb
+
+\\end\\
+"""
+        fsa = NGramFsa.from_arpa(read_arpa(arpa))
+        return model, lex, fsa, {l: i for i, l in enumerate(labels)}
+
+    def test_pair_rows_respect_contexts(self):
+        from aaltoasr_tpu.decoder.lexicon import build_prefix_tree
+        model, lex, fsa, lid = self._make()
+        tree = build_prefix_tree(model, lex)
+        assert tree.root_pair_tgt.shape[0] > 1
+        # after a word ending in 'a', entries must be left-context 'a'
+        # variants only (never '_' or 'b' left contexts)
+        import numpy as np
+        # find a word-end slot of word xa (single phone 'a')
+        found = False
+        for n in range(tree.num_nodes):
+            for h in range(tree.we_word.shape[1]):
+                if tree.we_word[n, h] < 0:
+                    continue
+                if tree.vocab[tree.we_word[n, h]] != "xa":
+                    continue
+                lbl_pdf = tree.pdf[n]
+                # this variant's own label must be a center-'a' phone
+                pair = int(tree.we_pair[n, h])
+                row = tree.root_pair_tgt[pair]
+                lps = tree.root_pair_logp[pair]
+                for tgt, lp in zip(row, lps):
+                    if lp < -1e20:
+                        continue
+                    # every re-entry target is a left-context-'a' model
+                    tgt_pdf = int(tree.pdf[tgt])
+                    tgt_lbl = model.phones[tgt_pdf].label
+                    assert tgt_lbl.startswith("a-") or tgt_lbl == "_", \
+                        tgt_lbl
+                    found = True
+        assert found
+
+    def test_crossword_decode_and_score(self):
+        """Consistent cross-word triphone acoustics decode exactly, and
+        beat the within-word-boundary (cross_word=False) tree's score —
+        only the fan-in/fan-out net can explain the boundary frames."""
+        from aaltoasr_tpu.decoder.lexicon import build_prefix_tree
+        from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
+        from aaltoasr_tpu.ops.gmm import GmmScorer
+        import jax.numpy as jnp
+        model, lex, fsa, lid = self._make()
+        rng = np.random.default_rng(12)
+        # xa xb with NO silence in between: a hears right-context b,
+        # b hears left-context a
+        seq = (["_"] + ["_-a+b"] * 3 + ["a-b+_"] * 3 + ["_"] * 2)
+        X = np.stack([model.means[lid[l]]
+                      + 0.2 * rng.standard_normal(model.dim)
+                      for l in seq]).astype(np.float32)
+        scorer = GmmScorer.from_model(model)
+        obs = np.asarray(scorer.state_log_likelihoods(
+            jnp.asarray(X)))[:, :model.num_states]
+        cfg = SearchConfig(num_tokens=256, num_records=16, beam=1e9,
+                           lm_scale=1.0, duration_scale=0.0)
+        cw = BeamSearch(build_prefix_tree(model, lex), fsa, model, cfg)
+        res = cw.decode(obs)
+        assert res.words == ["xa", "xb"]
+        old = BeamSearch(
+            build_prefix_tree(model, lex, cross_word=False), fsa,
+            model, cfg)
+        res_old = old.decode(obs)
+        assert res.log_prob > res_old.log_prob + 5.0
+
+    def test_monophone_tree_single_pair_row(self):
+        model, tree, fsa = make_decode_task()
+        assert tree.root_pair_tgt.shape[0] == 1
+        np.testing.assert_array_equal(tree.root_pair_tgt[0],
+                                      tree.root_tgt)
