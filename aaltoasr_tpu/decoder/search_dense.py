@@ -380,12 +380,29 @@ class DenseBeamSearch:
     def decode_batch(self, obs, n_frames, sentence_start="<s>"):
         lm_init = self.lm.initial_state(sentence_start)
         B, T = obs.shape[0], obs.shape[1]
+        # HBM budget covers the [B,T,N] obs precompute AND the
+        # per-frame record stacks ([B,T,E] x 4 + vmap temporaries);
+        # past it, fall back to per-step gathers and chunk the batch.
         need = 4 * B * T * self.tree.num_nodes
         self._precompute_obs = need <= self._obs_budget_bytes
+        chunk = B
+        while chunk > 1 and (4 * chunk * T
+                             * (self.tree.num_nodes + 64)
+                             > self._obs_budget_bytes):
+            chunk = (chunk + 1) // 2
+        self._precompute_obs = (4 * chunk * T * self.tree.num_nodes
+                                <= self._obs_budget_bytes)
         fn = jax.jit(jax.vmap(
             lambda o, n: self._decode(o, n, jnp.int32(lm_init))))
-        state, recs = fn(jnp.asarray(obs, jnp.float32),
-                         jnp.asarray(n_frames, jnp.int32))
+        parts = []
+        for i in range(0, B, chunk):
+            parts.append(fn(jnp.asarray(obs[i:i + chunk], jnp.float32),
+                            jnp.asarray(n_frames[i:i + chunk],
+                                        jnp.int32)))
+        state = tuple(jnp.concatenate([p[0][j] for p in parts])
+                      for j in range(len(parts[0][0])))
+        recs = tuple(jnp.concatenate([p[1][j] for p in parts])
+                     for j in range(len(parts[0][1])))
         out = []
         for b in range(obs.shape[0]):
             st = tuple(np.asarray(x[b]) for x in state)
