@@ -54,3 +54,62 @@ class TestStreaming:
         for t in range(obs.shape[0]):
             sd.push_frame(obs[t])
         assert sd.result().words == first
+
+
+class TestDecodeStreamCli:
+    def test_end_to_end_plumbing(self, tmp_path, capsys, monkeypatch):
+        """decode_stream consumes raw audio and prints a hypothesis
+        line (decode-stream.cc pipeline)."""
+        import numpy as np
+        from aaltoasr_tpu.cli.decode_stream import main
+        from aaltoasr_tpu.formats import model_io
+        from tests.test_decoder import ARPA_TEXT
+
+        model, tree, fsa = make_decode_task()
+        model_io.write_model(str(tmp_path / "m"), model)
+        (tmp_path / "lm.arpa").write_text(ARPA_TEXT)
+        (tmp_path / "w.lex").write_text(
+            "yksi a b\nkaksi b a\nkolme c a\n_ _\n")
+        cfg = tmp_path / "f.cfg"
+        cfg.write_text("""\
+module
+{
+  name audio
+  type audiofile
+  sample_rate 16000
+}
+module
+{
+  name fft
+  type fft
+  sources audio
+}
+module
+{
+  name mel
+  type mel
+  sources fft
+}
+module
+{
+  name dct
+  type dct
+  sources mel
+  dim 4
+}
+""")
+        rng = np.random.default_rng(0)
+        sig = (1200 * np.sin(2 * np.pi * 500
+               * np.arange(9600) / 16000)
+               + 100 * rng.standard_normal(9600)).astype("<i2")
+        raw = tmp_path / "a.raw"
+        raw.write_bytes(sig.tobytes())
+        rc = main(["-b", str(tmp_path / "m"), "-c", str(cfg),
+                   "-l", str(tmp_path / "w.lex"),
+                   "-n", str(tmp_path / "lm.arpa"),
+                   "--lm-scale", "1.0", "--partials",
+                   str(raw)])
+        assert rc == 0
+        out = capsys.readouterr()
+        assert out.out.endswith("\n")      # final hypothesis line
+        assert "[" in out.err              # partial updates printed
