@@ -121,3 +121,30 @@ class TestFstTools:
         slots = {a.transition_index for a in fst2.arcs
                  if a.transition_index >= 0}
         assert slots == set(range(6))
+
+
+class TestClskld:
+    def test_kld_values(self, tmp_path, capsys):
+        from aaltoasr_tpu.cli.clskld import main
+        from aaltoasr_tpu.formats import model_io
+        from tests.test_gmm import random_model
+        import copy
+        m1 = random_model(G=4, S=2, D=3, K=2, seed=0)
+        m2 = copy.deepcopy(m1)
+        m2.means = m1.means + 0.5
+        model_io.write_model(str(tmp_path / "a"), m1)
+        model_io.write_model(str(tmp_path / "b"), m2)
+        rc = main(["--base1", str(tmp_path / "a"),
+                   "--base2", str(tmp_path / "b"), "-m"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert len(lines) == 4
+        want = 0.5 * (0.25 / m1.covars).sum(axis=1)
+        np.testing.assert_allclose([float(x) for x in lines], want,
+                                   rtol=1e-4)
+        # identical models: zero Gaussian KLD
+        rc = main(["--base1", str(tmp_path / "a"),
+                   "--base2", str(tmp_path / "a"), "-g"])
+        vals = [float(x) for x in
+                capsys.readouterr().out.strip().splitlines()]
+        np.testing.assert_allclose(vals, 0.0, atol=1e-6)
