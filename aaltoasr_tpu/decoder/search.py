@@ -333,15 +333,21 @@ class BeamSearch:
                      sentence_start: str = "<s>"):
         """[B, T, S] batched decode via vmap; returns list of results."""
         lm_init = self.lm.initial_state(sentence_start)
-        fn = jax.jit(jax.vmap(
-            lambda o, n: self._decode(o, n, jnp.int32(lm_init))))
-        tokens, recs = fn(
-            jnp.asarray(obs, jnp.float32), jnp.asarray(n_frames, jnp.int32))
+        if not hasattr(self, "_batch_jit"):
+            self._batch_jit = jax.jit(jax.vmap(
+                self._decode, in_axes=(0, 0, None)))
+        tokens, recs = self._batch_jit(
+            jnp.asarray(obs, jnp.float32),
+            jnp.asarray(n_frames, jnp.int32), jnp.int32(lm_init))
+        # ONE device->host fetch per array (per-utterance slicing
+        # would issue B separate transfers — dominant on remote links)
+        tokens_h = tuple(np.asarray(x) for x in tokens)
+        recs_h = tuple(np.asarray(r) for r in recs)
         out = []
         for b in range(obs.shape[0]):
-            tk = tuple(np.asarray(x[b]) for x in tokens)
-            rc = tuple(np.asarray(r[b]) for r in recs)
-            out.append(self._result(tk, rc))
+            st = tuple(x[b] for x in tokens_h)
+            rc = tuple(r[b] for r in recs_h)
+            out.append(self._result(st, rc))
         return out
 
     def _result(self, tokens, recs):

@@ -392,21 +392,34 @@ class DenseBeamSearch:
             chunk = (chunk + 1) // 2
         self._precompute_obs = (4 * chunk * T * self.tree.num_nodes
                                 <= self._obs_budget_bytes)
-        fn = jax.jit(jax.vmap(
-            lambda o, n: self._decode(o, n, jnp.int32(lm_init))))
+        key = ("batch", chunk, T, self._precompute_obs)
+        if not hasattr(self, "_batch_jit"):
+            self._batch_jit = {}
+        if key not in self._batch_jit:
+            self._batch_jit[key] = jax.jit(jax.vmap(
+                self._decode, in_axes=(0, 0, None)))
+        fn = self._batch_jit[key]
         parts = []
         for i in range(0, B, chunk):
             parts.append(fn(jnp.asarray(obs[i:i + chunk], jnp.float32),
                             jnp.asarray(n_frames[i:i + chunk],
-                                        jnp.int32)))
-        state = tuple(jnp.concatenate([p[0][j] for p in parts])
-                      for j in range(len(parts[0][0])))
-        recs = tuple(jnp.concatenate([p[1][j] for p in parts])
-                     for j in range(len(parts[0][1])))
+                                        jnp.int32),
+                            jnp.int32(lm_init)))
+        if len(parts) == 1:
+            state, recs = parts[0]
+        else:
+            state = tuple(jnp.concatenate([p[0][j] for p in parts])
+                          for j in range(len(parts[0][0])))
+            recs = tuple(jnp.concatenate([p[1][j] for p in parts])
+                         for j in range(len(parts[0][1])))
+        # ONE device->host fetch per array (per-utterance slicing
+        # would issue B separate transfers — dominant on remote links)
+        state_h = tuple(np.asarray(x) for x in state)
+        recs_h = tuple(np.asarray(r) for r in recs)
         out = []
         for b in range(obs.shape[0]):
-            st = tuple(np.asarray(x[b]) for x in state)
-            rc = tuple(np.asarray(r[b]) for r in recs)
+            st = tuple(x[b] for x in state_h)
+            rc = tuple(r[b] for r in recs_h)
             out.append(self._result(st, rc))
         return out
 
