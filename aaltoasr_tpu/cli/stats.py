@@ -38,6 +38,10 @@ def main(argv=None) -> int:
     p.add_argument("--mpe", action="store_true",
                    help="collect MPE (frame error) statistics from "
                         "den-hmmnet=")
+    p.add_argument("--fullstats", action="store_true",
+                   help="accumulate full second moments "
+                        "(PDF_ML_FULL_STATS; full-covariance M-step "
+                        "and MLLT)")
     p.add_argument("-t", "--transitions", action="store_true",
                    help="collect also transition statistics (always on)")
     p.add_argument("--device-batch", type=int, default=8,
@@ -50,9 +54,11 @@ def main(argv=None) -> int:
     model = load_model(args)
     if isinstance(model, str):
         model = read_model(model)
-    driver = EStepDriver(model, args.config, mode=args.mode)
+    driver = EStepDriver(model, args.config, mode=args.mode,
+                         full_stats=args.fullstats)
     recipe = Recipe.read(args.recipe, args.batch, args.bindex)
-    if args.hmmnet or args.mmi or args.mpe or args.mode != "bw":
+    if (args.hmmnet or args.mmi or args.mpe or args.fullstats
+            or args.mode != "bw"):
         stats = driver.run_recipe(recipe, info=args.info,
                                   use_hmmnet=args.hmmnet, mmi=args.mmi,
                                   mpe=args.mpe)

@@ -74,6 +74,8 @@ class BufferStats:
     mix_gamma: np.ndarray    # [S, K] per-mixture component occupancies
     mix_aux_gamma: np.ndarray  # [S]
     mix_ll: np.ndarray       # [S]
+    full_acc: np.ndarray | None = None   # [G, D, D] full second moments
+                                         # (PDF_ML_FULL_STATS)
 
     @classmethod
     def zeros(cls, G: int, D: int, S: int, K: int) -> "BufferStats":
@@ -82,6 +84,12 @@ class BufferStats:
             sec_acc=np.zeros((G, D)), feacount=np.zeros(G, dtype=np.int64),
             aux_gamma=np.zeros(G), mix_gamma=np.zeros((S, K)),
             mix_aux_gamma=np.zeros(S), mix_ll=np.zeros(S))
+
+    def ensure_full(self) -> np.ndarray:
+        if self.full_acc is None:
+            G, D = self.mean_acc.shape
+            self.full_acc = np.zeros((G, D, D))
+        return self.full_acc
 
     def add(self, other: "BufferStats") -> None:
         self.gamma += other.gamma
@@ -92,6 +100,9 @@ class BufferStats:
         self.mix_gamma += other.mix_gamma
         self.mix_aux_gamma += other.mix_aux_gamma
         self.mix_ll += other.mix_ll
+        if other.full_acc is not None:
+            self.ensure_full()
+            self.full_acc += other.full_acc
 
 
 @dataclass
@@ -157,7 +168,12 @@ class HmmStats:
                                         float(buf.gamma[g]),
                                         float(buf.aux_gamma[g])))
                     f.write(buf.mean_acc[g].astype("<f4").tobytes())
-                    f.write(buf.sec_acc[g].astype("<f4").tobytes())
+                    if (b == ML_BUF and self.mode & PDF_ML_FULL_STATS
+                            and buf.full_acc is not None):
+                        tri = buf.full_acc[g][np.tril_indices(self.dim)]
+                        f.write(tri.astype("<f4").tobytes())
+                    else:
+                        f.write(buf.sec_acc[g].astype("<f4").tobytes())
                 f.write(struct.pack("<i", -1))
 
     def load_gks(self, path) -> None:
@@ -180,8 +196,18 @@ class HmmStats:
                 off += 4 + 16
                 mean = np.frombuffer(data, "<f4", D, off)
                 off += 4 * D
-                sec = np.frombuffer(data, "<f4", D, off)
-                off += 4 * D
+                full = None
+                if b == ML_BUF and mode & PDF_ML_FULL_STATS:
+                    ntri = D * (D + 1) // 2
+                    tri = np.frombuffer(data, "<f4", ntri, off)
+                    off += 4 * ntri
+                    full = np.zeros((D, D))
+                    full[np.tril_indices(D)] = tri
+                    full = full + np.tril(full, -1).T
+                    sec = np.diag(full)
+                else:
+                    sec = np.frombuffer(data, "<f4", D, off)
+                    off += 4 * D
                 buf = self.buffers.setdefault(
                     b, BufferStats.zeros(
                         self.num_gaussians, self.dim,
@@ -193,6 +219,9 @@ class HmmStats:
                 buf.aux_gamma[g] += aux
                 buf.mean_acc[g] += mean
                 buf.sec_acc[g] += sec
+                if full is not None:
+                    buf.ensure_full()
+                    buf.full_acc[g] += full
 
     def dump_mcs(self, path) -> None:
         with open(path, "w") as f:

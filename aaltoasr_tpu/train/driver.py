@@ -45,6 +45,10 @@ def device_stats_to_hmm_stats(model: HmmModel, table: TransitionTable,
     buf.mean_acc[:] = np.asarray(dstats["mean_acc"], dtype=np.float64)[:G]
     buf.sec_acc[:] = np.asarray(dstats["sec_acc"], dtype=np.float64)[:G]
     buf.feacount[:] = np.asarray(dstats["feacount"], dtype=np.int64)[:G]
+    if "sec_acc_full" in dstats:
+        buf.ensure_full()
+        buf.full_acc[:] = np.asarray(dstats["sec_acc_full"],
+                                     dtype=np.float64)[:G]
     mix = np.asarray(dstats["mix_gamma"], dtype=np.float64)[:S]
     K = buf.mix_gamma.shape[1]
     buf.mix_gamma[:, :] = mix[:, :K]
@@ -67,12 +71,13 @@ class EStepDriver:
 
     def __init__(self, model: HmmModel, feature_config,
                  mode: str = "bw", time_bucket: int = 256,
-                 pos_bucket: int = 64):
+                 pos_bucket: int = 64, full_stats: bool = False):
         self.model = model
         self.table = TransitionTable.from_model(model)
         self.fg = FeatureGenerator(feature_config)
         self.scorer = GmmScorer.from_model(model)
         self.mode = mode
+        self.full_stats = full_stats
         self.time_bucket = time_bucket
         self.pos_bucket = pos_bucket
         self._jit_cache = {}
@@ -84,7 +89,7 @@ class EStepDriver:
             self._jit_cache[key] = jax.jit(
                 lambda f, g, n: estep.chain_stats(
                     self.scorer, f, g, n, self.table.num_slots,
-                    self.mode))
+                    self.mode, full_stats=self.full_stats))
         return self._jit_cache[key]
 
     def _padded_features(self, samples):
@@ -192,9 +197,10 @@ class EStepDriver:
         """
         from aaltoasr_tpu.formats.fst import read_fst
         from aaltoasr_tpu.train.accumulators import (
-            MMI_BUF, MPE_DEN_BUF, MPE_NUM_BUF, PDF_MMI_STATS,
-            PDF_MPE_DEN_STATS, PDF_MPE_NUM_STATS)
+            MMI_BUF, MPE_DEN_BUF, MPE_NUM_BUF, PDF_ML_FULL_STATS,
+            PDF_MMI_STATS, PDF_MPE_DEN_STATS, PDF_MPE_NUM_STATS)
         mode = (PDF_ML_STATS | (PDF_MMI_STATS if mmi else 0)
+                | (PDF_ML_FULL_STATS if self.full_stats else 0)
                 | ((PDF_MPE_NUM_STATS | PDF_MPE_DEN_STATS)
                    if mpe else 0))
         total = HmmStats.zeros(self.model, self.table, mode)

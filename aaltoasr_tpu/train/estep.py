@@ -138,7 +138,7 @@ def masked_viterbi(obs_pos, graph, n_frames):
 
 
 def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
-                mode: str = "bw"):
+                mode: str = "bw", full_stats: bool = False):
     """Full per-utterance E-step; returns a device stats pytree.
 
     mode: 'bw' (Baum-Welch posteriors, `-M bw`), 'vit' (Viterbi one-hot,
@@ -202,19 +202,32 @@ def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
     m2 = jax.ops.segment_sum(
         jnp.dot(R_flat.T, features * features, precision=_F32), g_flat,
         num_segments=Gp)
+    m2_full = None
+    if full_stats:
+        # full second moments: one [P*K, T] x [T, D^2] matmul
+        # (PDF_ML_FULL_STATS; FullStatisticsAccumulator)
+        D = features.shape[1]
+        outer = (features[:, :, None]
+                 * features[:, None, :]).reshape(T, D * D)
+        m2_full = jax.ops.segment_sum(
+            jnp.dot(R_flat.T, outer, precision=_F32), g_flat,
+            num_segments=Gp).reshape(Gp, D, D)
     feacount = jax.ops.segment_sum(
         jnp.sum((R_flat > 1e-10).astype(jnp.int32), axis=0), g_flat,
         num_segments=Gp)
     mix_gamma = jax.ops.segment_sum(
         c.reshape(P, K), pdf, num_segments=Sp)            # [Sp, K]
 
-    return {
+    out = {
         "gamma": gamma_g, "mean_acc": m1, "sec_acc": m2,
         "feacount": feacount, "mix_gamma": mix_gamma,
         "trans_acc": trans_post, "log_likelihood": total,
         "num_frames": n_frames.astype(jnp.int32)
         if hasattr(n_frames, "astype") else jnp.int32(n_frames),
     }
+    if m2_full is not None:
+        out["sec_acc_full"] = m2_full
+    return out
 
 
 def _viterbi_transition_counts(path, graph, n_frames, num_trans_slots):

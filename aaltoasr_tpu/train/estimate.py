@@ -48,6 +48,22 @@ def estimate_ml(model: HmmModel, table: TransitionTable, stats: HmmStats,
     if update_covars:
         covars = np.where(has_data[:, None], new_cov, covars)
 
+    full_covars = dict(model.full_covars)
+    # full-covariance M-step (PDF_ML_FULL_STATS accumulators;
+    # Gaussian::estimate_parameters ML + set_covariance SPD check):
+    # only Gaussians that already carry a full covariance update it
+    if update_covars and buf.full_acc is not None and full_covars:
+        for g in list(full_covars):
+            if g >= G or not has_data[g]:
+                continue
+            mu = new_mean[g]
+            C = buf.full_acc[g] / safe_gamma[g] - np.outer(mu, mu)
+            np.fill_diagonal(C, np.maximum(np.diag(C), minvar))
+            if np.linalg.eigvalsh(C).min() > 0:
+                full_covars[g] = C
+            # else: keep the previous covariance (invalid-parameters
+            # branch, Distributions.cc:1571-1578)
+
     mixtures = []
     for s, (idx, w) in enumerate(model.mixtures):
         k = len(idx)
@@ -81,7 +97,7 @@ def estimate_ml(model: HmmModel, table: TransitionTable, stats: HmmStats,
     return HmmModel(
         dim=model.dim, cov_type=model.cov_type,
         means=means, covars=covars,
-        full_covars=dict(model.full_covars),
+        full_covars=full_covars,
         gauss_kind=list(model.gauss_kind),
         mixtures=mixtures, phones=list(model.phones),
         transitions=transitions, durations=model.durations)

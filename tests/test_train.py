@@ -367,3 +367,90 @@ module
         np.testing.assert_allclose(s2.trans_acc, s1.trans_acc,
                                    rtol=2e-3, atol=2e-3)
         assert s2.num_ll == pytest.approx(s1.num_ll, rel=1e-4)
+
+
+class TestFullStats:
+    def test_full_second_moments_and_roundtrip(self, tmp_path):
+        """full_stats E-step: diag(full) == diagonal sec_acc, and the
+        FULL_STATS gks dump (lower-triangle floats) round-trips."""
+        from aaltoasr_tpu.train.driver import (
+            EStepDriver, device_stats_to_hmm_stats)
+        from aaltoasr_tpu.train.accumulators import (
+            HmmStats, ML_BUF, PDF_ML_STATS, PDF_ML_FULL_STATS)
+        from aaltoasr_tpu.models.hmm import TransitionTable
+        import jax.numpy as jnp
+        from aaltoasr_tpu.train import estep
+        from aaltoasr_tpu.ops.gmm import GmmScorer
+        from aaltoasr_tpu.models.hmm import build_chain, pad_chain
+
+        model = three_state_model(seed=3)
+        table = TransitionTable.from_model(model)
+        scorer = GmmScorer.from_model(model)
+        chain = build_chain(model, table, ["a", "_"])
+        g = {k: jnp.asarray(v) for k, v in
+             pad_chain(chain, chain.num_positions, fan=4).items()}
+        rng = np.random.default_rng(0)
+        T = 12
+        X = jnp.asarray(rng.normal(0, 1, (T, model.dim)),
+                        dtype=jnp.float32)
+        out = estep.chain_stats(scorer, X, g, jnp.int32(T),
+                                table.num_slots, full_stats=True)
+        assert "sec_acc_full" in out
+        full = np.asarray(out["sec_acc_full"])
+        diag = np.asarray(out["sec_acc"])
+        G = model.num_gaussians
+        np.testing.assert_allclose(
+            np.diagonal(full[:G], axis1=1, axis2=2), diag[:G],
+            rtol=1e-4, atol=1e-4)
+        # symmetric
+        np.testing.assert_allclose(full, np.swapaxes(full, 1, 2),
+                                   rtol=1e-5, atol=1e-5)
+
+        mode = PDF_ML_STATS | PDF_ML_FULL_STATS
+        st = device_stats_to_hmm_stats(model, table, out, mode)
+        st.mode = mode
+        st.dump(str(tmp_path / "fs"))
+        st2 = HmmStats.zeros(model, table, mode)
+        st2.load(str(tmp_path / "fs"), table)
+        b1, b2 = st.buffers[ML_BUF], st2.buffers[ML_BUF]
+        np.testing.assert_allclose(b2.full_acc[:G], b1.full_acc[:G],
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(b2.gamma, b1.gamma, rtol=1e-6)
+
+    def test_full_cov_mstep(self):
+        """estimate_ml updates full covariances from full moments."""
+        from aaltoasr_tpu.train.accumulators import (
+            HmmStats, ML_BUF, PDF_ML_STATS, PDF_ML_FULL_STATS)
+        from aaltoasr_tpu.train.estimate import estimate_ml
+        from aaltoasr_tpu.models.hmm import TransitionTable
+        rng = np.random.default_rng(5)
+        model = three_state_model(seed=5)
+        D = model.dim
+        # make Gaussian 0 full-covariance
+        model.cov_type = "variable"
+        model.gauss_kind = (["full"] + ["diag"]
+                            * (model.num_gaussians - 1))
+        model.full_covars = {0: np.eye(D)}
+        table = TransitionTable.from_model(model)
+        stats = HmmStats.zeros(model, table,
+                               PDF_ML_STATS | PDF_ML_FULL_STATS)
+        buf = stats.buffers[ML_BUF]
+        # synthetic data: known mean + correlated covariance
+        L = rng.normal(0, 0.3, (D, D))
+        C_true = L @ L.T + np.eye(D)
+        mu_true = rng.normal(0, 1, D)
+        n = 500.0
+        X = rng.multivariate_normal(mu_true, C_true, int(n))
+        buf.gamma[:] = 1e-3
+        buf.gamma[0] = n
+        buf.mean_acc[0] = X.sum(axis=0)
+        buf.sec_acc[0] = (X * X).sum(axis=0)
+        buf.ensure_full()
+        buf.full_acc[0] = X.T @ X
+        for s in range(model.num_states):
+            buf.mix_gamma[s, 0] = 1.0
+        new = estimate_ml(model, table, stats, minvar=1e-4)
+        got = new.full_covars[0]
+        want = X.T @ X / n - np.outer(X.mean(0), X.mean(0))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(new.means[0], X.mean(0), rtol=1e-9)
