@@ -52,9 +52,8 @@ class SearchConfig:
     transition_scale: float = 1.0
     duration_scale: float = 3.0     # rectool.py:547
     max_dur: int = 64
-    lm_lookahead: int = 0           # 0 off, 1 unigram (TokenPassSearch
-                                    # m_lm_lookahead; bigram mode not
-                                    # supported on the dense path)
+    lm_lookahead: int = 0           # 0 off, 1 unigram, 2 bigram
+                                    # (TokenPassSearch m_lm_lookahead)
 
 
 def unigram_lookahead(tree: PrefixTree, lm: NGramFsa,
@@ -89,6 +88,67 @@ def unigram_lookahead(tree: PrefixTree, lm: NGramFsa,
     tgt = np.maximum(tree.arc_tgt, 0)
     for _ in range(tree.num_nodes):
         child = np.where(not_self, la[tgt], -np.inf).max(axis=1)
+        new = np.maximum(la, child)
+        if np.array_equal(new, la):
+            break
+        la = new
+    return np.where(np.isfinite(la), la, 0.0).astype(np.float32)
+
+
+def bigram_lookahead(tree: PrefixTree, lm: NGramFsa,
+                     lm_names: list) -> np.ndarray:
+    """[V+1, N] bigram lookahead table: row w = best P(v|w) over the
+    words v completing at or below each node; the last row is the
+    unigram (no-context) fallback used before the first word.
+
+    The reference computes these lazily per (LMHistory, node) with a
+    cache (TokenPassSearch.cc get_lm_bigram_lookahead); precomputing
+    the dense table turns the decode-time cost into one 2-D gather.
+    Intended for a dedicated small lookahead LM (the reference's
+    -lookahead-ngram); guarded by a memory budget upstream.
+    """
+    V = lm.num_words
+    NEG = np.float32(-1e30)
+    uni = np.full(V, -np.inf)
+    lo, hi = int(lm.state_first[0]), int(lm.state_first[1])
+    uni[lm.trans_word[lo:hi]] = lm.trans_prob[lo:hi]
+
+    # dense backoff bigram matrix B[w, v] = P(v | w)
+    B = np.zeros((V + 1, V))
+    bo = np.zeros(V)
+    ctx_state = np.full(V, -1, dtype=np.int64)
+    for ctx, st in lm.state_of_context.items():
+        if len(ctx) == 1:
+            ctx_state[ctx[0]] = st
+    has_ctx = ctx_state >= 0
+    bo[has_ctx] = lm.bo_weight[ctx_state[has_ctx]]
+    B[:V] = bo[:, None] + uni[None, :]
+    for w in np.nonzero(has_ctx)[0]:
+        a, b = (int(lm.state_first[ctx_state[w]]),
+                int(lm.state_first[ctx_state[w] + 1]))
+        B[w, lm.trans_word[a:b]] = lm.trans_prob[a:b]
+    B[V] = uni                              # no-context fallback row
+
+    word_lm = np.array(
+        [lm.word_index.get(w, -1) for w in lm_names] or [-1])
+
+    valid_we = tree.we_exit_logp > LOG_ZERO / 2
+    N = tree.num_nodes
+    la = np.full((V + 1, N), -np.inf)
+    for n in range(N):
+        for h in np.nonzero(valid_we[n])[0]:
+            w = tree.we_word[n, h]
+            if tree.we_skip_lm[n, h] or w < 0:
+                la[:, n] = np.maximum(la[:, n], 0.0)
+            elif word_lm[w] >= 0:
+                la[:, n] = np.maximum(la[:, n], B[:, word_lm[w]])
+
+    not_self = ((tree.arc_tgt != np.arange(N)[:, None])
+                & (tree.arc_logp > LOG_ZERO / 2))
+    tgt = np.maximum(tree.arc_tgt, 0)
+    for _ in range(N):
+        child = np.where(not_self[None, :, :], la[:, tgt], -np.inf
+                         ).max(axis=2)
         new = np.maximum(la, child)
         if np.array_equal(new, la):
             break
@@ -133,9 +193,28 @@ class BeamSearch:
         }
         self._init_pair = int(tree.init_pair)
         self._la_on = bool(config.lm_lookahead)
+        self._la_bigram = False
         if self._la_on:
-            self.tables["la"] = jnp.asarray(unigram_lookahead(
-                tree, lookahead_lm or lm, lm_names))
+            la_lm = lookahead_lm or lm
+            V = la_lm.num_words
+            if (config.lm_lookahead >= 2
+                    and (V + 1) * tree.num_nodes * 4 <= 512_000_000):
+                self._la_bigram = True
+                self.tables["la2"] = jnp.asarray(
+                    bigram_lookahead(tree, la_lm, lm_names))
+                # tree word id -> lookahead-LM row (V = no-context row)
+                self.tables["la_wid"] = jnp.asarray(np.asarray(
+                    [la_lm.word_index.get(w, V) for w in lm_names]
+                    or [V], dtype=np.int32))
+                self._la_init_row = la_lm.word_index.get("<s>", V)
+            else:
+                if config.lm_lookahead >= 2:
+                    import sys
+                    print("BeamSearch: bigram lookahead table over "
+                          "budget; falling back to unigram",
+                          file=sys.stderr)
+                self.tables["la"] = jnp.asarray(unigram_lookahead(
+                    tree, la_lm, lm_names))
         self._decode_jit = jax.jit(self._decode, static_argnames=())
 
     # -- candidate container: dict of parallel arrays ---------------------
@@ -150,7 +229,7 @@ class BeamSearch:
         t = self.tables
         W = cfg.num_tokens
         E = cfg.num_records
-        node, lmst, am, lms, dur, rec, alive = tokens
+        node, lmst, am, lms, dur, rec, alive, law = tokens
 
         # ---- 1. in-word expansion [W, A]
         a_tgt = t["arc_tgt"][node]                      # [W, A]
@@ -165,6 +244,7 @@ class BeamSearch:
             "dur": jnp.where(is_self, dur[:, None] + 1, 0),
             "rec": jnp.broadcast_to(rec[:, None], a_tgt.shape),
             "alive": alive[:, None] & (a_lp > LOG_ZERO / 2),
+            "law": jnp.broadcast_to(law[:, None], a_tgt.shape),
         }
         c1 = {k: v.reshape(-1) for k, v in c1.items()}
 
@@ -205,6 +285,17 @@ class BeamSearch:
         e_lms = jnp.take(we_lms.reshape(-1), order)
         w_pair = jnp.broadcast_to(t["we_pair"][node], w_word.shape)
         e_pair = jnp.take(w_pair.reshape(-1), order)
+        if self._la_bigram:
+            # row for the next word's lookahead: the just-committed
+            # word, or the previous row across silences/OOLs
+            w_law_prev = jnp.broadcast_to(law[:, None], w_word.shape)
+            wid = t["la_wid"][jnp.maximum(w_word, 0)]
+            V = t["la2"].shape[0] - 1
+            w_law = jnp.where((w_word >= 0) & (wid < V), wid,
+                              w_law_prev)
+            e_law = jnp.take(w_law.reshape(-1), order)
+        else:
+            e_law = jnp.zeros((E,), jnp.int32)
         # records: silence (word<0) keeps its previous record pointer;
         # pointers are globally unique: step_idx * E + slot.  Cumulative
         # am/lm scores ride along for lattice (SLF) construction.
@@ -230,6 +321,7 @@ class BeamSearch:
             "rec": jnp.broadcast_to(new_rec[:, None], (E, R)),
             "alive": (jnp.broadcast_to(e_alive[:, None], (E, R))
                       & (r_lp > LOG_ZERO / 2)),
+            "law": jnp.broadcast_to(e_law[:, None], (E, R)),
         }
         c2 = {k: v.reshape(-1) for k, v in c2.items()}
 
@@ -239,7 +331,10 @@ class BeamSearch:
         obs = obs_t[t["pdf"][cand["node"]]]
         cand["am"] = cand["am"] + obs
         total = cand["am"] + cfg.lm_scale * cand["lms"]
-        if self._la_on:
+        if self._la_bigram:
+            total = total + cfg.lm_scale * t["la2"][cand["law"],
+                                                    cand["node"]]
+        elif self._la_on:
             # pruning/ranking only: stored am/lms stay pure, and the
             # recombination key (node, lm) shares one la value, so
             # within-key order is unchanged (TokenPassSearch.hh:543
@@ -273,6 +368,7 @@ class BeamSearch:
             jnp.take(cand["dur"], sel),
             jnp.take(cand["rec"], sel),
             jnp.take(s_alive, top),
+            jnp.take(cand["law"], sel),
         )
         return new_tokens, (rec_word, rec_prev, rec_am, rec_lms)
 
@@ -291,9 +387,11 @@ class BeamSearch:
         alive0 = jnp.zeros((W,), bool).at[:R].set(
             init_lp > LOG_ZERO / 2)
         am0 = jnp.where(alive0, obs[0][t["pdf"][node0]], LOG_ZERO)
+        law0 = jnp.full((W,), getattr(self, "_la_init_row", 0),
+                        jnp.int32)
         tokens = (node0, jnp.full((W,), lm_init, jnp.int32), am0,
                   jnp.zeros((W,), jnp.float32), jnp.zeros((W,), jnp.int32),
-                  jnp.full((W,), -1, jnp.int32), alive0)
+                  jnp.full((W,), -1, jnp.int32), alive0, law0)
 
         T = obs.shape[0]
         valid = jnp.arange(1, T) < n_frames
@@ -352,7 +450,7 @@ class BeamSearch:
 
     def _result(self, tokens, recs):
         node, lmst, am, lms, dur, rec, alive = (
-            np.asarray(x) for x in tokens)
+            np.asarray(x) for x in tokens[:7])
         total = np.where(alive, am + self.config.lm_scale * lms, -np.inf)
         best = int(np.argmax(total))
         return DecodeResult(
@@ -459,7 +557,9 @@ class StreamingDecoder:
             self._tokens = (node0, jnp.full((W,), lm_init, jnp.int32),
                             am0, jnp.zeros((W,), jnp.float32),
                             jnp.zeros((W,), jnp.int32),
-                            jnp.full((W,), -1, jnp.int32), alive0)
+                            jnp.full((W,), -1, jnp.int32), alive0,
+                            jnp.full((W,), getattr(
+                                s, "_la_init_row", 0), jnp.int32))
         else:
             self._tokens, recs = self._step_jit(
                 self._tokens, obs_t, jnp.int32(self._frame - 1))

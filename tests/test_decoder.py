@@ -513,3 +513,86 @@ ngram 1=4
         assert tree.root_pair_tgt.shape[0] == 1
         np.testing.assert_array_equal(tree.root_pair_tgt[0],
                                       tree.root_tgt)
+
+
+class TestBigramLookahead:
+    def test_table_values(self):
+        """la2[w, n] = best P(v|w) with backoff over words below n."""
+        from aaltoasr_tpu.decoder.search import bigram_lookahead
+        model, tree, fsa = make_decode_task()
+        la2 = bigram_lookahead(tree, fsa, tree.vocab)
+        V = fsa.num_words
+        assert la2.shape == (V + 1, tree.num_nodes)
+        w = fsa.word_index
+        LN10 = np.log(10.0)
+        # node starting kaksi (phone b): after 'yksi' the bigram
+        # 'yksi kaksi' (-0.2) applies
+        bnode = [n for n in tree.root_tgt if tree.pdf[n] == 1][0]
+        assert la2[w["yksi"], bnode] == pytest.approx(-0.2 * LN10,
+                                                      abs=1e-4)
+        # after 'kolme' there is no 'kolme kaksi': backoff
+        # bo(kolme) + uni(kaksi) = -0.2 + -0.5
+        assert la2[w["kolme"], bnode] == pytest.approx(-0.7 * LN10,
+                                                       abs=1e-4)
+        # fallback row = unigram lookahead
+        assert la2[V, bnode] == pytest.approx(-0.5 * LN10, abs=1e-4)
+
+    def test_wide_beam_invariant_and_tighter_than_unigram(self):
+        from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
+        model, tree, fsa = make_decode_task()
+        obs = synth_obs(tree, model, ["_", "a", "b", "b", "a", "_"])
+        base = dict(num_tokens=256, beam=1e9, lm_scale=1.0,
+                    duration_scale=0.0)
+        off = BeamSearch(tree, fsa, model,
+                         SearchConfig(**base, lm_lookahead=0))
+        bi = BeamSearch(tree, fsa, model,
+                        SearchConfig(**base, lm_lookahead=2))
+        w0, s0 = off.decode(obs)
+        w2, s2 = bi.decode(obs)
+        assert w0 == w2
+        assert s2 == pytest.approx(s0, abs=1e-4)
+
+    def test_bigram_beats_unigram_under_tight_beam(self):
+        """Unigram lookahead prefers the frequent word (kolme); only
+        the bigram row knows 'yksi kaksi' is the likely continuation,
+        keeping the kaksi branch inside a tight beam."""
+        from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
+        model, tree, _ = make_decode_task()
+        arpa = """\
+\\data\\
+ngram 1=5
+ngram 2=1
+
+\\1-grams:
+-0.7 </s>
+-99 <s> -0.1
+-0.6 yksi -0.4
+-1.2 kaksi
+-0.3 kolme
+
+\\2-grams:
+-0.1 yksi kaksi
+
+\\end\\
+"""
+        fsa = NGramFsa.from_arpa(read_arpa(arpa))
+        T, S = 9, 8
+        obs = np.full((T, S), -20.0, dtype=np.float32)
+        # yksi = a b; then kaksi = b a; frames: a a b b b b a a _
+        seq = [0, 0, 1, 1, 1, 1, 0, 0, 3]
+        for t, s_ in enumerate(seq):
+            obs[t, s_] = 0.0
+        # unigram lookahead: kolme (-0.3) beats kaksi (-1.2) by
+        # 0.9*ln10*3 = 6.2 -> the b-branch dies under beam 4; bigram
+        # after yksi: kaksi -0.1 vs kolme bo(-0.4)+(-0.3) = -0.7 ->
+        # kaksi wins and survives
+        base = dict(num_tokens=64, num_records=8, beam=4.0,
+                    lm_scale=3.0, duration_scale=0.0)
+        uni = BeamSearch(tree, fsa, model,
+                         SearchConfig(**base, lm_lookahead=1))
+        bi = BeamSearch(tree, fsa, model,
+                        SearchConfig(**base, lm_lookahead=2))
+        w1, _ = uni.decode(obs)
+        w2, _ = bi.decode(obs)
+        assert w2[:2] == ["yksi", "kaksi"]
+        assert w1 != w2
