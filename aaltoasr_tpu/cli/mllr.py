@@ -42,6 +42,11 @@ def main(argv=None) -> int:
                    help="lin_transform module name for the transform")
     p.add_argument("--regtree-classes", type=int, default=1,
                    help="number of regression classes (1 = global)")
+    p.add_argument("--model-transform", action="store_true",
+                   help="write a model-namespace transform block "
+                        "(Gaussian-level CMLLR, ModelModules "
+                        "ConstrainedMllr) instead of a feature-space "
+                        "lin_transform; required for >1 class")
     p.add_argument("--min-frames", type=float, default=1000.0)
     p.add_argument("-B", "--batch", type=int, default=0)
     p.add_argument("-I", "--bindex", type=int, default=0)
@@ -87,13 +92,26 @@ def main(argv=None) -> int:
         if args.info > 0:
             print(f"{speaker or '(default)'}: {C} class(es)",
                   file=sys.stderr)
-        # feature-space: write the (global) transform as lin_transform
-        W = Ws[0]
-        cfg = ModuleConfig()
-        cfg.set("matrix", [float(x) for x in W[:, 1:].reshape(-1)])
-        cfg.set("bias", [float(x) for x in W[:, 0]])
-        spkc.speakers.setdefault(speaker or "default", {})[
-            ("feature", args.module)] = cfg
+        if args.model_transform or C > 1:
+            # model namespace: per-class transforms + class map
+            # (ConstrainedMllr blocks; self-contained .spkc)
+            cfg = ModuleConfig()
+            cfg.set("classes", C)
+            for c in range(C):
+                cfg.set(f"matrix{c}",
+                        [float(x) for x in Ws[c][:, 1:].reshape(-1)])
+                cfg.set(f"bias{c}", [float(x) for x in Ws[c][:, 0]])
+            cfg.set("gauss_class", [int(x) for x in classes])
+            spkc.speakers.setdefault(speaker or "default", {})[
+                ("model", args.module)] = cfg
+        else:
+            # feature-space: the global transform as lin_transform
+            W = Ws[0]
+            cfg = ModuleConfig()
+            cfg.set("matrix", [float(x) for x in W[:, 1:].reshape(-1)])
+            cfg.set("bias", [float(x) for x in W[:, 0]])
+            spkc.speakers.setdefault(speaker or "default", {})[
+                ("feature", args.module)] = cfg
     spkc.save(args.out)
     return 0
 

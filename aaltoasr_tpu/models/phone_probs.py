@@ -65,8 +65,35 @@ class PhoneProbs:
     def set_speaker(self, speaker_id: str) -> None:
         if self.speaker_config is None or not speaker_id:
             return
-        self.fg.apply_speaker_config(
-            self.speaker_config.speaker_params(speaker_id))
+        params = self.speaker_config.speaker_params(speaker_id)
+        self.fg.apply_speaker_config(params)
+        self._apply_model_transforms(params)
+
+    def _apply_model_transforms(self, params: dict) -> None:
+        """Model-namespace CMLLR blocks: rebuild the scorer with the
+        per-class transforms folded into (full-covariance) Gaussians
+        (ModelModules ConstrainedMllr; SpeakerConfig model namespace)."""
+        import numpy as np
+        from aaltoasr_tpu.ops.gmm import GmmScorer
+        from aaltoasr_tpu.train.mllr import apply_model_cmllr
+        blocks = [cfg for (ns, _name), cfg in params.items()
+                  if ns == "model" and cfg.exists("classes")]
+        if not blocks:
+            return
+        cfg = blocks[0]
+        C = cfg.get_int("classes")
+        D = self.model.dim
+        Ws = []
+        for c in range(C):
+            A = np.asarray(cfg.get_float_vec(f"matrix{c}")
+                           ).reshape(D, D)
+            b = np.asarray(cfg.get_float_vec(f"bias{c}"))
+            Ws.append(np.concatenate([b[:, None], A], axis=1))
+        cls = np.asarray(cfg.get_float_vec("gauss_class"),
+                         dtype=np.int64)
+        adapted = apply_model_cmllr(self.model, Ws, cls)
+        self.scorer = GmmScorer.from_model(adapted)
+        type(self)._program.cache_clear()
 
     def set_utterance(self, utterance_id: str) -> None:
         if self.speaker_config is None or not utterance_id:

@@ -196,3 +196,36 @@ class TestRegTree:
         for c in np.unique(classes):
             members = classes == c
             assert len(np.unique(loaded[members])) == 1
+
+
+class TestModelSpaceCmllr:
+    def test_equivalence_with_feature_transform(self):
+        """Scoring the rewritten (full-cov) model on x equals scoring
+        the original on A_c x + b_c plus log|det A_c|, per class."""
+        import jax.numpy as jnp
+        from aaltoasr_tpu.ops.gmm import GmmScorer
+        from aaltoasr_tpu.train.mllr import apply_model_cmllr
+        from tests.test_gmm import random_model
+        rng = np.random.default_rng(0)
+        model = random_model(G=8, S=3, D=4, K=2, seed=1)
+        D = model.dim
+        Ws = []
+        for c in range(2):
+            A = np.eye(D) + 0.15 * rng.normal(0, 1, (D, D))
+            b = rng.normal(0, 0.5, D)
+            Ws.append(np.concatenate([b[:, None], A], axis=1))
+        cls = np.array([0, 0, 0, 1, 1, 1, 0, 1])
+        adapted = apply_model_cmllr(model, Ws, cls)
+        sa = GmmScorer.from_model(adapted)
+        so = GmmScorer.from_model(model)
+        X = rng.normal(0, 1, (6, D)).astype(np.float32)
+        got = np.asarray(sa.gaussian_log_likelihoods(jnp.asarray(X)))
+        for c, W in enumerate(Ws):
+            A, b = W[:, 1:], W[:, 0]
+            Xc = (X @ A.T + b).astype(np.float32)
+            want = (np.asarray(so.gaussian_log_likelihoods(
+                jnp.asarray(Xc)))
+                + np.log(abs(np.linalg.det(A))))
+            for g in np.nonzero(cls == c)[0]:
+                np.testing.assert_allclose(got[:, g], want[:, g],
+                                           rtol=2e-3, atol=2e-3)
