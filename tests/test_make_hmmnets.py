@@ -203,3 +203,79 @@ module
                          "-H", "--mpe"])
         assert rc == 0
         assert (tmp_path / "s0.gks").exists()
+
+
+class TestTrainEbwCli:
+    def test_loop_and_resume(self, tmp_path):
+        """train_ebw runs EBW iterations over generated networks and
+        resumes by skipping existing outputs (train_ebw.pl)."""
+        import wave
+        from aaltoasr_tpu.cli.make_hmmnets import main as mh_main
+        from aaltoasr_tpu.cli.train_ebw import main as te_main
+        from aaltoasr_tpu.formats import model_io
+        from tests.test_decoder import ARPA_TEXT
+
+        model, _, _ = make_decode_task()
+        model_io.write_model(str(tmp_path / "m"), model)
+        (tmp_path / "lm.arpa").write_text(ARPA_TEXT)
+        (tmp_path / "w.lex").write_text(
+            "yksi a b\nkaksi b a\nkolme c a\n_ _\n")
+        cfg = tmp_path / "f.cfg"
+        cfg.write_text("""\
+module
+{
+  name audio
+  type audiofile
+  sample_rate 16000
+}
+module
+{
+  name fft
+  type fft
+  sources audio
+}
+module
+{
+  name mel
+  type mel
+  sources fft
+}
+module
+{
+  name dct
+  type dct
+  sources mel
+  dim 4
+}
+""")
+        rng = np.random.default_rng(1)
+        sig = (1500 * np.sin(2 * np.pi * 350 * np.arange(4000) / 16000)
+               + 150 * rng.standard_normal(4000)).astype("<i2")
+        wav = tmp_path / "u0.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(sig.tobytes())
+        (tmp_path / "u0.phn").write_text("a\nb\n")
+        rec = tmp_path / "t.recipe"
+        rec.write_text(
+            f"audio={wav} transcript={tmp_path}/u0.phn "
+            f"hmmnet={tmp_path}/u0.num.fst "
+            f"den-hmmnet={tmp_path}/u0.den.fst\n")
+        rc = te_main(["-b", str(tmp_path / "m"), "-c", str(cfg),
+                      "-r", str(rec), "-w", str(tmp_path / "w"),
+                      "--make-hmmnets", "--lm",
+                      str(tmp_path / "lm.arpa"), "--lexicon",
+                      str(tmp_path / "w.lex"), "--lm-scale", "1.0",
+                      "--num-iters", "2", "--ismooth", "5"])
+        assert rc == 0
+        assert (tmp_path / "w" / "ebw_2.ph").exists()
+        summary = (tmp_path / "w" / "ebw.summary").read_text()
+        assert summary.count("\n") == 2   # one line per iteration
+        # resume: second invocation skips both iterations
+        rc = te_main(["-b", str(tmp_path / "m"), "-c", str(cfg),
+                      "-r", str(rec), "-w", str(tmp_path / "w"),
+                      "--num-iters", "2"])
+        assert rc == 0
+        assert (tmp_path / "w" / "ebw.summary").read_text() == summary
