@@ -1,0 +1,89 @@
+// Golden-generating driver over the REFERENCE decoder library.
+//
+// Builds against /root/reference/decoder (read-only); used by
+// tests/test_golden_decode.py to produce 1-best references that
+// aaltoasr_tpu.decoder must reproduce.  Mirrors the setup order of
+// pyrectool/rectool.py:516-596 (get_toolbox) and the run loop of
+// rectool.py:987-1043 (decode_utterance).
+//
+// Usage:
+//   ref_decode_driver --ph model.ph [--dur model.dur] --lex lex.dict \
+//     --arpa lm.arpa --lna utt.lna [--beam 280] [--token-limit 100000] \
+//     [--lm-scale 30] [--dur-scale 3] [--trans-scale 1] \
+//     [--lookahead lm2.arpa] [--no-crossword] [--insertion-penalty 0]
+//
+// Prints the best LM history (one line of words) to stdout.
+
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <string>
+
+#include "Toolbox.hh"
+
+int main(int argc, char **argv) {
+  const char *ph = nullptr, *dur = nullptr, *lex = nullptr;
+  const char *arpa = nullptr, *lna = nullptr, *lookahead = nullptr;
+  float beam = 280, lm_scale = 30, dur_scale = 3, trans_scale = 1;
+  float insertion_penalty = 0;
+  int token_limit = 100000;
+  bool crossword = true;
+  bool require_end = true;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() { return argv[++i]; };
+    if (a == "--ph") ph = next();
+    else if (a == "--dur") dur = next();
+    else if (a == "--lex") lex = next();
+    else if (a == "--arpa") arpa = next();
+    else if (a == "--lna") lna = next();
+    else if (a == "--lookahead") lookahead = next();
+    else if (a == "--beam") beam = atof(next());
+    else if (a == "--token-limit") token_limit = atoi(next());
+    else if (a == "--lm-scale") lm_scale = atof(next());
+    else if (a == "--dur-scale") dur_scale = atof(next());
+    else if (a == "--trans-scale") trans_scale = atof(next());
+    else if (a == "--insertion-penalty") insertion_penalty = atof(next());
+    else if (a == "--no-crossword") crossword = false;
+    else if (a == "--no-require-end") require_end = false;
+    else { fprintf(stderr, "unknown arg %s\n", a.c_str()); return 2; }
+  }
+  if (!ph || !lex || !arpa || !lna) {
+    fprintf(stderr, "need --ph --lex --arpa --lna\n");
+    return 2;
+  }
+
+  Toolbox t(ph, dur);
+  t.set_silence_is_word(0);
+  t.set_optional_short_silence(1);
+  t.set_cross_word_triphones(crossword);
+  t.set_require_sentence_end(require_end);
+  t.set_verbose(0);
+  t.set_print_text_result(0);
+  t.set_print_probs(0);
+  t.set_global_beam(beam);
+  t.set_word_end_beam(2 * beam / 3);
+  t.set_token_limit(token_limit);
+  t.set_prune_similar(3);
+  t.set_duration_scale(dur_scale);
+  t.set_transition_scale(trans_scale);
+  t.set_lm_scale(lm_scale);
+  t.set_insertion_penalty(insertion_penalty);
+  t.set_lm_lookahead(lookahead != nullptr);
+  t.lex_read(lex);
+  t.set_sentence_boundary("<s>", "</s>");
+  t.ngram_read(arpa, /*binary=*/false, /*quiet=*/true);
+  if (lookahead)
+    t.read_lookahead_ngram(lookahead, /*binary=*/false, /*quiet=*/true);
+  t.prune_lm_lookahead_buffers(0, 4);
+  t.set_use_word_pair_approximation(true);
+
+  t.lna_open(lna, 1024);
+  t.reset(0);
+  t.set_end(-1);
+  int frames = 0;
+  while (t.run()) ++frames;
+  t.print_best_lm_history(stdout);
+  fprintf(stderr, "frames=%d\n", frames);
+  return 0;
+}
