@@ -57,6 +57,10 @@ def main(argv=None) -> int:
     p.add_argument("--splitalpha", type=float, default=1.0,
                    help="Occupancy smoothing power for splitting")
     p.add_argument("--no-transition-update", action="store_true")
+    p.add_argument("-D", "--ebwd",
+                   help="read Gaussian specific EBW D values (and limits)")
+    p.add_argument("--write-ebwd",
+                   help="write Gaussian specific D and minimum D values")
     p.add_argument("-s", "--summary", help="write summary file here")
     p.add_argument("-i", "--info", type=int, default=0)
     args = p.parse_args(argv)
@@ -77,13 +81,36 @@ def main(argv=None) -> int:
             if base:
                 stats.load(base, table)
 
+    # --ebwd: per-Gaussian fixed D values "D [min max]" per line
+    # (estimate.cc:28-77); min/max columns are read but, as in the
+    # reference, only D feeds the update
+    fixed_d = None
+    ebwd_min = ebwd_max = None
+    if args.ebwd:
+        import numpy as np
+        G = model.num_gaussians
+        fixed_d = np.full(G, -1.0)
+        ebwd_min = np.full(G, -1.0)
+        ebwd_max = np.full(G, -1.0)
+        with open(args.ebwd) as f:
+            for i in range(G):
+                fields = f.readline().split()
+                if not fields:
+                    raise ValueError("Failed to read D values")
+                fixed_d[i] = max(float(fields[0]), 0.0)
+                if len(fields) >= 3:
+                    ebwd_min[i] = float(fields[1])
+                    ebwd_max[i] = float(fields[2])
+
+    d_out: dict = {}
     if args.mmi or args.mpe:
         from aaltoasr_tpu.train.ebw import estimate_mmi
         new_model = estimate_mmi(
             model, table, stats, c1=args.C1, c2=args.C2,
             tau=args.ismooth, minvar=args.minvar,
             mode="mpe" if args.mpe else "mmi", max_kld=args.limit,
-            update_mixtures=not args.no_mixture_update)
+            update_mixtures=not args.no_mixture_update,
+            fixed_d=fixed_d, d_out=d_out)
     else:
         new_model = estimate_ml(
             model, table, stats, minvar=args.minvar,
@@ -108,6 +135,26 @@ def main(argv=None) -> int:
         if args.info > 0:
             print(f"Split {n} Gaussians", file=sys.stderr)
     write_model(args.out, new_model)
+
+    if args.write_ebwd:
+        # realized D + max(min D, file min), min(realized, file max)
+        # semantics of write_ebw_d_file (estimate.cc:79-102)
+        import numpy as np
+        G = model.num_gaussians
+        realized = d_out.get("realized_d")
+        min_d = d_out.get("min_d")
+        if realized is None:
+            realized = np.full(G, -1.0)
+            min_d = np.full(G, -1.0)
+        out_min = min_d.copy()
+        out_max = realized.copy()
+        if ebwd_min is not None:
+            out_min = np.maximum(out_min, ebwd_min)
+            out_max = np.where(
+                (ebwd_max > 0) & ~(out_max < ebwd_max), ebwd_max, out_max)
+        with open(args.write_ebwd, "w") as f:
+            for v, mn, mx in zip(realized, out_min, out_max):
+                f.write(f"{v:g} {mn:g} {mx:g}\n")
 
     if args.summary:
         with open(args.summary, "a") as f:

@@ -121,6 +121,7 @@ class HmmStats:
     num_ll: float = 0.0              # numerator total log-likelihood
     den_ll: float = 0.0
     num_frames: int = 0
+    mpe_score: float = 0.0           # summed expected accuracy (MPE)
 
     @classmethod
     def zeros(cls, model, table, mode: int = PDF_ML_STATS) -> "HmmStats":
@@ -147,6 +148,7 @@ class HmmStats:
         self.num_ll += other.num_ll
         self.den_ll += other.den_ll
         self.num_frames += other.num_frames
+        self.mpe_score += other.mpe_score
 
     # -- reference-format dumps ------------------------------------------
     def dump(self, base: str) -> None:
@@ -284,10 +286,16 @@ class HmmStats:
             idx += 1
 
     def dump_lls(self, path) -> None:
+        # same keys as the reference E-step worker (aku/stats.cc:778-797)
         with open(path, "w") as f:
             f.write(f"Numerator loglikelihood: {self.num_ll:.12g}\n")
             if self.mode & (PDF_MMI_STATS | PDF_MPE_DEN_STATS):
                 f.write(f"Denominator loglikelihood: {self.den_ll:.12g}\n")
+            if self.mode & PDF_MMI_STATS:
+                f.write(f"MMI score: {self.num_ll - self.den_ll:.12g}\n")
+            if self.mode & (PDF_MPE_NUM_STATS | PDF_MPE_DEN_STATS):
+                f.write(f"MPE score: {self.mpe_score:.12g}\n")
+            f.write(f"Number of frames: {self.num_frames}\n")
 
     def load_lls(self, path) -> None:
         with open(path) as f:
@@ -296,6 +304,10 @@ class HmmStats:
                     self.num_ll += float(line.split(":")[1])
                 elif line.startswith("Denominator loglikelihood:"):
                     self.den_ll += float(line.split(":")[1])
+                elif line.startswith("MPE score:"):
+                    self.mpe_score += float(line.split(":")[1])
+                elif line.startswith("Number of frames:"):
+                    self.num_frames += int(float(line.split(":")[1]))
 
     def load(self, base: str, table=None) -> None:
         """Accumulate a full dump set (combine_stats semantics)."""

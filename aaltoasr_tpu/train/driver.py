@@ -258,5 +258,6 @@ class EStepDriver:
                         self.model, self.table, d, mode,
                         buffer_id=buf_id, stats=utt)
                 utt.den_ll = float(out["avg_accuracy"])
+                utt.mpe_score += float(out["avg_accuracy"])
             total.add(utt)
         return total

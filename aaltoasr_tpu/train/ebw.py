@@ -92,13 +92,22 @@ def ebw_gaussian_update(old_means, old_covars, num_gamma, num_m1, num_m2,
                         den_gamma, den_m1, den_m2,
                         c1: float = 2.0, c2: float = 2.0,
                         tau: float = 0.0, minvar: float = 0.1,
-                        max_kld: float = 0.0):
-    """Vectorized EBW update; returns (means, covars, realized_d)."""
+                        max_kld: float = 0.0, fixed_d=None):
+    """Vectorized EBW update.
+
+    Returns (means, covars, realized_d, min_d) where min_d is the
+    C2-scaled minimum D (Gaussian::get_minimum_d, Distributions.cc:634)
+    and realized_d the D actually used.  fixed_d (per Gaussian, <0 =
+    unset) overrides the default C1*den_gamma+tau (Distributions.cc:
+    635-638, estimate --ebwd)."""
     c = num_gamma - den_gamma
     mu_t = num_m1 - den_m1
     sigma_t = num_m2 - den_m2
     min_d = ebw_min_d(old_means, old_covars, c, mu_t, sigma_t)
-    d = np.maximum(c1 * den_gamma + tau, c2 * min_d)
+    default_d = c1 * den_gamma + tau
+    if fixed_d is not None:
+        default_d = np.where(np.asarray(fixed_d) >= 0, fixed_d, default_d)
+    d = np.maximum(default_d, c2 * min_d)
     if max_kld > 0:
         d = ebw_constrained_d(old_means, old_covars, c, mu_t, sigma_t,
                               d, max_kld)
@@ -111,7 +120,7 @@ def ebw_gaussian_update(old_means, old_covars, num_gamma, num_m1, num_m2,
     ok = np.abs(denom) > 1e-10
     new_mean = np.where(ok[:, None], new_mean, old_means)
     new_cov = np.where(ok[:, None], new_cov, old_covars)
-    return new_mean, new_cov, d
+    return new_mean, new_cov, d, c2 * min_d
 
 
 def mmi_mixture_weights(num_gamma, den_gamma, old_weights,
@@ -166,19 +175,28 @@ def estimate_mmi(model: HmmModel, table: TransitionTable,
                  stats: HmmStats, c1: float = 2.0, c2: float = 2.0,
                  tau: float = 0.0, minvar: float = 0.1,
                  mode: str = "mmi", max_kld: float = 0.0,
-                 update_mixtures: bool = True) -> HmmModel:
-    """Discriminative M-step from num/den buffers -> new model."""
+                 update_mixtures: bool = True, fixed_d=None,
+                 d_out: dict | None = None) -> HmmModel:
+    """Discriminative M-step from num/den buffers -> new model.
+
+    fixed_d: optional [G] per-Gaussian D overrides (estimate --ebwd).
+    d_out: if given, receives ``realized_d`` and ``min_d`` [G] arrays
+    (estimate --write-ebwd)."""
     if mode == "mmi":
         num, den = stats.buffers[ML_BUF], stats.buffers[MMI_BUF]
     else:  # mpe
         num, den = stats.buffers[MPE_NUM_BUF], stats.buffers[MPE_DEN_BUF]
     G = model.num_gaussians
     has_data = (num.gamma[:G] > 0) | (den.gamma[:G] > 0)
-    means, covars, _ = ebw_gaussian_update(
+    means, covars, realized_d, min_d = ebw_gaussian_update(
         model.means, model.covars,
         num.gamma[:G], num.mean_acc[:G], num.sec_acc[:G],
         den.gamma[:G], den.mean_acc[:G], den.sec_acc[:G],
-        c1=c1, c2=c2, tau=tau, minvar=minvar, max_kld=max_kld)
+        c1=c1, c2=c2, tau=tau, minvar=minvar, max_kld=max_kld,
+        fixed_d=fixed_d)
+    if d_out is not None:
+        d_out["realized_d"] = realized_d
+        d_out["min_d"] = min_d
     means = np.where(has_data[:, None], means, model.means)
     covars = np.where(has_data[:, None], covars, model.covars)
 

@@ -98,7 +98,9 @@ def main():
     t0 = time.perf_counter()              # host-side result unwinding)
     res = search.decode_batch(obs, n)
     dt = time.perf_counter() - t0
-    audio_sec = B * T * 0.01              # 125 fps LNA? use 100 fps
+    # reference operating point is 125 fps (doc/feature_configuration.
+    # txt:50-56): T frames = T/125 seconds of audio
+    audio_sec = B * T / 125.0
     xrt = audio_sec / dt
     print(json.dumps({
         "metric": "dense_decode_realtime_factor",

@@ -33,7 +33,7 @@ class TestEbwGaussian:
         den_gamma = np.array([10.0, 5.0])
         den_m1 = np.array([[-10.0, 0, 0], [0, -5.0, 0]])
         den_m2 = np.array([[20.0, 10, 10], [5, 10.0, 5]])
-        means, covars, d = ebw_gaussian_update(
+        means, covars, d, _mind = ebw_gaussian_update(
             old_means, old_covars, num_gamma, num_m1, num_m2,
             den_gamma, den_m1, den_m2, minvar=0.01)
         assert means[0, 0] > 0.5           # pulled toward num (+1)
@@ -51,7 +51,7 @@ class TestEbwGaussian:
         num_m2 = (old_covars + old_means ** 2) * num_gamma[:, None]
         den_m1 = rng.normal(0, 5, (G, D)) * den_gamma[:, None]
         den_m2 = rng.uniform(1, 20, (G, D)) * den_gamma[:, None]
-        means, covars, d = ebw_gaussian_update(
+        means, covars, d, _mind = ebw_gaussian_update(
             old_means, old_covars, num_gamma, num_m1, num_m2,
             den_gamma, den_m1, den_m2, minvar=1e-4)
         assert np.all(covars >= 1e-4)
@@ -59,7 +59,7 @@ class TestEbwGaussian:
 
     def test_large_d_stays_near_old(self):
         G, D = 1, 2
-        means, covars, _ = ebw_gaussian_update(
+        means, covars, _, _mind = ebw_gaussian_update(
             np.ones((G, D)), np.ones((G, D)),
             np.array([1.0]), np.ones((G, D)), 2 * np.ones((G, D)),
             np.array([0.0]), np.zeros((G, D)), np.zeros((G, D)),
@@ -181,10 +181,10 @@ class TestConstrainedEbw:
         dm1 = mu * dg[:, None]
         dm2 = (cov + mu ** 2) * dg[:, None]
 
-        m_free, c_free, d_free = ebw_gaussian_update(
+        m_free, c_free, d_free, _ = ebw_gaussian_update(
             mu, cov, ng, nm1, nm2, dg, dm1, dm2, minvar=1e-4)
         limit = 0.05
-        m_lim, c_lim, d_lim = ebw_gaussian_update(
+        m_lim, c_lim, d_lim, _ = ebw_gaussian_update(
             mu, cov, ng, nm1, nm2, dg, dm1, dm2, minvar=1e-4,
             max_kld=limit)
         # step strictly smaller
