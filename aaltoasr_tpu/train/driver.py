@@ -42,6 +42,10 @@ def device_stats_to_hmm_stats(model: HmmModel, table: TransitionTable,
     G = model.num_gaussians
     S = model.num_states
     buf.gamma[:] = np.asarray(dstats["gamma"], dtype=np.float64)[:G]
+    # aux gamma = sum of |component gamma| (Mixture::accumulate,
+    # Distributions.cc:2157); our per-frame gammas are non-negative per
+    # buffer, so the sum of absolutes equals the sum
+    buf.aux_gamma[:] = np.abs(buf.gamma)
     buf.mean_acc[:] = np.asarray(dstats["mean_acc"], dtype=np.float64)[:G]
     buf.sec_acc[:] = np.asarray(dstats["sec_acc"], dtype=np.float64)[:G]
     buf.feacount[:] = np.asarray(dstats["feacount"], dtype=np.int64)[:G]
