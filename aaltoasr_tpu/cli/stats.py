@@ -27,8 +27,10 @@ def main(argv=None) -> int:
     p.add_argument("-r", "--recipe", required=True)
     p.add_argument("-o", "--out", required=True,
                    help="output base for statistics dumps")
-    p.add_argument("-M", "--mode", default="bw", choices=["bw", "vit"],
-                   help="segmentation mode")
+    p.add_argument("-M", "--mode", default="bw",
+                   choices=["bw", "vit", "mpv"],
+                   help="segmentation mode (mpv = multipath Viterbi, "
+                        "hmmnet graphs only)")
     p.add_argument("-H", "--hmmnet", action="store_true",
                    help="use hmmnet= training networks from the recipe")
     p.add_argument("--ml", action="store_true", default=True,
@@ -38,6 +40,12 @@ def main(argv=None) -> int:
     p.add_argument("--mpe", action="store_true",
                    help="collect MPE (frame error) statistics from "
                         "den-hmmnet=")
+    p.add_argument("--errmode", default="mpe",
+                   choices=["mwe", "mpe", "mpfe-pdf", "mpfe-cps",
+                            "mpfe", "snfe"],
+                   help="MPE error mode (stats.cc:346; default mpe)")
+    p.add_argument("--max-seg-dur", type=int, default=64,
+                   help="duration cap for segment error modes")
     p.add_argument("--fullstats", action="store_true",
                    help="accumulate full second moments "
                         "(PDF_ML_FULL_STATS; full-covariance M-step "
@@ -61,7 +69,8 @@ def main(argv=None) -> int:
             or args.mode != "bw"):
         stats = driver.run_recipe(recipe, info=args.info,
                                   use_hmmnet=args.hmmnet, mmi=args.mmi,
-                                  mpe=args.mpe)
+                                  mpe=args.mpe, errmode=args.errmode,
+                                  max_seg_dur=args.max_seg_dur)
     else:
         stats = driver.run_recipe_batched(
             recipe, batch_size=args.device_batch, info=args.info)

@@ -143,12 +143,19 @@ def build_prefix_tree(model: HmmModel, entries: list,
                       silence_is_word: bool = True,
                       use_context_phones: bool | None = None,
                       cross_word: bool | None = None,
-                      boundary: str = "_") -> PrefixTree:
+                      boundary: str = "_",
+                      optional_short_silence: bool = False) -> PrefixTree:
     """Compile lexicon entries against the acoustic model's phones.
 
     use_context_phones: expand lexicon monophone strings to the model's
     tied context-dependent labels (auto-detected from the model's phone
     inventory by default).
+    silence_is_word: when False, every lexicon word starting with '_'
+    is a non-LM silence (TPNowayLexReader.cc:153).
+    optional_short_silence: reference semantics for a 1-emitting-state
+    '_' entry (TPLexPrefixTree.cc:132-141): it is NOT a word path but
+    an optional short-silence loop crossed between word end and
+    re-entry (TPLexPrefixTree m_optional_short_silence).
     cross_word: build fan-in/fan-out variants for the word-boundary
     phones so triphone contexts hold ACROSS words (TPLexPrefixTree
     fan-in/fan-out, `decoder/src/TPLexPrefixTree.hh:172-240`); defaults
@@ -217,6 +224,7 @@ def build_prefix_tree(model: HmmModel, entries: list,
 
     root_children: dict[str, PhoneInstance] = {}
 
+    short_sil_phone = None
     for e in entries:
         if not e.phones:
             continue
@@ -225,6 +233,13 @@ def build_prefix_tree(model: HmmModel, entries: list,
             missing = [ph for ph in e.phones if ph not in phone_map][0]
             print(f"build_prefix_tree: unknown hmm {missing} in word "
                   f"'{e.word}'", file=sys.stderr)
+            continue
+        if (optional_short_silence and e.word == "_"
+                and len(e.phones) == 1
+                and len(phone_map[e.phones[0]].states) == 1):
+            # 1-state '_' = the optional short silence model, not a
+            # word path (TPLexPrefixTree.cc:132-141)
+            short_sil_phone = phone_map[e.phones[0]]
             continue
         level = root_children
         inst = None
@@ -238,9 +253,12 @@ def build_prefix_tree(model: HmmModel, entries: list,
             inst = level[ph]
             level = inst.children
         # word end on the final states of the last phone.  '_' (silence)
-        # is never a vocabulary word (TPNowayLexReader.cc:154-160): it
-        # carries no LM score, no insertion penalty and no output.
-        is_silence = e.word == "_"
+        # is never a vocabulary word, nor is any '_'-initial word when
+        # silence_is_word is off (TPNowayLexReader.cc:153-160): no LM
+        # score, no insertion penalty, no output.
+        is_silence = (e.word == "_"
+                      or (not silence_is_word
+                          and e.word.startswith("_")))
         w = -1 if is_silence else wid(e.word)
         for (n, lp) in inst.exits:
             we[n].append((w, lp, log(e.prob), is_silence))
@@ -248,6 +266,23 @@ def build_prefix_tree(model: HmmModel, entries: list,
     root_tgt = [c.nodes[0] for c in root_children.values()]
     root_logp = [0.0] * len(root_tgt)
     silence_word = -1
+
+    if short_sil_phone is not None:
+        # optional short silence: word-end re-entry may pass through a
+        # looping 1-state silence before the root fan-out
+        s0 = short_sil_phone.states[0]
+        n_ss = new_node(s0)
+        self_lp = exit_lp = LOG_ZERO
+        for off, prob in model.transitions.get(s0, []):
+            if off == 0:
+                self_lp = log(prob)
+            elif off == 1:
+                exit_lp = log(prob)
+        arcs[n_ss].append((n_ss, self_lp))
+        for tgt in root_tgt:
+            arcs[n_ss].append((tgt, exit_lp))
+        root_tgt.append(n_ss)
+        root_logp.append(0.0)
 
     N = len(pdf)
     A = max((len(a) for a in arcs), default=1)

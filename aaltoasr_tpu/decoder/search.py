@@ -54,6 +54,10 @@ class SearchConfig:
     max_dur: int = 64
     lm_lookahead: int = 0           # 0 off, 1 unigram, 2 bigram
                                     # (TokenPassSearch m_lm_lookahead)
+    require_sentence_end: bool = False  # add P(</s>|h) to final
+                                    # hypotheses (TokenPassSearch.cc:
+                                    # 2267 final-token LM update)
+    sentence_end: str = "</s>"
 
 
 def unigram_lookahead(tree: PrefixTree, lm: NGramFsa,
@@ -451,6 +455,13 @@ class BeamSearch:
     def _result(self, tokens, recs):
         node, lmst, am, lms, dur, rec, alive = (
             np.asarray(x) for x in tokens[:7])
+        if self.config.require_sentence_end:
+            end_id = self.lm.word_index.get(self.config.sentence_end)
+            if end_id is not None:
+                ends = np.asarray(
+                    [self.lm.walk(int(st), end_id)[1] if a else 0.0
+                     for st, a in zip(lmst, alive)], np.float32)
+                lms = lms + ends
         total = np.where(alive, am + self.config.lm_scale * lms, -np.inf)
         best = int(np.argmax(total))
         return DecodeResult(

@@ -102,11 +102,6 @@ class DenseBeamSearch:
     def __init__(self, tree: PrefixTree, lm: NGramFsa, model,
                  config: SearchConfig = SearchConfig(),
                  reentry_width: int = 4, word_classes=None):
-        if tree.root_pair_tgt.shape[0] > 1:
-            raise ValueError(
-                "DenseBeamSearch does not support cross-word triphone "
-                "trees; use the exact BeamSearch, or build the tree "
-                "with cross_word=False")
         self.tree = tree
         self.lm = lm
         self.config = config
@@ -129,6 +124,18 @@ class DenseBeamSearch:
             we_h = np.concatenate([we_h, np.zeros(pad, dtype=we_h.dtype)])
             # mark padding rows dead via the exit score below
         self._we_pad = max(pad, 0)
+        # static unigram log-prob per slot's LM word: the cheap LM
+        # estimate (bo_weight[state] + uni_w) ranks word ends so the
+        # exact FSA walk only runs on the top-E candidates (the walk's
+        # per-element gathers dominate the step otherwise)
+        lm_ids = np.asarray(
+            [lm.word_index.get(w, -1) for w in lm_names] or [-1],
+            dtype=np.int32)
+        slot_lmid = lm_ids[np.maximum(tree.we_word[we_n, we_h], 0)]
+        uni_row = np.full(lm.num_words, LOG_ZERO, np.float32)
+        lo0, hi0 = int(lm.state_first[0]), int(lm.state_first[1])
+        uni_row[lm.trans_word[lo0:hi0]] = lm.trans_prob[lo0:hi0]
+        uni_w = uni_row[np.maximum(slot_lmid, 0)]
         self.tables = {
             "self_logp": jnp.asarray(shifts[0]),
             "prev_logp": jnp.asarray(shifts[1]),
@@ -140,11 +147,16 @@ class DenseBeamSearch:
             "dur_state": jnp.asarray(tree.dur_state),
             "we_node": jnp.asarray(we_n.astype(np.int32)),
             "we_word": jnp.asarray(tree.we_word[we_n, we_h]),
+            "we_lmid": jnp.asarray(slot_lmid),
+            "we_uni": jnp.asarray(uni_w),
+            "we_pair": jnp.asarray(tree.we_pair[we_n, we_h]),
             "we_exit": jnp.asarray(np.where(
                 np.arange(len(we_n)) < len(we_n) - self._we_pad,
                 tree.we_exit_logp[we_n, we_h], LOG_ZERO)),
             "we_pron": jnp.asarray(tree.we_pron_logp[we_n, we_h]),
             "we_skip": jnp.asarray(tree.we_skip_lm[we_n, we_h]),
+            "pair_tgt": jnp.asarray(tree.root_pair_tgt),
+            "pair_logp": jnp.asarray(tree.root_pair_logp),
             # static per-we-slot duration constants (no dur_state gather)
             "we_dur_valid": None, "we_dur_lncoef": None,
             "we_dur_invb": None, "we_dur_const": None,
@@ -252,69 +264,115 @@ class DenseBeamSearch:
         new_alive = best > LOG_ZERO / 2
 
         # ---- 2. word ends (from the PREVIOUS frame's state)
+        # Two-stage: a cheap static LM estimate (state backoff weight +
+        # word unigram) ranks ALL slots; the exact FSA walk runs only on
+        # the top-E candidates.  The walk's per-element gathers dominate
+        # the step otherwise (the reference likewise only scores LM for
+        # surviving word-end tokens, TokenPassSearch.cc:1885).
         wn = t["we_node"]                                  # [Nw]
+        Nw = wn.shape[0]
         w_word = t["we_word"]
-        w_lmid = t["lm_id"][jnp.maximum(w_word, 0)]
+        w_lmid = t["we_lmid"]
         skip = t["we_skip"] | (w_word < 0)
-        lm_next, lm_score = lm_walk_device(
-            t, self.lm.num_words, self.lm.order, lm[wn],
-            jnp.maximum(w_lmid, 0))
-        lm_next = jnp.where(skip, lm[wn], lm_next)
-        lm_score = jnp.where(skip, 0.0, lm_score)
+        am_wn = am[wn]
+        lms_wn = lms[wn]
+        lm_wn = lm[wn]
         d_we = jnp.clip(dur[wn] + 1, 1,
                         cfg.max_dur).astype(jnp.float32)
         we_durb = t["we_dur_valid"] * (
             t["we_dur_lncoef"] * jnp.log(d_we)
             - d_we * t["we_dur_invb"] + t["we_dur_const"])
-        we_am = (am[wn] + cfg.transition_scale * t["we_exit"] + we_durb)
-        we_lms = (lms[wn] + lm_score + t["we_pron"]
-                  + jnp.where(skip, 0.0, cfg.insertion_penalty))
-        we_alive = (alive[wn] & (lm_score > LOG_ZERO / 2)
-                    & (skip | (w_lmid >= 0))
-                    & (t["we_exit"] > LOG_ZERO / 2))
-        we_total = jnp.where(we_alive, we_am + cfg.lm_scale * we_lms,
-                             -jnp.inf)
+        we_am = am_wn + cfg.transition_scale * t["we_exit"] + we_durb
+        base_lms = lms_wn + t["we_pron"]
+        appr_lm = jnp.where(
+            skip, 0.0,
+            jnp.minimum(t["bo_weight"][lm_wn], 0.0) + t["we_uni"]
+            + cfg.insertion_penalty)
+        # dead nodes hold am == LOG_ZERO (invariant set after the beam)
+        slot_ok = ((am_wn > LOG_ZERO / 2)
+                   & (t["we_exit"] > LOG_ZERO / 2)
+                   & (skip | (w_lmid >= 0)))
+        rank0 = jnp.where(slot_ok,
+                          we_am + cfg.lm_scale * (base_lms + appr_lm),
+                          -jnp.inf)
 
-        # records: top-E word ends (top_k: cheaper than full argsort)
-        _, order = jax.lax.top_k(we_total, E)
-        e_alive = jnp.take(we_alive, order)
-        e_word = jnp.take(w_word, order)
-        e_prev = jnp.take(rec[wn], order)
-        is_word = e_alive & (e_word >= 0)
-        rec_word = jnp.where(e_alive, e_word, -1)
-        rec_prev = jnp.where(is_word, e_prev, -1)
-        rec_am = jnp.where(is_word, jnp.take(we_am, order), 0.0)
-        rec_lms = jnp.where(is_word, jnp.take(we_lms, order), 0.0)
-        slot_ptr = step_idx * E + jnp.arange(E, dtype=jnp.int32)
-        e_rec = jnp.where(is_word, slot_ptr, e_prev)
-
-        # ---- 3. re-entry: top-C word ends through the root arcs
-        c_am = jnp.take(we_am, order[:C])
-        c_lms = jnp.take(we_lms, order[:C])
-        c_lm = jnp.take(lm_next, order[:C])
-        c_rec = e_rec[:C]
-        c_alive = e_alive[:C]
+        k = min(E, int(Nw))
+        _, cand = jax.lax.top_k(rank0, k)                  # [k]
+        if k < E:
+            cand = jnp.concatenate(
+                [cand, jnp.zeros((E - k,), cand.dtype)])
+        c_ok = jnp.take(slot_ok, cand)
+        if k < E:
+            c_ok = c_ok & (jnp.arange(E) < k)
+        c_word = jnp.take(w_word, cand)
+        c_skip = jnp.take(skip, cand)
+        c_state = jnp.take(lm_wn, cand)
+        lm_next, lm_score = lm_walk_device(
+            t, self.lm.num_words, self.lm.order, c_state,
+            jnp.maximum(jnp.take(w_lmid, cand), 0))
+        lm_next = jnp.where(c_skip, c_state, lm_next)
+        lm_score = jnp.where(c_skip, 0.0, lm_score)
+        c_am = jnp.take(we_am, cand)
+        c_lms = (jnp.take(base_lms, cand) + lm_score
+                 + jnp.where(c_skip, 0.0, cfg.insertion_penalty))
+        c_alive = c_ok & (lm_score > LOG_ZERO / 2)
         c_total = jnp.where(c_alive, c_am + cfg.lm_scale * c_lms,
+                            -jnp.inf)
+
+        # records: the E candidates with exact scores
+        c_prev = rec[jnp.take(wn, cand)]
+        is_word = c_alive & (c_word >= 0)
+        rec_word = jnp.where(c_alive, c_word, -1)
+        rec_prev = jnp.where(is_word, c_prev, -1)
+        rec_am = jnp.where(is_word, c_am, 0.0)
+        rec_lms = jnp.where(is_word, c_lms, 0.0)
+        slot_ptr = step_idx * E + jnp.arange(E, dtype=jnp.int32)
+        e_rec = jnp.where(is_word, slot_ptr, c_prev)
+
+        # ---- 3. re-entry: top-C candidates through their context-pair
+        # rows (cross-word fan-in, TPLexPrefixTree.hh:172-240; monophone
+        # trees have one row)
+        _, top_c = jax.lax.top_k(c_total, C)
+        r_am = jnp.take(c_am, top_c)
+        r_lms = jnp.take(c_lms, top_c)
+        r_lm = jnp.take(lm_next, top_c)
+        r_rec = jnp.take(e_rec, top_c)
+        r_alive = jnp.take(c_alive, top_c)
+        r_pair = jnp.take(jnp.take(t["we_pair"], cand), top_c)
+        rows_tgt = t["pair_tgt"][r_pair]                   # [C, R]
+        rows_lp = t["pair_logp"][r_pair]
+        r_total = jnp.where(r_alive, r_am + cfg.lm_scale * r_lms,
                             LOG_ZERO)
-        r_tgt = t["root_tgt"]                              # [R]
-        enter = c_total[:, None] + t["root_logp"][None, :]  # [C, R]
-        cbest = jnp.argmax(enter, axis=0)                  # [R]
-        enter_best = jnp.max(enter, axis=0)
-        # compete with in-tree arrivals at the entry nodes
-        cur_best = jnp.where(new_alive[r_tgt], best[r_tgt], LOG_ZERO)
-        take = (enter_best > cur_best) & c_alive[cbest]
-        new_am = new_am.at[r_tgt].set(
-            jnp.where(take, c_am[cbest] + t["root_logp"],
-                      new_am[r_tgt]))
-        new_lms = new_lms.at[r_tgt].set(
-            jnp.where(take, c_lms[cbest], new_lms[r_tgt]))
-        new_lm = new_lm.at[r_tgt].set(
-            jnp.where(take, c_lm[cbest], new_lm[r_tgt]))
-        new_dur = new_dur.at[r_tgt].set(
-            jnp.where(take, 0, new_dur[r_tgt]))
-        new_rec = new_rec.at[r_tgt].set(
-            jnp.where(take, c_rec[cbest], new_rec[r_tgt]))
-        new_alive = new_alive.at[r_tgt].set(new_alive[r_tgt] | take)
+        enter = jnp.where(r_alive[:, None] & (rows_lp > LOG_ZERO / 2),
+                          r_total[:, None] + rows_lp, LOG_ZERO)
+        # merge via small scatters over the C*R entry slots only ([N]-
+        # sized dynamic gathers lower to ~5 ms custom fusions on TPU)
+        R = rows_tgt.shape[1]
+        flat_tgt = rows_tgt.reshape(-1)                    # [C*R]
+        flat_score = enter.reshape(-1)
+        cur = jnp.where(new_alive, best, LOG_ZERO)
+        best_in = cur.at[flat_tgt].max(flat_score)
+        take_tgt = best_in > cur                           # [N]
+        fidx = jnp.arange(flat_tgt.shape[0], dtype=jnp.int32)
+        win = jnp.full((N,), -1, jnp.int32).at[flat_tgt].max(
+            jnp.where(flat_score >= best_in[flat_tgt], fidx, -1))
+        is_win = fidx == win[flat_tgt]                     # [C*R]
+        cflat = fidx // R
+
+        def pay(vals, dtype=jnp.float32):
+            z = jnp.zeros((N,), dtype)
+            v = jnp.take(vals, cflat).astype(dtype)
+            return z.at[flat_tgt].add(jnp.where(is_win, v,
+                                                jnp.zeros_like(v)))
+
+        pay_am = pay(r_am) + jnp.zeros((N,), jnp.float32).at[
+            flat_tgt].add(jnp.where(is_win, rows_lp.reshape(-1), 0.0))
+        new_am = jnp.where(take_tgt, pay_am, new_am)
+        new_lms = jnp.where(take_tgt, pay(r_lms), new_lms)
+        new_lm = jnp.where(take_tgt, pay(r_lm, jnp.int32), new_lm)
+        new_dur = jnp.where(take_tgt, 0, new_dur)
+        new_rec = jnp.where(take_tgt, pay(r_rec, jnp.int32), new_rec)
+        new_alive = new_alive | take_tgt
 
         # ---- 4. observation + beam
         new_am = new_am + obs_t
@@ -322,6 +380,9 @@ class DenseBeamSearch:
                               new_am + cfg.lm_scale * new_lms, LOG_ZERO)
         mx = jnp.max(new_total)
         new_alive = new_alive & (new_total >= mx - cfg.beam)
+        # dead nodes pinned at LOG_ZERO (the word-end ranking and
+        # `_result` read aliveness off am directly)
+        new_am = jnp.where(new_alive, new_am, LOG_ZERO)
 
         return ((new_am, new_lms, new_lm, new_dur, new_rec, new_alive),
                 (rec_word, rec_prev, rec_am, rec_lms))
@@ -330,7 +391,12 @@ class DenseBeamSearch:
         cfg = self.config
         t = self.tables
         N = self.tree.num_nodes
-        r_tgt = t["root_tgt"]
+        # utterance-initial entries: the boundary-context pair row
+        # (TPLexPrefixTree fan-in; union row for monophone trees)
+        init_row = np.asarray(self.tree.root_pair_tgt[self.tree.init_pair])
+        init_lp = np.asarray(self.tree.root_pair_logp[self.tree.init_pair])
+        r_tgt = jnp.asarray(init_row[init_lp > LOG_ZERO / 2])
+        r_lp = jnp.asarray(init_lp[init_lp > LOG_ZERO / 2])
 
         if self._precompute_obs:
             # one [T, N] gather outside the scan (HBM permitting)
@@ -340,7 +406,7 @@ class DenseBeamSearch:
         first = obs[0][t["pdf"][r_tgt]] if obs_pos is None \
             else obs_pos[0][r_tgt]
         am0 = jnp.full((N,), LOG_ZERO, jnp.float32)
-        am0 = am0.at[r_tgt].set(first)
+        am0 = am0.at[r_tgt].max(first + r_lp)
         alive0 = jnp.zeros((N,), bool).at[r_tgt].set(True)
         state = (am0, jnp.zeros((N,), jnp.float32),
                  jnp.full((N,), lm_init, jnp.int32),
@@ -365,7 +431,26 @@ class DenseBeamSearch:
 
         xs_obs = obs[1:] if obs_pos is None else obs_pos[1:]
         state, recs = jax.lax.scan(step, state, (xs_obs, valid, steps))
-        return state, recs
+
+        # finalize ON DEVICE: only scalars + the packed per-frame record
+        # stacks cross the wire (a [B, N] state fetch costs seconds on a
+        # relay-mediated link)
+        am, lms, lm, dur, rec, alive = state
+        if cfg.require_sentence_end:
+            end_id = self.lm.word_index.get(cfg.sentence_end)
+            if end_id is not None:
+                _, end_sc = lm_walk_device(
+                    t, self.lm.num_words, self.lm.order, lm,
+                    jnp.full((N,), end_id, jnp.int32))
+                lms = lms + jnp.where(alive, end_sc, 0.0)
+        total = jnp.where(alive, am + cfg.lm_scale * lms, -jnp.inf)
+        bestn = jnp.argmax(total)
+        finals = jnp.stack([
+            rec[bestn].astype(jnp.float32), total[bestn],
+            am[bestn], lms[bestn]])
+        rec_ints = jnp.stack([recs[0], recs[1]], axis=-1)   # [T-1, E, 2]
+        rec_floats = jnp.stack([recs[2], recs[3]], axis=-1)
+        return finals, rec_ints, rec_floats
 
     # -- public API (mirrors BeamSearch) ----------------------------------
     def decode(self, obs, n_frames=None, sentence_start="<s>"):
@@ -373,9 +458,10 @@ class DenseBeamSearch:
         if n_frames is None:
             n_frames = obs.shape[0]
         lm_init = self.lm.initial_state(sentence_start)
-        state, recs = self._decode_jit(
+        finals, rec_i, rec_f = self._decode_jit(
             obs, jnp.int32(n_frames), jnp.int32(lm_init))
-        return self._result(state, recs)
+        return self._result(np.asarray(finals), np.asarray(rec_i),
+                            np.asarray(rec_f))
 
     def decode_batch(self, obs, n_frames, sentence_start="<s>"):
         lm_init = self.lm.initial_state(sentence_start)
@@ -405,31 +491,18 @@ class DenseBeamSearch:
                             jnp.asarray(n_frames[i:i + chunk],
                                         jnp.int32),
                             jnp.int32(lm_init)))
-        if len(parts) == 1:
-            state, recs = parts[0]
-        else:
-            state = tuple(jnp.concatenate([p[0][j] for p in parts])
-                          for j in range(len(parts[0][0])))
-            recs = tuple(jnp.concatenate([p[1][j] for p in parts])
-                         for j in range(len(parts[0][1])))
         # ONE device->host fetch per array (per-utterance slicing
         # would issue B separate transfers — dominant on remote links)
-        state_h = tuple(np.asarray(x) for x in state)
-        recs_h = tuple(np.asarray(r) for r in recs)
-        out = []
-        for b in range(obs.shape[0]):
-            st = tuple(x[b] for x in state_h)
-            rc = tuple(r[b] for r in recs_h)
-            out.append(self._result(st, rc))
-        return out
+        finals = np.concatenate([np.asarray(p[0]) for p in parts])
+        rec_i = np.concatenate([np.asarray(p[1]) for p in parts])
+        rec_f = np.concatenate([np.asarray(p[2]) for p in parts])
+        return [self._result(finals[b], rec_i[b], rec_f[b])
+                for b in range(obs.shape[0])]
 
-    def _result(self, state, recs):
-        am, lms, lm, dur, rec, alive = (np.asarray(x) for x in state)
-        total = np.where(alive, am + self.config.lm_scale * lms, -np.inf)
-        best = int(np.argmax(total))
+    def _result(self, finals, rec_i, rec_f):
         return DecodeResult(
-            search=self, final_ptr=int(rec[best]),
-            log_prob=float(total[best]),
-            final_am=float(am[best]), final_lms=float(lms[best]),
-            rec_words=np.asarray(recs[0]), rec_prevs=np.asarray(recs[1]),
-            rec_ams=np.asarray(recs[2]), rec_lmss=np.asarray(recs[3]))
+            search=self, final_ptr=int(finals[0]),
+            log_prob=float(finals[1]),
+            final_am=float(finals[2]), final_lms=float(finals[3]),
+            rec_words=rec_i[..., 0], rec_prevs=rec_i[..., 1],
+            rec_ams=rec_f[..., 0], rec_lmss=rec_f[..., 1])

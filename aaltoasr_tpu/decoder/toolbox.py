@@ -48,11 +48,35 @@ class Toolbox:
         self._sentence_start = "<s>"
         self._sentence_end = "</s>"
         self._word_classes = None
+        self._silence_is_word = True
+        self._optional_short_silence = False
+        self._cross_word = None
 
     # -- model/lexicon/LM loading (Toolbox.hh:42-108) ---------------------
     def lex_read(self, path) -> None:
         entries = read_lexicon(path)
-        self.tree = build_prefix_tree(self.model, entries)
+        self.tree = build_prefix_tree(
+            self.model, entries,
+            silence_is_word=self._silence_is_word,
+            cross_word=self._cross_word,
+            optional_short_silence=self._optional_short_silence)
+        self._search = None
+
+    def set_silence_is_word(self, value) -> None:
+        """'_'-initial lexicon words carry LM scores when true
+        (Toolbox.hh:251, TPNowayLexReader.cc:153)."""
+        self._silence_is_word = bool(value)
+        self._search = None
+
+    def set_optional_short_silence(self, value) -> None:
+        """Cross an optional 1-state silence between words
+        (Toolbox.hh:292, TPLexPrefixTree.cc:132-141)."""
+        self._optional_short_silence = bool(value)
+        self._search = None
+
+    def set_cross_word_triphones(self, value) -> None:
+        """Build cross-word fan-in/fan-out networks (Toolbox.hh:245)."""
+        self._cross_word = bool(value)
         self._search = None
 
     def ngram_read(self, path, binary: bool = False) -> None:
@@ -127,6 +151,14 @@ class Toolbox:
     def set_sentence_boundary(self, start: str, end: str):
         self._sentence_start = start
         self._sentence_end = end
+        self.config.sentence_end = end
+        self._search = None
+
+    def set_require_sentence_end(self, value: bool):
+        """Add P(</s>|history) when ranking final hypotheses
+        (Toolbox.hh:284)."""
+        self.config.require_sentence_end = bool(value)
+        self._search = None
 
     # -- decoding ---------------------------------------------------------
     def _ensure_search(self) -> BeamSearch:

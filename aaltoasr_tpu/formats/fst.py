@@ -29,6 +29,9 @@ class FstArc:
     label: str = ""                   # logical label (word/phone)
     out_label: str = ""
     score: float = 0.0                # static log score
+    inst: int = -1                    # first-level logical arc (phone
+                                      # instance) id; -1 = unknown
+    word_inst: int = -1               # word instance id (-1 = unknown)
 
 
 @dataclass
@@ -37,6 +40,7 @@ class Fst:
     final: int = -1
     num_nodes: int = 0
     arcs: list = field(default_factory=list)
+    word_names: list = field(default_factory=list)  # word_inst -> label
 
     def add_arc(self, arc: FstArc) -> None:
         self.num_nodes = max(self.num_nodes, arc.source + 1,

@@ -215,6 +215,8 @@ def pad_chain(chain: LinearChain, pad_positions: int, fan: int = 0):
 
     pdf = np.zeros(Pp, dtype=np.int32)
     pdf[:P] = chain.pdf
+    inst = np.zeros(Pp, dtype=np.int32)
+    inst[:P] = chain.phone_index
     return {
         "pdf": pdf,
         "in_src": in_src, "in_logp": in_logp, "in_slot": in_slot,
@@ -222,4 +224,5 @@ def pad_chain(chain: LinearChain, pad_positions: int, fan: int = 0):
         "num_positions": np.int32(P),
         "final_logp": np.float32(chain.final_logp),
         "final_slot": np.int32(chain.final_slot),
+        "inst": inst,
     }

@@ -136,6 +136,32 @@ def compile_hmmnet(fst: Fst, table: TransitionTable,
         out_logp[s, no[s]] = w
         no[s] += 1
 
+    # first-level logical arc (phone instance) id per position: used by
+    # multipath-Viterbi segmentation (HmmNetBaumWelch.hh:46-52) and the
+    # segment-level MPE error modes.  Arcs built by _expand_phone carry
+    # exact ids; file-read FSTs fall back to same-label connected
+    # components over the position graph (the reference identifies
+    # logical arcs via the ';'-hierarchy labels, HmmNetBaumWelch.hh:25).
+    inst = np.full(P, -1, dtype=np.int64)
+    for p, ai in enumerate(emit):
+        inst[p] = fst.arcs[ai].inst
+    if np.any(inst < 0):
+        parent = np.arange(P, dtype=np.int64)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        labels_ = [fst.arcs[ai].label for ai in emit]
+        for (s_, t_, _w) in edges:
+            if s_ != t_ and labels_[s_] == labels_[t_]:
+                parent[find(s_)] = find(t_)
+        inst = np.asarray([find(p) for p in range(P)], dtype=np.int64)
+    # densify ids
+    _, inst = np.unique(inst, return_inverse=True)
+
     graph = {
         "pdf": pdf, "in_src": in_src, "in_logp": in_logp,
         "in_slot": in_slot, "out_tgt": out_tgt, "out_logp": out_logp,
@@ -143,6 +169,9 @@ def compile_hmmnet(fst: Fst, table: TransitionTable,
         "num_positions": np.int32(P),
         "arc_slot": slot,
         "obs_const": obs_const,
+        "inst": inst.astype(np.int32),
+        "word_inst": np.asarray(
+            [fst.arcs[ai].word_inst for ai in emit], np.int32),
     }
     return graph, emit
 
@@ -180,6 +209,12 @@ def pad_hmmnet(graph: dict, pad_positions: int, fan: int = 0) -> dict:
         "num_positions": graph["num_positions"],
         "arc_slot": pad1(graph["arc_slot"], 0),
         "obs_const": pad1(graph["obs_const"], 0.0),
+        # padding positions get fresh singleton instances
+        "inst": (pad1(graph["inst"], 0) if "inst" in graph else
+                 np.arange(Pp, dtype=np.int32)),
+        "word_inst": (pad1(graph["word_inst"], -1)
+                      if "word_inst" in graph
+                      else np.full(Pp, -1, dtype=np.int32)),
     }
 
 
@@ -193,6 +228,7 @@ def _expand_phone(fst: Fst, model: HmmModel, table: TransitionTable,
     node (transition slots as arc input labels); returns the exit."""
     phone = model.phone(label)
     k = len(phone.states)
+    inst = entry_node                 # unique per expansion call
     snode = {0: entry_node}
     for i in range(1, k):
         snode[i] = node()
@@ -207,7 +243,8 @@ def _expand_phone(fst: Fst, model: HmmModel, table: TransitionTable,
                 tgt = exit_node
             else:
                 continue
-            fst.add_arc(FstArc(snode[i], tgt, int(t), label=label))
+            fst.add_arc(FstArc(snode[i], tgt, int(t), label=label,
+                               inst=inst))
     return exit_node
 
 def transcript_hmmnet(model: HmmModel, table: TransitionTable,
@@ -328,16 +365,21 @@ def wordgraph_hmmnet(model: HmmModel, table: TransitionTable,
                 fst.add_arc(FstArc(src, tgt, score=lm, out_label=word))
                 continue
         for phones, logp in cands:
+            wid = len(fst.word_names)
+            fst.word_names.append(word)
             entry = node()
             fst.add_arc(FstArc(src, entry, score=lm + logp,
                                out_label=word))
             cur = entry
+            arc0 = len(fst.arcs)
             for i, ph in enumerate(phones):
                 if i > 0:
                     nxt = node()
                     fst.add_arc(FstArc(cur, nxt))
                     cur = nxt
                 cur = _expand_phone(fst, model, table, ph, cur, node)
+            for a in fst.arcs[arc0:]:
+                a.word_inst = wid
             fst.add_arc(FstArc(cur, tgt))
     fst.final = node_for(graph.end_node)
     return fst

@@ -135,6 +135,7 @@ def sharded_train_step(mesh: Mesh, num_trans_slots: int,
         "out_tgt": P("data", None, None), "out_logp": P("data", None, None),
         "num_positions": P("data"), "final_logp": P("data"),
         "final_slot": P("data"),
+        "inst": P("data", None),
     }
 
     def step(params, features, graph, n_frames):

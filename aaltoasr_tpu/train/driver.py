@@ -81,6 +81,11 @@ class EStepDriver:
         self.fg = FeatureGenerator(feature_config)
         self.scorer = GmmScorer.from_model(model)
         self.mode = mode
+        self._phone_id = {p.label: i
+                          for i, p in enumerate(model.phones)}
+        self._membership = None
+        self._center_class = None
+        self._n_center = 0
         self.full_stats = full_stats
         self.time_bucket = time_bucket
         self.pos_bucket = pos_bucket
@@ -109,17 +114,109 @@ class EStepDriver:
     def _graph_from_chain(self, labels):
         chain = build_chain(self.model, self.table, labels)
         P_pad = _round_up(chain.num_positions, self.pos_bucket)
-        return {k: jnp.asarray(v) for k, v in
-                pad_chain(chain, P_pad, fan=4).items()}
+        out = {k: jnp.asarray(v) for k, v in
+               pad_chain(chain, P_pad, fan=4).items()}
+        phone = np.zeros(P_pad, dtype=np.int32)
+        lbl_ids = [self._phone_id.get(l, 0) for l in labels]
+        phone[:chain.num_positions] = np.asarray(
+            lbl_ids, np.int32)[chain.phone_index]
+        out["phone"] = jnp.asarray(phone)
+        return out
 
-    def _graph_from_fst(self, fst):
+    def _graph_from_fst(self, fst, with_meta: bool = False):
         from aaltoasr_tpu.models.hmmnet import compile_hmmnet, pad_hmmnet
-        g, _ = compile_hmmnet(fst, self.table)
-        P_pad = _round_up(max(int(g["num_positions"]), 1),
-                          self.pos_bucket)
+        g, emit = compile_hmmnet(fst, self.table)
+        P = int(g["num_positions"])
+        P_pad = _round_up(max(P, 1), self.pos_bucket)
         F = max(g["in_src"].shape[1], 4)
-        return {k: jnp.asarray(v) for k, v in
-                pad_hmmnet(g, P_pad, fan=F).items()}
+        padded = pad_hmmnet(g, P_pad, fan=F)
+        labels = [fst.arcs[ai].label for ai in emit] + [""] * (P_pad - P)
+        # model phone index per position (for the mpfe-cps/mpfe modes)
+        phone = np.zeros(P_pad, dtype=np.int32)
+        for p, lbl in enumerate(labels):
+            phone[p] = self._phone_id.get(lbl, 0)
+        out = {k: jnp.asarray(v) for k, v in padded.items()}
+        out["phone"] = jnp.asarray(phone)
+        if with_meta:
+            return out, labels
+        return out
+
+    def _mpe_stats_for(self, feats, T, num_graph, num_fst, den_fst,
+                       errmode: str, max_seg_dur: int):
+        """Dispatch the --mpe error mode (stats.cc:676-721): frame modes
+        run fully on device; segment modes build the per-utterance
+        accuracy table on host from the numerator Viterbi alignment."""
+        from aaltoasr_tpu.ops.logsemiring import logsumexp
+        from aaltoasr_tpu.train import mpe as mpe_mod
+        den_graph = self._graph_from_fst(den_fst)
+        if errmode in ("mpfe-pdf", "mpfe-cps", "mpfe"):
+            if self._membership is None:
+                self._membership = jnp.asarray(
+                    mpe_mod.phone_membership(self.model))
+            return mpe_mod.mpe_stats(
+                self.scorer, feats, num_graph, den_graph, jnp.int32(T),
+                self.table.num_slots, mode=errmode,
+                membership=self._membership)
+
+        # segment modes: mpe / mwe / snfe
+        if errmode == "mwe":
+            if (num_fst is None or not num_fst.word_names
+                    or not den_fst.word_names):
+                raise ValueError(
+                    "--errmode mwe needs word-level hmmnets (numerator "
+                    "and denominator built from word graphs)")
+            names = sorted(set(num_fst.word_names)
+                           | set(den_fst.word_names))
+            cid = {w: i for i, w in enumerate(names)}
+            num_wi = np.asarray(num_graph["word_inst"])
+            den_wi = np.asarray(den_graph["word_inst"])
+            num_cls = np.asarray(
+                [cid[num_fst.word_names[i]] if i >= 0 else 0
+                 for i in num_wi], np.int32)
+            den_cls = np.asarray(
+                [cid[den_fst.word_names[i]] if i >= 0 else 0
+                 for i in den_wi], np.int32)
+            num_inst = np.where(num_wi >= 0, num_wi,
+                                num_wi.shape[0] + np.arange(len(num_wi)))
+            den_inst = np.where(den_wi >= 0, den_wi,
+                                den_wi.shape[0] + np.arange(len(den_wi)))
+            num_graph = dict(num_graph)
+            num_graph["inst"] = jnp.asarray(num_inst.astype(np.int32))
+            den_graph = dict(den_graph)
+            den_graph["inst"] = jnp.asarray(den_inst.astype(np.int32))
+            n_classes = len(names)
+        else:
+            # phone classes: distinct center phones of the model
+            if self._center_class is None:
+                centers = sorted({mpe_mod.extract_center_phone(p.label)
+                                  for p in self.model.phones})
+                cidx = {c: i for i, c in enumerate(centers)}
+                self._center_class = np.asarray(
+                    [cidx[mpe_mod.extract_center_phone(p.label)]
+                     for p in self.model.phones], np.int32)
+                self._n_center = len(centers)
+            num_cls = self._center_class[np.asarray(num_graph["phone"])]
+            den_cls = self._center_class[np.asarray(den_graph["phone"])]
+            n_classes = self._n_center
+
+        # numerator Viterbi alignment -> reference segments
+        gll = self.scorer.gaussian_log_likelihoods(feats)
+        sll = logsumexp(gll[:, self.scorer.comp_idx]
+                        + self.scorer.comp_logw, axis=-1)
+        num_obs = sll[:, num_graph["pdf"]]
+        if "obs_const" in num_graph:
+            num_obs = num_obs + num_graph["obs_const"][None, :]
+        path, _ = estep.masked_viterbi(num_obs, num_graph,
+                                       jnp.int32(T))
+        ref_segs = mpe_mod.ref_segments_from_path(
+            np.asarray(path), np.asarray(num_graph["inst"]), num_cls, T)
+        acc = mpe_mod.segment_accuracy_table(
+            errmode, ref_segs, T, max_seg_dur, n_classes,
+            pad_frames=int(feats.shape[0]))
+        return mpe_mod.mpe_stats_seg(
+            self.scorer, feats, num_graph, den_graph, jnp.int32(T),
+            self.table.num_slots, jnp.asarray(acc),
+            jnp.asarray(den_cls), max_seg_dur)
 
     def _run_graph(self, feats, T, graph):
         F = graph["in_src"].shape[1]
@@ -190,14 +287,19 @@ class EStepDriver:
 
     def run_recipe(self, recipe: Recipe, info: int = 0,
                    use_hmmnet: bool = False,
-                   mmi: bool = False, mpe: bool = False) -> HmmStats:
+                   mmi: bool = False, mpe: bool = False,
+                   errmode: str = "mpe",
+                   max_seg_dur: int = 64) -> HmmStats:
         """Accumulate statistics over a recipe shard.
 
         use_hmmnet: read hmmnet= FSTs instead of transcripts (-H);
         mmi: additionally run the den-hmmnet= network into the MMI
         buffer (stats.cc --mmi path);
-        mpe: MPFE_PDF statistics into the MPE num/den buffers
-        (stats.cc --mpe with the frame-error evaluator).
+        mpe: MPE statistics into the MPE num/den buffers (stats.cc
+        --mpe); errmode selects the SegErrorEvaluator mode: mwe / mpe /
+        mpfe-pdf / mpfe-cps / mpfe / snfe (stats.cc:346,489-496).
+        max_seg_dur bounds the duration-augmented state of the
+        segment-level modes.
         """
         from aaltoasr_tpu.formats.fst import read_fst
         from aaltoasr_tpu.train.accumulators import (
@@ -215,8 +317,10 @@ class EStepDriver:
                       file=sys.stderr)
             samples, _ = read_audio(rinfo.audio_path, self.fg.sample_rate)
             feats, T = self._padded_features(samples)
+            num_fst = None
             if use_hmmnet and rinfo.hmmnet_path:
-                graph = self._graph_from_fst(read_fst(rinfo.hmmnet_path))
+                num_fst = read_fst(rinfo.hmmnet_path)
+                graph = self._graph_from_fst(num_fst)
             else:
                 entries = read_phn(rinfo.transcript_path)
                 graph = self._graph_from_chain(
@@ -247,11 +351,10 @@ class EStepDriver:
                     self.model, self.table, den, mode,
                     buffer_id=MMI_BUF, stats=utt)
             if mpe:
-                from aaltoasr_tpu.train.mpe import mpe_stats
-                den_graph = self._graph_from_fst(
-                    read_fst(rinfo.den_hmmnet_path))
-                out = mpe_stats(self.scorer, feats, graph, den_graph,
-                                jnp.int32(T), self.table.num_slots)
+                out = self._mpe_stats_for(
+                    feats, T, graph, num_fst,
+                    read_fst(rinfo.den_hmmnet_path), errmode,
+                    max_seg_dur)
                 for buf_id, key in ((MPE_NUM_BUF, "num"),
                                     (MPE_DEN_BUF, "den")):
                     d = dict(out[key])

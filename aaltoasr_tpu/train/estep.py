@@ -137,6 +137,88 @@ def masked_viterbi(obs_pos, graph, n_frames):
     return path, score
 
 
+def _grouped_max_lse(vals, group, same):
+    """Combine edge values per position: max within a logical-arc group,
+    logsumexp across groups (`-M mpv` semantics, HmmNetBaumWelch.cc:
+    904-985: among arcs sharing the first-level logical arc only the
+    best transition is traversed; different logical arcs sum).
+
+    vals: [P, F]; group: [P, F] int; same: [P, F, F] static bool
+    (same[p, i, j] = group[p, i] == group[p, j]).
+    Returns [P].
+    """
+    gmax = jnp.max(jnp.where(same, vals[:, None, :], -jnp.inf), axis=2)
+    F = vals.shape[1]
+    idx = jnp.arange(F)
+    # keep the first edge achieving its group's max
+    achieves = same & (vals[:, None, :] >= gmax[:, :, None])
+    first = jnp.argmax(achieves, axis=2)
+    keep = first == idx[None, :]
+    return logsumexp(jnp.where(keep, vals, LOG_ZERO), axis=1)
+
+
+def masked_multipath_viterbi_fb(obs_pos, graph, n_frames,
+                                num_trans_slots: int):
+    """Multipath-Viterbi forward-backward (`stats -M mpv`,
+    `aku/HmmNetBaumWelch.hh:85`): per node, incoming scores are
+    maximized within each first-level logical arc (phone instance) and
+    summed across instances.  Same contract as masked_forward_backward.
+    """
+    T, P = obs_pos.shape
+    in_src, in_logp = graph["in_src"], graph["in_logp"]
+    out_tgt, out_logp = graph["out_tgt"], graph["out_logp"]
+    inst = graph["inst"]
+
+    in_group = inst[in_src]                                # [P, F]
+    out_group = inst[out_tgt]
+    in_same = in_group[:, :, None] == in_group[:, None, :]
+    out_same = out_group[:, :, None] == out_group[:, None, :]
+
+    valid = jnp.arange(T) < n_frames
+    alpha0 = jnp.maximum(obs_pos[0] + _entry(graph, P), LOG_ZERO)
+
+    def fwd(alpha, xs):
+        obs_t, v = xs
+        new = _grouped_max_lse(alpha[in_src] + in_logp, in_group,
+                               in_same) + obs_t
+        new = jnp.maximum(new, LOG_ZERO)
+        new = jnp.where(v, new, alpha)
+        return new, alpha
+
+    alpha_T, alphas_prev = jax.lax.scan(
+        fwd, alpha0, (obs_pos[1:], valid[1:]))
+    alphas = jnp.concatenate([alphas_prev, alpha_T[None]], axis=0)
+
+    beta_last = _final(graph, P)
+    total = logsumexp(alpha_T + beta_last, axis=0)
+
+    def bwd(beta, xs):
+        obs_next, v = xs
+        contrib = out_logp + obs_next[out_tgt] + beta[out_tgt]
+        new = jnp.maximum(
+            _grouped_max_lse(contrib, out_group, out_same), LOG_ZERO)
+        new = jnp.where(v, new, beta)
+        return new, new
+
+    _, betas_head = jax.lax.scan(
+        bwd, beta_last, (obs_pos[1:], valid[1:]), reverse=True)
+    betas = jnp.concatenate([betas_head, beta_last[None]], axis=0)
+
+    gamma = jnp.exp(jnp.maximum(alphas + betas - total, -80.0))
+    gamma = gamma * valid[:, None]
+    # normalize per frame: the mixed max/sum semiring makes alpha*beta
+    # sum to <= total per frame (pruned permutations); renormalize so
+    # occupancies stay a distribution like the reference's realized-arc
+    # probabilities
+    denom = jnp.maximum(jnp.sum(gamma, axis=1, keepdims=True), 1e-30)
+    gamma = jnp.where(valid[:, None], gamma / denom, 0.0)
+
+    trans_post = jnp.zeros(num_trans_slots, dtype=jnp.float32)
+    if "final_slot" in graph:
+        trans_post = trans_post.at[graph["final_slot"]].add(1.0)
+    return gamma, trans_post, total
+
+
 def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
                 mode: str = "bw", full_stats: bool = False):
     """Full per-utterance E-step; returns a device stats pytree.
@@ -165,6 +247,9 @@ def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
 
     if mode == "bw":
         gamma, trans_post, total = masked_forward_backward(
+            obs_pos, graph, n_frames, num_trans_slots)
+    elif mode == "mpv":
+        gamma, trans_post, total = masked_multipath_viterbi_fb(
             obs_pos, graph, n_frames, num_trans_slots)
     elif mode == "vit":
         path, total = masked_viterbi(obs_pos, graph, n_frames)

@@ -73,6 +73,8 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--frames", type=int, default=1000)
     p.add_argument("--words", type=int, default=1000)
+    p.add_argument("--records", type=int, default=32,
+                   help="word-end records per frame (lattice richness)")
     args = p.parse_args()
 
     import jax
@@ -86,7 +88,8 @@ def main():
     model, tree, fsa = synth_task(num_words=args.words)
     print(f"tree nodes: {tree.num_nodes}, lm states: {fsa.num_states}",
           flush=True)
-    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0)
+    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
+                       num_records=args.records)
     search = DenseBeamSearch(tree, fsa, model, cfg)
 
     B, T = args.batch, args.frames

@@ -27,6 +27,7 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--frames", type=int, default=1000)
     p.add_argument("--words", type=int, default=1000)
+    p.add_argument("--records", type=int, default=32)
     args = p.parse_args()
 
     import jax
@@ -39,7 +40,8 @@ def main():
     model, tree, fsa = synth_task(num_words=args.words)
     print(f"tree nodes: {tree.num_nodes}, lm states: {fsa.num_states}",
           flush=True)
-    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0)
+    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
+                       num_records=args.records)
     search = DenseBeamSearch(tree, fsa, model, cfg)
 
     B, T = args.batch, args.frames
@@ -71,14 +73,14 @@ def main():
 
     # D2H fetch
     t0 = time.perf_counter()
-    state_h = tuple(np.asarray(x) for x in out[0])
-    recs_h = tuple(np.asarray(r) for r in out[1])
+    finals = np.asarray(out[0])
+    rec_i = np.asarray(out[1])
+    rec_f = np.asarray(out[2])
     t_fetch = time.perf_counter() - t0
 
     # host unwinding
     t0 = time.perf_counter()
-    res = [search._result(tuple(x[b] for x in state_h),
-                          tuple(r[b] for r in recs_h))
+    res = [search._result(finals[b], rec_i[b], rec_f[b])
            for b in range(B)]
     t_unwind = time.perf_counter() - t0
     del res

@@ -66,3 +66,64 @@ class TestDenseSearch:
         nb = res.word_graph().nbest(3)
         assert nb[0][0] == res.words
         assert nb[0][1] == pytest.approx(res.log_prob, rel=1e-4)
+
+
+class TestDenseCrossword:
+    def _task(self):
+        from tests.test_decoder import TestCrossWordTriphones
+        return TestCrossWordTriphones()._make()
+
+    def test_crossword_matches_exact(self):
+        """Dense mode accepts cross-word fan-in/fan-out trees and
+        reproduces the exact searcher's 1-best + score on consistent
+        acoustics (pair-row re-entry, TPLexPrefixTree.hh:172-240)."""
+        from aaltoasr_tpu.decoder.lexicon import build_prefix_tree
+        from aaltoasr_tpu.ops.gmm import GmmScorer
+        import jax.numpy as jnp
+        model, lex, fsa, lid = self._task()
+        tree = build_prefix_tree(model, lex)
+        assert tree.root_pair_tgt.shape[0] > 1      # really cross-word
+        cfg = SearchConfig(num_tokens=256, num_records=16, beam=1e9,
+                           lm_scale=1.0, duration_scale=0.0)
+        exact = BeamSearch(tree, fsa, model, cfg)
+        dense = DenseBeamSearch(tree, fsa, model, cfg)
+        scorer = GmmScorer.from_model(model)
+        rng = np.random.default_rng(12)
+        seq = (["_"] + ["_-a+b"] * 3 + ["a-b+_"] * 3 + ["_"] * 2)
+        X = np.stack([model.means[lid[l]]
+                      + 0.2 * rng.standard_normal(model.dim)
+                      for l in seq]).astype(np.float32)
+        obs = np.asarray(scorer.state_log_likelihoods(
+            jnp.asarray(X)))[:, :model.num_states]
+        r_exact = exact.decode(obs)
+        r_dense = dense.decode(obs)
+        assert r_dense.words == r_exact.words == ["xa", "xb"]
+        assert r_dense.log_prob == pytest.approx(r_exact.log_prob,
+                                                 rel=1e-4)
+
+    def test_crossword_noisy_close(self):
+        from aaltoasr_tpu.decoder.lexicon import build_prefix_tree
+        from aaltoasr_tpu.ops.gmm import GmmScorer
+        import jax.numpy as jnp
+        model, lex, fsa, lid = self._task()
+        tree = build_prefix_tree(model, lex)
+        cfg = SearchConfig(num_tokens=256, num_records=16, beam=1e9,
+                           lm_scale=1.0, duration_scale=0.0)
+        exact = BeamSearch(tree, fsa, model, cfg)
+        dense = DenseBeamSearch(tree, fsa, model, cfg)
+        scorer = GmmScorer.from_model(model)
+        agree = 0
+        for seed in range(5):
+            rng = np.random.default_rng(100 + seed)
+            seq = (["_"] + ["_-a+b"] * 3 + ["a-b+_"] * 3 + ["_"] * 2)
+            X = np.stack([model.means[lid[l]]
+                          + 1.5 * rng.standard_normal(model.dim)
+                          for l in seq]).astype(np.float32)
+            obs = np.asarray(scorer.state_log_likelihoods(
+                jnp.asarray(X)))[:, :model.num_states]
+            r1 = exact.decode(obs)
+            r2 = dense.decode(obs)
+            assert r2.log_prob <= r1.log_prob + 1e-3
+            if r2.words == r1.words:
+                agree += 1
+        assert agree >= 3

@@ -73,9 +73,10 @@ int main(int argc, char **argv) {
   t.lex_read(lex);
   t.set_sentence_boundary("<s>", "</s>");
   t.ngram_read(arpa, /*binary=*/false, /*quiet=*/true);
-  if (lookahead)
+  if (lookahead) {
     t.read_lookahead_ngram(lookahead, /*binary=*/false, /*quiet=*/true);
-  t.prune_lm_lookahead_buffers(0, 4);
+    t.prune_lm_lookahead_buffers(0, 4);
+  }
   t.set_use_word_pair_approximation(true);
 
   t.lna_open(lna, 1024);
