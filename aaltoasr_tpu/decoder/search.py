@@ -58,6 +58,9 @@ class SearchConfig:
                                     # hypotheses (TokenPassSearch.cc:
                                     # 2267 final-token LM update)
     sentence_end: str = "</s>"
+    records_half: bool = False      # bf16 record scores (halves the
+                                    # device->host record traffic;
+                                    # lattice scores lose ~3 digits)
 
 
 def unigram_lookahead(tree: PrefixTree, lm: NGramFsa,

@@ -450,6 +450,8 @@ class DenseBeamSearch:
             am[bestn], lms[bestn]])
         rec_ints = jnp.stack([recs[0], recs[1]], axis=-1)   # [T-1, E, 2]
         rec_floats = jnp.stack([recs[2], recs[3]], axis=-1)
+        if cfg.records_half:
+            rec_floats = rec_floats.astype(jnp.bfloat16)
         return finals, rec_ints, rec_floats
 
     # -- public API (mirrors BeamSearch) ----------------------------------
@@ -500,6 +502,7 @@ class DenseBeamSearch:
                 for b in range(obs.shape[0])]
 
     def _result(self, finals, rec_i, rec_f):
+        rec_f = np.asarray(rec_f, dtype=np.float32)
         return DecodeResult(
             search=self, final_ptr=int(finals[0]),
             log_prob=float(finals[1]),

@@ -468,6 +468,74 @@ def vtln_matrix(dim: int, bins: np.ndarray, sinc_rad: int,
     return W.astype(np.float32), False
 
 
+def all_pass_blin_matrix(dim: int, warp_factor: float) -> np.ndarray:
+    """Bilinear all-pass warp matrix in the cepstral-sequence domain
+    (VtlnModule::create_all_pass_blin_transform,
+    aku/FeatureModules.cc:1716-1756)."""
+    alpha = warp_factor - 1.0
+    q1 = np.zeros(dim, np.float64)
+    q1[0] = -alpha
+    if dim > 1:
+        q1[1:] = (1.0 - alpha * alpha) * (alpha ** np.arange(dim - 1))
+    q = np.zeros(dim, np.float64)
+    q[0] = 1.0
+    M = np.zeros((dim, dim), np.float64)
+    M[0, 0] = 1.0
+    for i in range(1, dim):
+        q = np.convolve(q, q1)[:dim]
+        M[0, i] = 2.0 * q[0]
+        M[1:, i] = q[1:]
+    return M
+
+
+def all_pass_slapt_matrix(dim: int, params) -> np.ndarray:
+    """Sine-log all-pass (SLAPT) warp matrix
+    (VtlnModule::create_all_pass_slapt_transform,
+    aku/FeatureModules.cc:1758-1866): the phase sequence exp(jF) is
+    built by a 10-term Taylor series of the sine polynomial F."""
+    params = np.asarray(params, np.float64)
+    so = len(params)
+    f1 = np.zeros(2 * so + 1, np.float64)
+    for i in range(so):
+        f1[i] = -params[so - i - 1] * np.pi / 2.0
+        f1[i + so + 1] = params[i] * np.pi / 2.0
+    q = np.zeros(2 * dim + 1, np.float64)
+    cur_f = np.array([1.0])
+    cur_center = 0
+    cur_m = 1.0
+    for i in range(11):
+        if i > 0:
+            cur_m /= i
+        low1 = max(0, dim - cur_center)
+        high1 = min(2 * dim + 1, dim + cur_center + 1)
+        js = np.arange(low1, high1)
+        q[js] += cur_m * cur_f[js - (dim + 1) + cur_center + 1]
+        cur_f = np.convolve(cur_f, f1)
+        cur_center = (len(cur_f) - 1) // 2
+    q = q[:-2]                               # symmetric, length 2*dim-1
+    q1 = q.copy()
+    M = np.zeros((dim, dim), np.float64)
+    M[0, 0] = 1.0
+    for i in range(1, dim):
+        M[0, i] = 2.0 * q[dim - 1]
+        j = np.arange(1, dim)
+        M[1:, i] = q[dim + j - 1] + q[dim - j - 1]
+        q = np.convolve(q, q1)[dim - 1:3 * dim - 2]
+    return M
+
+
+def all_pass_vtln_matrix(dim: int, seq_matrix: np.ndarray) -> np.ndarray:
+    """[dim, dim] spectral-domain interpolation matrix: IDCT @ M @ DCT
+    (VtlnModule::set_all_pass_transform, aku/FeatureModules.cc:
+    1868-1904)."""
+    i = np.arange(dim)[:, None]
+    j = np.arange(dim)[None, :]
+    dct = np.cos(i * (j + 0.5) * np.pi / dim)
+    idct = np.cos((i + 0.5) * j * np.pi / dim) * 2.0 / dim
+    idct[:, 0] = 1.0 / dim
+    return (idct @ (seq_matrix @ dct)).astype(np.float32)
+
+
 class VtlnOp(Op):
     def __init__(self, cfg, src_dims):
         (src_dim,) = src_dims
@@ -479,14 +547,27 @@ class VtlnOp(Op):
             raise ValueError("VtlnModule: Can not use both pwlin_vtln and slapt!")
         self.sinc_rad = cfg.get_int("sinc_interpolation_rad", 8)
         self.all_pass = cfg.get_int("all-pass", 0)
-        if self.all_pass:
-            raise NotImplementedError("VtlnModule: all-pass transform not yet "
-                                      "supported in aaltoasr_tpu")
-        self.lanczos = cfg.get_int("lanczos_window", 1) > 0
+        if self.use_pwlin and self.all_pass:
+            raise ValueError(
+                "VtlnModule: Can not use both pwlin_vtln and all-pass!")
+        self.lanczos = cfg.get_int("lanczos_window",
+                                   0 if self.all_pass else 1) > 0
+        if self.lanczos and self.all_pass:
+            raise ValueError(
+                "VtlnModule: Can not use both lanczos_window and "
+                "all-pass!")
         self._matrix, self._clamp = self._build(
             1.0, [0.0] if self.use_slapt else None)
 
     def _build(self, warp_factor, slapt):
+        if self.all_pass:
+            if slapt is not None:
+                seq = all_pass_slapt_matrix(self.out_dim, slapt)
+            else:
+                seq = all_pass_blin_matrix(self.out_dim, warp_factor)
+            # the all-pass interpolation rows clamp at zero like the
+            # sinc path (VtlnModule::generate, FeatureModules.cc:1919)
+            return all_pass_vtln_matrix(self.out_dim, seq), True
         bins = vtln_bins(self.out_dim, warp_factor, self.use_pwlin,
                          self.turn_point, slapt)
         return vtln_matrix(self.out_dim, bins, self.sinc_rad, self.lanczos)

@@ -503,3 +503,82 @@ class TestSRNorm:
         with pytest.raises(ValueError):
             SRNormOp(ModuleConfig([("in_frames", 5),
                                    ("out_frames", 5)]), [16])
+
+
+class TestAllPassVtln:
+    """All-pass VTLN transforms (FeatureModules.cc:1716-1904)."""
+
+    def _ref_blin(self, dim, warp_factor):
+        """Direct transcription of create_all_pass_blin_transform."""
+        alpha = warp_factor - 1
+        q1 = np.zeros(dim)
+        q1[0] = -alpha
+        temp = 1 - alpha * alpha
+        for i in range(1, dim):
+            q1[i] = temp
+            temp *= alpha
+        q = np.zeros(dim)
+        q[0] = 1
+        M = np.zeros((dim, dim))
+        M[0, 0] = 1
+        for i in range(1, dim):
+            qn = np.zeros(dim)
+            for j in range(dim):
+                t = 0.0
+                for k in range(j + 1):
+                    t += q[k] * q1[j - k]
+                qn[j] = t
+            q = qn
+            M[0, i] = 2 * q[0]
+            for j in range(1, dim):
+                M[j, i] = q[j]
+        return M
+
+    def test_blin_matches_reference_loops(self):
+        from aaltoasr_tpu.frontend.modules import all_pass_blin_matrix
+        for wf in (0.9, 1.0, 1.15):
+            ours = all_pass_blin_matrix(12, wf)
+            ref = self._ref_blin(12, wf)
+            np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+    def test_identity_at_neutral_warp(self):
+        from aaltoasr_tpu.frontend.modules import (
+            all_pass_blin_matrix, all_pass_slapt_matrix,
+            all_pass_vtln_matrix)
+        final = all_pass_vtln_matrix(16, all_pass_blin_matrix(16, 1.0))
+        np.testing.assert_allclose(final, np.eye(16), atol=1e-6)
+        final = all_pass_vtln_matrix(
+            16, all_pass_slapt_matrix(16, [0.0]))
+        np.testing.assert_allclose(final, np.eye(16), atol=1e-6)
+
+    def test_vtln_op_all_pass_config(self):
+        from aaltoasr_tpu.formats.feaconf import ModuleConfig
+        from aaltoasr_tpu.frontend.modules import VtlnOp
+        cfg = ModuleConfig([("all-pass", "1")])
+        op = VtlnOp(cfg, [18])
+        import jax.numpy as jnp
+        x = np.abs(np.random.default_rng(0).normal(
+            1, 0.3, (4, 18))).astype(np.float32)
+        # neutral warp: output ~ input
+        out = np.asarray(op.apply([jnp.asarray(x)], op.init_params()))
+        np.testing.assert_allclose(out, x, atol=1e-4)
+        # warped: rows renormalize the spectrum, stay non-negative
+        params = op.set_parameters(
+            ModuleConfig([("warp_factor", "1.1")]))
+        out = np.asarray(op.apply([jnp.asarray(x)], params))
+        assert np.all(out >= 0)
+        assert not np.allclose(out, x)
+
+    def test_slapt_all_pass_op(self):
+        from aaltoasr_tpu.formats.feaconf import ModuleConfig
+        from aaltoasr_tpu.frontend.modules import VtlnOp
+        cfg = ModuleConfig([("all-pass", "1"), ("slapt", "1")])
+        op = VtlnOp(cfg, [16])
+        params = op.set_parameters(
+            ModuleConfig([("slapt_coef", "0.05 -0.02")]))
+        import jax.numpy as jnp
+        x = np.abs(np.random.default_rng(1).normal(
+            1, 0.3, (3, 16))).astype(np.float32)
+        out = np.asarray(op.apply([jnp.asarray(x)], params))
+        assert out.shape == x.shape
+        assert np.all(np.isfinite(out)) and np.all(out >= 0)
