@@ -48,6 +48,10 @@ def main(argv=None) -> int:
                         "ConstrainedMllr) instead of a feature-space "
                         "lin_transform; required for >1 class")
     p.add_argument("--min-frames", type=float, default=1000.0)
+    p.add_argument("-S", "--input-spkc", default="",
+                   help="prior speaker configuration (e.g. VTLN warps) "
+                        "applied during estimation and merged into the "
+                        "output (rectool.py:908 vtln+mllr chaining)")
     p.add_argument("-B", "--batch", type=int, default=0)
     p.add_argument("-I", "--bindex", type=int, default=0)
     p.add_argument("-i", "--info", type=int, default=0)
@@ -76,10 +80,22 @@ def main(argv=None) -> int:
     for rinfo in recipe:
         by_speaker.setdefault(rinfo.speaker_id, []).append(rinfo)
 
+    input_spkc = (SpeakerConfig.load(args.input_spkc)
+                  if args.input_spkc else None)
     spkc = SpeakerConfig()
+    if input_spkc is not None:
+        # carry prior per-speaker parameters into the output
+        for spk, mods in input_spkc.speakers.items():
+            spkc.speakers.setdefault(spk, {}).update(mods)
     for speaker, infos in by_speaker.items():
         est = CmllrEstimator(scorer, table, classes_p, C,
                              model.means, model.covars)
+        if input_spkc is not None:
+            try:
+                fg.apply_speaker_config(
+                    input_spkc.speaker_params(speaker or "default"))
+            except KeyError:
+                pass                    # no prior block for this speaker
         for rinfo in infos:
             samples, _ = read_audio(rinfo.audio_path, fg.sample_rate)
             labels = [e.label for e in read_phn(rinfo.transcript_path)]

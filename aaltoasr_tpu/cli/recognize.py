@@ -39,8 +39,13 @@ def main(argv=None) -> int:
     p.add_argument("--lm-scale", type=float, default=30.0)
     p.add_argument("--duration-scale", type=float, default=3.0)
     p.add_argument("--insertion-penalty", type=float, default=0.0)
-    p.add_argument("--adapt", choices=["", "vtln", "cmllr"], default="",
-                   help="per-speaker adaptation before decoding")
+    p.add_argument("--adapt",
+                   choices=["", "vtln", "mllr", "cmllr", "vtln+mllr"],
+                   default="",
+                   help="per-speaker adaptation before decoding "
+                        "(rectool.py:900-912: mllr = feature-space "
+                        "lin_transform 'mllr' module, cmllr = model-"
+                        "space transforms, vtln+mllr = chained)")
     p.add_argument("--lattices", action="store_true",
                    help="write SLF word graphs next to the LNAs")
     p.add_argument("--nbest", type=int, default=0,
@@ -63,15 +68,31 @@ def main(argv=None) -> int:
             if args.info > 0:
                 print(f"Estimating {args.adapt} adaptation",
                       file=sys.stderr)
+            from aaltoasr_tpu.cli.mllr import main as mllr_main
+            from aaltoasr_tpu.cli.vtln import main as vtln_main
             if args.adapt == "vtln":
-                from aaltoasr_tpu.cli.vtln import main as vtln_main
                 vtln_main(["-b", args.am, "-c", args.config,
                            "-r", args.recipe, "-o", spkc_path,
                            "-i", str(args.info)])
-            else:
-                from aaltoasr_tpu.cli.mllr import main as mllr_main
+            elif args.adapt == "vtln+mllr":
+                # rectool.py:901-908: estimate VTLN, then MLLR on top
+                vtln_spkc = os.path.join(args.workdir, "vtln.spkc")
+                if not os.path.exists(vtln_spkc):
+                    vtln_main(["-b", args.am, "-c", args.config,
+                               "-r", args.recipe, "-o", vtln_spkc,
+                               "-i", str(args.info)])
                 mllr_main(["-b", args.am, "-c", args.config,
                            "-r", args.recipe, "-o", spkc_path,
+                           "-S", vtln_spkc, "-M", "mllr",
+                           "-i", str(args.info)])
+            elif args.adapt == "mllr":
+                mllr_main(["-b", args.am, "-c", args.config,
+                           "-r", args.recipe, "-o", spkc_path,
+                           "-M", "mllr", "-i", str(args.info)])
+            else:  # cmllr: model-space constrained transforms
+                mllr_main(["-b", args.am, "-c", args.config,
+                           "-r", args.recipe, "-o", spkc_path,
+                           "--model-transform",
                            "-i", str(args.info)])
         elif args.info > 0:
             print(f"Reusing {spkc_path}", file=sys.stderr)

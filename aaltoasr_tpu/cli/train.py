@@ -48,6 +48,12 @@ def main(argv=None) -> int:
                    help="target total number of Gaussians")
     p.add_argument("--split-minocc", type=float, default=225.0)
     p.add_argument("--minvar", type=float, default=0.1)
+    p.add_argument("--mllt-start-iter", type=int, default=15,
+                   help="first MLLT iteration (train.pl:81; 0 = off)")
+    p.add_argument("--mllt-frequency", type=int, default=2,
+                   help="EM iterations between MLLT estimations")
+    p.add_argument("--mllt-module", default="mllt",
+                   help="lin_transform module carrying the transform")
     p.add_argument("-H", "--hmmnet", action="store_true",
                    help="train from hmmnet= networks")
     p.add_argument("-M", "--mode", default="bw", choices=["bw", "vit"])
@@ -62,10 +68,40 @@ def main(argv=None) -> int:
     p.add_argument("-i", "--info", type=int, default=1)
     args = p.parse_args(argv)
 
+    from aaltoasr_tpu.formats.feaconf import FeatureConfig
+
     os.makedirs(args.workdir, exist_ok=True)
     recipe = Recipe.read(args.recipe, args.batch, args.bindex)
 
     model_base = args.base
+    cfg_path = args.config
+
+    # full-covariance initial models (decision-tree tying estimates
+    # full) get converted to diagonal first (train.pl:143-147,222-229
+    # convert_full_to_diagonal / gconvert -d)
+    init_model = read_model(model_base)
+    if init_model.cov_type != "diagonal_cov" or init_model.full_covars:
+        conv_base = os.path.join(args.workdir, f"{args.id}_0")
+        if not os.path.exists(conv_base + ".ph"):
+            init_model.cov_type = "diagonal_cov"
+            init_model.full_covars = {}
+            init_model.gauss_kind = ["diag"] * init_model.num_gaussians
+            write_model(conv_base, init_model)
+            if args.info > 0:
+                print("Converted initial model to diagonal covariances",
+                      file=sys.stderr)
+        model_base = conv_base
+
+    # MLLT needs a lin_transform module to fold the transform into
+    mllt_start = args.mllt_start_iter
+    if mllt_start > 0:
+        probe = FeatureConfig.load(cfg_path)
+        if args.mllt_module not in probe.by_name:
+            if args.info > 0:
+                print(f"Config has no '{args.mllt_module}' module; "
+                      "disabling MLLT iterations", file=sys.stderr)
+            mllt_start = 0
+
     summary_path = os.path.join(args.workdir, f"{args.id}.summary")
     for it in range(1, args.num_iters + 1):
         out_base = os.path.join(args.workdir, f"{args.id}_{it}")
@@ -73,18 +109,43 @@ def main(argv=None) -> int:
             if args.info > 0:
                 print(f"Iteration {it} exists, skipping", file=sys.stderr)
             model_base = out_base
+            if os.path.exists(out_base + ".cfg"):
+                cfg_path = out_base + ".cfg"
             continue
+        mllt_flag = (mllt_start > 0 and it >= mllt_start
+                     and (it - mllt_start) % max(args.mllt_frequency,
+                                                 1) == 0)
         model = read_model(model_base)
-        driver = EStepDriver(model, args.config, mode=args.mode)
-        if args.hmmnet:
+        driver = EStepDriver(model, cfg_path, mode=args.mode,
+                             full_stats=mllt_flag)
+        if args.hmmnet or mllt_flag:
             stats = driver.run_recipe(recipe, info=max(0, args.info - 1),
-                                      use_hmmnet=True)
+                                      use_hmmnet=args.hmmnet)
         else:
             stats = driver.run_recipe_batched(
                 recipe, batch_size=args.device_batch,
                 info=max(0, args.info - 1))
         new_model = estimate_ml(model, driver.table, stats,
                                 minvar=args.minvar)
+        if mllt_flag:
+            # estimate --mllt inside the loop (train.pl:267-272,
+            # estimate.cc:372): solve the semi-tied transform from the
+            # full second moments, rewrite the model and the config
+            from aaltoasr_tpu.train.accumulators import ML_BUF
+            from aaltoasr_tpu.train.mllt import (
+                apply_mllt, compose_into_config, solve_mllt)
+            buf = stats.buffers[ML_BUF]
+            G = new_model.num_gaussians
+            A = solve_mllt(buf.gamma[:G], buf.mean_acc[:G],
+                           buf.ensure_full()[:G], iters=10)
+            new_model = apply_mllt(new_model, A)
+            cfg = FeatureConfig.load(cfg_path)
+            compose_into_config(cfg, A, args.mllt_module)
+            cfg.save(out_base + ".cfg")
+            cfg_path = out_base + ".cfg"
+            if args.info > 0:
+                print(f"Iteration {it}: MLLT det "
+                      f"{float(np.linalg.det(A)):.6f}", file=sys.stderr)
         did_split = 0
         if (args.split_frequency > 0 and it % args.split_frequency == 0
                 and it <= args.split_stop_iter):
@@ -117,7 +178,7 @@ def main(argv=None) -> int:
             from aaltoasr_tpu.train.durations import DurationAccumulator
             table = TransitionTable.from_model(final)
             scorer = GmmScorer.from_model(final)
-            fg = FeatureGenerator(args.config)
+            fg = FeatureGenerator(cfg_path)
             acc = DurationAccumulator(final.num_states)
             for rinfo in recipe:
                 samples, _ = read_audio(rinfo.audio_path, fg.sample_rate)

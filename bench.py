@@ -73,10 +73,12 @@ def decode_xrt():
     n = np.full(B, T, np.int32)
     res = search.decode_batch(obs, n)          # compile + warm
     dt = float("inf")
-    for _ in range(3):                         # relay timing is noisy:
+    for i in range(3):                         # relay timing is noisy:
         t0 = time.perf_counter()               # take the best run
         res = search.decode_batch(obs, n)      # full path incl. fetch
-        dt = min(dt, time.perf_counter() - t0)
+        run = time.perf_counter() - t0
+        print(f"decode run {i}: {run:.3f}s", file=sys.stderr)
+        dt = min(dt, run)
     del res
     return (B * T / 125.0) / dt
 
