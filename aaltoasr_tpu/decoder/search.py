@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from aaltoasr_tpu.decoder.lexicon import PrefixTree, duration_table
-from aaltoasr_tpu.decoder.ngram import NGramFsa, lm_walk_device
+from aaltoasr_tpu.decoder.ngram import (
+    InterNGramFsa, NGramFsa, lm_walk_device, lm_walk_device_multi)
 from aaltoasr_tpu.ops.logsemiring import LOG_ZERO
 
 INT_MAX = np.iinfo(np.int32).max
@@ -196,13 +197,22 @@ class BeamSearch:
             "lm_id": jnp.asarray(np.asarray(
                 [lm.word_index.get(w, -1) for w in lm_names]
                 or [-1], dtype=np.int32)),
-            **lm.device_tables(),
         }
+        # interpolated LMs walk every member and mix scores
+        # (InterTreeGram decode, decoder/src/InterTreeGram.hh:41)
+        if isinstance(lm, InterNGramFsa):
+            self._lm_tables = lm.member_tables()
+            self._K = len(lm.members)
+        else:
+            self.tables.update(lm.device_tables())
+            self._lm_tables = None
+            self._K = 1
         self._init_pair = int(tree.init_pair)
         self._la_on = bool(config.lm_lookahead)
         self._la_bigram = False
         if self._la_on:
-            la_lm = lookahead_lm or lm
+            la_lm = lookahead_lm or (
+                lm.members[0] if isinstance(lm, InterNGramFsa) else lm)
             V = la_lm.num_words
             if (config.lm_lookahead >= 2
                     and (V + 1) * tree.num_nodes * 4 <= 512_000_000):
@@ -231,11 +241,21 @@ class BeamSearch:
         d = jnp.clip(dur + 1, 1, self.config.max_dur)
         return t["dur_tab"][t["dur_state"][node], d - 1]
 
+    def _walk(self, states, word):
+        """(states [..., K], word [...]) -> (next [..., K], score)."""
+        if self._lm_tables is not None:
+            return lm_walk_device_multi(self.lm, self._lm_tables,
+                                        states, word)
+        nxt, sc = lm_walk_device(self.tables, self.lm.num_words,
+                                 self.lm.order, states[..., 0], word)
+        return nxt[..., None], sc
+
     def _step(self, tokens, obs_t, step_idx):
         cfg = self.config
         t = self.tables
         W = cfg.num_tokens
         E = cfg.num_records
+        K = self._K
         node, lmst, am, lms, dur, rec, alive, law = tokens
 
         # ---- 1. in-word expansion [W, A]
@@ -245,7 +265,8 @@ class BeamSearch:
         durp = jnp.where(is_self, 0.0, self._dur_bonus(node, dur)[:, None])
         c1 = {
             "node": a_tgt,
-            "lm": jnp.broadcast_to(lmst[:, None], a_tgt.shape),
+            "lm": jnp.broadcast_to(lmst[:, None, :],
+                                   a_tgt.shape + (K,)),
             "am": am[:, None] + cfg.transition_scale * a_lp + durp,
             "lms": jnp.broadcast_to(lms[:, None], a_tgt.shape),
             "dur": jnp.where(is_self, dur[:, None] + 1, 0),
@@ -253,7 +274,8 @@ class BeamSearch:
             "alive": alive[:, None] & (a_lp > LOG_ZERO / 2),
             "law": jnp.broadcast_to(law[:, None], a_tgt.shape),
         }
-        c1 = {k: v.reshape(-1) for k, v in c1.items()}
+        c1 = {k: (v.reshape(-1, K) if k == "lm" else v.reshape(-1))
+              for k, v in c1.items()}
 
         # ---- 2. word ends [W, H] -> records [E] -> root arcs [E, R]
         w_word = t["we_word"][node]                     # [W, H]
@@ -262,16 +284,16 @@ class BeamSearch:
         w_skip = t["we_skip"][node]
         w_alive = alive[:, None] & (w_exit > LOG_ZERO / 2)
         w_lmid = t["lm_id"][jnp.maximum(w_word, 0)]     # [W, H]
-        lm_in = jnp.broadcast_to(lmst[:, None], w_word.shape).reshape(-1)
+        lm_in = jnp.broadcast_to(
+            lmst[:, None, :], w_word.shape + (K,)).reshape(-1, K)
         word_in = jnp.maximum(w_lmid, 0).reshape(-1)
-        lm_next, lm_score = lm_walk_device(
-            t, self.lm.num_words, self.lm.order, lm_in, word_in)
-        lm_next = lm_next.reshape(w_word.shape)
+        lm_next, lm_score = self._walk(lm_in, word_in)
+        lm_next = lm_next.reshape(w_word.shape + (K,))
         lm_score = lm_score.reshape(w_word.shape)
         skip = w_skip | (w_word < 0)
         # words missing from the LM are pruned (lm_id < 0)
         w_alive = w_alive & (skip | (w_lmid >= 0))
-        lm_next = jnp.where(skip, lmst[:, None], lm_next)
+        lm_next = jnp.where(skip[:, :, None], lmst[:, None, :], lm_next)
         lm_score = jnp.where(skip, 0.0, lm_score)
         we_am = (am[:, None] + cfg.transition_scale * w_exit
                  + self._dur_bonus(node, dur)[:, None])
@@ -287,7 +309,7 @@ class BeamSearch:
         e_word = jnp.take(w_word.reshape(-1), order)
         e_prev = jnp.take(
             jnp.broadcast_to(rec[:, None], w_word.shape).reshape(-1), order)
-        e_lm = jnp.take(lm_next.reshape(-1), order)
+        e_lm = jnp.take(lm_next.reshape(-1, K), order, axis=0)
         e_am = jnp.take(we_am.reshape(-1), order)
         e_lms = jnp.take(we_lms.reshape(-1), order)
         w_pair = jnp.broadcast_to(t["we_pair"][node], w_word.shape)
@@ -321,7 +343,7 @@ class BeamSearch:
         R = r_tgt.shape[1]
         c2 = {
             "node": r_tgt,
-            "lm": jnp.broadcast_to(e_lm[:, None], (E, R)),
+            "lm": jnp.broadcast_to(e_lm[:, None, :], (E, R, K)),
             "am": e_am[:, None] + r_lp,
             "lms": jnp.broadcast_to(e_lms[:, None], (E, R)),
             "dur": jnp.zeros((E, R), jnp.int32),
@@ -330,7 +352,8 @@ class BeamSearch:
                       & (r_lp > LOG_ZERO / 2)),
             "law": jnp.broadcast_to(e_law[:, None], (E, R)),
         }
-        c2 = {k: v.reshape(-1) for k, v in c2.items()}
+        c2 = {k: (v.reshape(-1, K) if k == "lm" else v.reshape(-1))
+              for k, v in c2.items()}
 
         cand = {k: jnp.concatenate([c1[k], c2[k]]) for k in c1}
 
@@ -357,11 +380,17 @@ class BeamSearch:
         sort_node = jnp.where(cand["alive"], cand["node"], INT_MAX)
         neg_total = jnp.where(cand["alive"], -total, jnp.inf)
         idx0 = jnp.arange(sort_node.shape[0], dtype=jnp.int32)
-        s_node, s_lm, s_negt, s_idx = jax.lax.sort(
-            (sort_node, cand["lm"], neg_total, idx0), num_keys=3)
-        first = jnp.concatenate([
-            jnp.asarray([True]),
-            (s_node[1:] != s_node[:-1]) | (s_lm[1:] != s_lm[:-1])])
+        lm_cols = tuple(cand["lm"][:, k] for k in range(K))
+        out = jax.lax.sort(
+            (sort_node,) + lm_cols + (neg_total, idx0),
+            num_keys=2 + K)
+        s_node = out[0]
+        s_lms = out[1:1 + K]
+        s_negt, s_idx = out[1 + K], out[2 + K]
+        diff = s_node[1:] != s_node[:-1]
+        for col in s_lms:
+            diff = diff | (col[1:] != col[:-1])
+        first = jnp.concatenate([jnp.asarray([True]), diff])
         s_alive = first & (s_node != INT_MAX)
 
         score = jnp.where(s_alive, -s_negt, -jnp.inf)
@@ -369,7 +398,7 @@ class BeamSearch:
         sel = jnp.take(s_idx, top)          # original candidate rows
         new_tokens = (
             jnp.take(cand["node"], sel),
-            jnp.take(cand["lm"], sel),
+            jnp.take(cand["lm"], sel, axis=0),
             jnp.take(cand["am"], sel),
             jnp.take(cand["lms"], sel),
             jnp.take(cand["dur"], sel),
@@ -396,7 +425,9 @@ class BeamSearch:
         am0 = jnp.where(alive0, obs[0][t["pdf"][node0]], LOG_ZERO)
         law0 = jnp.full((W,), getattr(self, "_la_init_row", 0),
                         jnp.int32)
-        tokens = (node0, jnp.full((W,), lm_init, jnp.int32), am0,
+        tokens = (node0,
+                  jnp.broadcast_to(lm_init[None, :],
+                                   (W, self._K)).astype(jnp.int32), am0,
                   jnp.zeros((W,), jnp.float32), jnp.zeros((W,), jnp.int32),
                   jnp.full((W,), -1, jnp.int32), alive0, law0)
 
@@ -429,21 +460,25 @@ class BeamSearch:
         obs = jnp.asarray(obs, dtype=jnp.float32)
         if n_frames is None:
             n_frames = obs.shape[0]
-        lm_init = self.lm.initial_state(sentence_start)
+        lm_init = np.atleast_1d(
+            np.asarray(self.lm.initial_state(sentence_start),
+                       dtype=np.int32))
         tokens, recs = self._decode_jit(
-            obs, jnp.int32(n_frames), jnp.int32(lm_init))
+            obs, jnp.int32(n_frames), jnp.asarray(lm_init))
         return self._result(tokens, recs)
 
     def decode_batch(self, obs: np.ndarray, n_frames: np.ndarray,
                      sentence_start: str = "<s>"):
         """[B, T, S] batched decode via vmap; returns list of results."""
-        lm_init = self.lm.initial_state(sentence_start)
+        lm_init = np.atleast_1d(
+            np.asarray(self.lm.initial_state(sentence_start),
+                       dtype=np.int32))
         if not hasattr(self, "_batch_jit"):
             self._batch_jit = jax.jit(jax.vmap(
                 self._decode, in_axes=(0, 0, None)))
         tokens, recs = self._batch_jit(
             jnp.asarray(obs, jnp.float32),
-            jnp.asarray(n_frames, jnp.int32), jnp.int32(lm_init))
+            jnp.asarray(n_frames, jnp.int32), jnp.asarray(lm_init))
         # ONE device->host fetch per array (per-utterance slicing
         # would issue B separate transfers — dominant on remote links)
         tokens_h = tuple(np.asarray(x) for x in tokens)
@@ -461,9 +496,15 @@ class BeamSearch:
         if self.config.require_sentence_end:
             end_id = self.lm.word_index.get(self.config.sentence_end)
             if end_id is not None:
-                ends = np.asarray(
-                    [self.lm.walk(int(st), end_id)[1] if a else 0.0
-                     for st, a in zip(lmst, alive)], np.float32)
+                if self._lm_tables is not None:
+                    ends = np.asarray(
+                        [self.lm.walk(st, end_id)[1] if a else 0.0
+                         for st, a in zip(lmst, alive)], np.float32)
+                else:
+                    ends = np.asarray(
+                        [self.lm.walk(int(st[0]), end_id)[1] if a
+                         else 0.0
+                         for st, a in zip(lmst, alive)], np.float32)
                 lms = lms + ends
         total = np.where(alive, am + self.config.lm_scale * lms, -np.inf)
         best = int(np.argmax(total))
@@ -568,7 +609,12 @@ class StreamingDecoder:
             am0 = jnp.where(alive0, obs_t[s.tables["pdf"][node0]],
                             LOG_ZERO)
             W = s.config.num_tokens
-            self._tokens = (node0, jnp.full((W,), lm_init, jnp.int32),
+            lm_init = np.atleast_1d(np.asarray(lm_init,
+                                               dtype=np.int32))
+            self._tokens = (node0,
+                            jnp.broadcast_to(
+                                jnp.asarray(lm_init)[None, :],
+                                (W, len(lm_init))).astype(jnp.int32),
                             am0, jnp.zeros((W,), jnp.float32),
                             jnp.zeros((W,), jnp.int32),
                             jnp.full((W,), -1, jnp.int32), alive0,

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from aaltoasr_tpu.decoder.lexicon import PrefixTree, duration_table
-from aaltoasr_tpu.decoder.ngram import NGramFsa, lm_walk_device
+from aaltoasr_tpu.decoder.ngram import (
+    InterNGramFsa, NGramFsa, lm_walk_device, lm_walk_device_multi)
 from aaltoasr_tpu.decoder.search import DecodeResult, SearchConfig
 from aaltoasr_tpu.ops.logsemiring import LOG_ZERO
 
@@ -132,10 +133,23 @@ class DenseBeamSearch:
             [lm.word_index.get(w, -1) for w in lm_names] or [-1],
             dtype=np.int32)
         slot_lmid = lm_ids[np.maximum(tree.we_word[we_n, we_h], 0)]
-        uni_row = np.full(lm.num_words, LOG_ZERO, np.float32)
-        lo0, hi0 = int(lm.state_first[0]), int(lm.state_first[1])
-        uni_row[lm.trans_word[lo0:hi0]] = lm.trans_prob[lo0:hi0]
-        uni_w = uni_row[np.maximum(slot_lmid, 0)]
+        # interpolated LMs (InterTreeGram decode): every member walked,
+        # scores mixed in the probability domain
+        members = lm.members if isinstance(lm, InterNGramFsa) else [lm]
+        log_coeffs = (lm.log_coeffs if isinstance(lm, InterNGramFsa)
+                      else [0.0])
+        self._K = len(members)
+        self._lm_tables = [m.device_tables() for m in members]
+        self._log_coeffs = log_coeffs
+        # interpolated zero-context unigram as the static rank estimate
+        uni_mix = np.full((len(we_n),), -np.inf, np.float64)
+        for m, lw in zip(members, log_coeffs):
+            row = np.full(m.num_words, LOG_ZERO, np.float32)
+            lo0, hi0 = int(m.state_first[0]), int(m.state_first[1])
+            row[m.trans_word[lo0:hi0]] = m.trans_prob[lo0:hi0]
+            uni_mix = np.logaddexp(
+                uni_mix, lw + row[np.maximum(slot_lmid, 0)])
+        uni_w = np.maximum(uni_mix, LOG_ZERO).astype(np.float32)
         self.tables = {
             "self_logp": jnp.asarray(shifts[0]),
             "prev_logp": jnp.asarray(shifts[1]),
@@ -170,7 +184,6 @@ class DenseBeamSearch:
             "lm_id": jnp.asarray(np.asarray(
                 [lm.word_index.get(w, -1) for w in lm_names]
                 or [-1], dtype=np.int32)),
-            **lm.device_tables(),
         }
         self._has_durations = bool(
             np.any(np.asarray(self.tables["dur_tab"]) != 0))
@@ -180,6 +193,25 @@ class DenseBeamSearch:
         self._precompute_obs = True
         self._obs_budget_bytes = 4_000_000_000
         self._decode_jit = jax.jit(self._decode)
+
+    def _walk(self, states, word):
+        """(states [..., K], word [...]) -> (next [..., K], score)."""
+        if self._K > 1:
+            return lm_walk_device_multi(self, self._lm_tables,
+                                        states, word)
+        m = self.lm
+        nxt, sc = lm_walk_device(self._lm_tables[0], m.num_words,
+                                 m.order, states[..., 0], word)
+        return nxt[..., None], sc
+
+    @property
+    def members(self):
+        return (self.lm.members if isinstance(self.lm, InterNGramFsa)
+                else [self.lm])
+
+    @property
+    def log_coeffs(self):
+        return self._log_coeffs
 
     def _dur_bonus(self, node, dur):
         """Table path (used for gathered word-end nodes)."""
@@ -218,8 +250,10 @@ class DenseBeamSearch:
         cross_score = total + durb_all          # leaving the state
 
         def sh(x, k, fill):
-            return jnp.concatenate(
-                [jnp.full((k,), fill, x.dtype), x[:-k]]) if k else x
+            if not k:
+                return x
+            pad = jnp.full((k,) + x.shape[1:], fill, x.dtype)
+            return jnp.concatenate([pad, x[:-k]])
 
         cand0 = total + ts * t["self_logp"]
         cand1 = sh(cross_score, 1, LOG_ZERO) + ts * t["prev_logp"]
@@ -236,8 +270,10 @@ class DenseBeamSearch:
         is_win = aidx == win[itgt]
 
         def irr_pay(vals, fill=0):
-            z = jnp.full((N,), fill, vals.dtype)
-            return z.at[itgt].add(jnp.where(is_win, vals,
+            shape = (N,) + vals.shape[1:]
+            z = jnp.full(shape, fill, vals.dtype)
+            mask = is_win.reshape((-1,) + (1,) * (vals.ndim - 1))
+            return z.at[itgt].add(jnp.where(mask, vals,
                                             jnp.zeros_like(vals)))
 
         stacked = jnp.stack([cand0, cand1, cand2, cand3])
@@ -245,10 +281,10 @@ class DenseBeamSearch:
         best = jnp.max(stacked, axis=0)
 
         def pick(v_self, v1, v2, v3):
+            c = choice.reshape((-1,) + (1,) * (v_self.ndim - 1))
             return jnp.where(
-                choice == 0, v_self,
-                jnp.where(choice == 1, v1,
-                          jnp.where(choice == 2, v2, v3)))
+                c == 0, v_self,
+                jnp.where(c == 1, v1, jnp.where(c == 2, v2, v3)))
 
         am_s = am + ts * t["self_logp"]
         am_1 = sh(am + durb_all, 1, LOG_ZERO) + ts * t["prev_logp"]
@@ -284,10 +320,13 @@ class DenseBeamSearch:
             - d_we * t["we_dur_invb"] + t["we_dur_const"])
         we_am = am_wn + cfg.transition_scale * t["we_exit"] + we_durb
         base_lms = lms_wn + t["we_pron"]
+        bo_est = jnp.full(lm_wn.shape[:-1], -jnp.inf, jnp.float32)
+        for k, tab in enumerate(self._lm_tables):
+            bo_est = jnp.maximum(
+                bo_est, self._log_coeffs[k]
+                + jnp.minimum(tab["bo_weight"][lm_wn[..., k]], 0.0))
         appr_lm = jnp.where(
-            skip, 0.0,
-            jnp.minimum(t["bo_weight"][lm_wn], 0.0) + t["we_uni"]
-            + cfg.insertion_penalty)
+            skip, 0.0, bo_est + t["we_uni"] + cfg.insertion_penalty)
         # dead nodes hold am == LOG_ZERO (invariant set after the beam)
         slot_ok = ((am_wn > LOG_ZERO / 2)
                    & (t["we_exit"] > LOG_ZERO / 2)
@@ -306,11 +345,10 @@ class DenseBeamSearch:
             c_ok = c_ok & (jnp.arange(E) < k)
         c_word = jnp.take(w_word, cand)
         c_skip = jnp.take(skip, cand)
-        c_state = jnp.take(lm_wn, cand)
-        lm_next, lm_score = lm_walk_device(
-            t, self.lm.num_words, self.lm.order, c_state,
-            jnp.maximum(jnp.take(w_lmid, cand), 0))
-        lm_next = jnp.where(c_skip, c_state, lm_next)
+        c_state = jnp.take(lm_wn, cand, axis=0)
+        lm_next, lm_score = self._walk(
+            c_state, jnp.maximum(jnp.take(w_lmid, cand), 0))
+        lm_next = jnp.where(c_skip[:, None], c_state, lm_next)
         lm_score = jnp.where(c_skip, 0.0, lm_score)
         c_am = jnp.take(we_am, cand)
         c_lms = (jnp.take(base_lms, cand) + lm_score
@@ -335,7 +373,7 @@ class DenseBeamSearch:
         _, top_c = jax.lax.top_k(c_total, C)
         r_am = jnp.take(c_am, top_c)
         r_lms = jnp.take(c_lms, top_c)
-        r_lm = jnp.take(lm_next, top_c)
+        r_lm = jnp.take(lm_next, top_c, axis=0)
         r_rec = jnp.take(e_rec, top_c)
         r_alive = jnp.take(c_alive, top_c)
         r_pair = jnp.take(jnp.take(t["we_pair"], cand), top_c)
@@ -360,16 +398,18 @@ class DenseBeamSearch:
         cflat = fidx // R
 
         def pay(vals, dtype=jnp.float32):
-            z = jnp.zeros((N,), dtype)
-            v = jnp.take(vals, cflat).astype(dtype)
-            return z.at[flat_tgt].add(jnp.where(is_win, v,
+            v = jnp.take(vals, cflat, axis=0).astype(dtype)
+            z = jnp.zeros((N,) + v.shape[1:], dtype)
+            mask = is_win.reshape((-1,) + (1,) * (v.ndim - 1))
+            return z.at[flat_tgt].add(jnp.where(mask, v,
                                                 jnp.zeros_like(v)))
 
         pay_am = pay(r_am) + jnp.zeros((N,), jnp.float32).at[
             flat_tgt].add(jnp.where(is_win, rows_lp.reshape(-1), 0.0))
         new_am = jnp.where(take_tgt, pay_am, new_am)
         new_lms = jnp.where(take_tgt, pay(r_lms), new_lms)
-        new_lm = jnp.where(take_tgt, pay(r_lm, jnp.int32), new_lm)
+        new_lm = jnp.where(take_tgt[:, None], pay(r_lm, jnp.int32),
+                           new_lm)
         new_dur = jnp.where(take_tgt, 0, new_dur)
         new_rec = jnp.where(take_tgt, pay(r_rec, jnp.int32), new_rec)
         new_alive = new_alive | take_tgt
@@ -409,7 +449,8 @@ class DenseBeamSearch:
         am0 = am0.at[r_tgt].max(first + r_lp)
         alive0 = jnp.zeros((N,), bool).at[r_tgt].set(True)
         state = (am0, jnp.zeros((N,), jnp.float32),
-                 jnp.full((N,), lm_init, jnp.int32),
+                 jnp.broadcast_to(lm_init[None, :],
+                                  (N, self._K)).astype(jnp.int32),
                  jnp.zeros((N,), jnp.int32),
                  jnp.full((N,), -1, jnp.int32), alive0)
 
@@ -439,9 +480,8 @@ class DenseBeamSearch:
         if cfg.require_sentence_end:
             end_id = self.lm.word_index.get(cfg.sentence_end)
             if end_id is not None:
-                _, end_sc = lm_walk_device(
-                    t, self.lm.num_words, self.lm.order, lm,
-                    jnp.full((N,), end_id, jnp.int32))
+                _, end_sc = self._walk(
+                    lm, jnp.full((N,), end_id, jnp.int32))
                 lms = lms + jnp.where(alive, end_sc, 0.0)
         total = jnp.where(alive, am + cfg.lm_scale * lms, -jnp.inf)
         bestn = jnp.argmax(total)
@@ -459,14 +499,16 @@ class DenseBeamSearch:
         obs = jnp.asarray(obs, dtype=jnp.float32)
         if n_frames is None:
             n_frames = obs.shape[0]
-        lm_init = self.lm.initial_state(sentence_start)
+        lm_init = np.atleast_1d(np.asarray(
+            self.lm.initial_state(sentence_start), dtype=np.int32))
         finals, rec_i, rec_f = self._decode_jit(
-            obs, jnp.int32(n_frames), jnp.int32(lm_init))
+            obs, jnp.int32(n_frames), jnp.asarray(lm_init))
         return self._result(np.asarray(finals), np.asarray(rec_i),
                             np.asarray(rec_f))
 
     def decode_batch(self, obs, n_frames, sentence_start="<s>"):
-        lm_init = self.lm.initial_state(sentence_start)
+        lm_init = np.atleast_1d(np.asarray(
+            self.lm.initial_state(sentence_start), dtype=np.int32))
         B, T = obs.shape[0], obs.shape[1]
         # HBM budget covers the [B,T,N] obs precompute AND the
         # per-frame record stacks ([B,T,E] x 4 + vmap temporaries);
@@ -492,7 +534,7 @@ class DenseBeamSearch:
             parts.append(fn(jnp.asarray(obs[i:i + chunk], jnp.float32),
                             jnp.asarray(n_frames[i:i + chunk],
                                         jnp.int32),
-                            jnp.int32(lm_init)))
+                            jnp.asarray(lm_init)))
         # ONE device->host fetch per array (per-utterance slicing
         # would issue B separate transfers — dominant on remote links)
         finals = np.concatenate([np.asarray(p[0]) for p in parts])

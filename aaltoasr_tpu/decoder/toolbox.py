@@ -92,6 +92,16 @@ class Toolbox:
         # our n-gram LM already decodes as an FSA; same entry point
         self.ngram_read(path, binary)
 
+    def interpolated_ngram_read(self, paths: list, weights: list) -> None:
+        """Decode with a linear interpolation of several n-gram models
+        (Toolbox::interpolated_ngram_read, Toolbox.cc:156-163): the
+        search walks every member FSA and mixes scores in the
+        probability domain."""
+        from aaltoasr_tpu.decoder.ngram import InterNGramFsa
+        arpas = [read_arpa(p) for p in paths]
+        self.lm = InterNGramFsa.from_arpas(arpas, list(weights))
+        self._search = None
+
     def read_lookahead_ngram(self, path) -> None:
         """Separate (smaller) LM for lookahead scores
         (Toolbox::read_lookahead_ngram)."""
