@@ -135,6 +135,26 @@ class Recipe:
         """Stable sort by speaker id (`aku/Recipe.hh:117-119`)."""
         self.infos.sort(key=lambda i: i.speaker_id)
 
+    def shard(self, num_batches: int, batch_index: int) -> "Recipe":
+        """Batch ``batch_index`` (1-based) of an already-parsed recipe,
+        with the same remainder-spreading split as :meth:`read`
+        (`aku/Recipe.hh:97-112`): the first ``n % num_batches`` batches
+        get one extra utterance."""
+        if num_batches <= 1:
+            return self
+        if batch_index < 1 or batch_index > num_batches:
+            raise ValueError("Invalid batch index")
+        n = len(self.infos)
+        target = max(n // num_batches, 1)
+        rem = n % num_batches if n // num_batches >= 1 else 0
+        start = 0
+        for b in range(1, batch_index):
+            start += target + (1 if b <= rem else 0)
+        size = target + (1 if batch_index <= rem else 0)
+        out = Recipe()
+        out.infos = self.infos[start:start + size]
+        return out
+
     def __len__(self):
         return len(self.infos)
 

@@ -104,3 +104,54 @@ class TestShardedTrainStep:
             lls.append(float(ll))
         assert lls[1] > lls[0]
         assert lls[2] >= lls[1] - 1e-3
+
+
+class TestDistributed:
+    def test_initialize_wiring(self, monkeypatch):
+        """initialize() resolves env topology and calls
+        jax.distributed.initialize with it (process-count faked)."""
+        from aaltoasr_tpu.parallel import distributed
+        calls = {}
+
+        def fake_init(coordinator_address=None, num_processes=None,
+                      process_id=None):
+            calls.update(addr=coordinator_address, n=num_processes,
+                         pid=process_id)
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "h0:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("SLURM_PROCID", "3")
+        monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+        assert distributed.initialize() is True
+        assert calls == {"addr": "h0:1234", "n": 4, "pid": 3}
+
+    def test_initialize_single_process_noop(self, monkeypatch):
+        from aaltoasr_tpu.parallel import distributed
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                    "JAX_PROCESS_ID", "SLURM_PROCID",
+                    "TPU_WORKER_HOSTNAMES"):
+            monkeypatch.delenv(var, raising=False)
+        called = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda *a, **k: called.append(1))
+        assert distributed.initialize() is False
+        assert not called
+
+    def test_global_mesh_spans_devices(self):
+        from aaltoasr_tpu.parallel import distributed
+        mesh = distributed.global_mesh(n_model=2)
+        assert mesh.shape["model"] == 2
+        assert mesh.shape["data"] * 2 == len(jax.devices())
+
+    def test_process_shard_matches_recipe_split(self, monkeypatch):
+        from aaltoasr_tpu.parallel import distributed
+        from aaltoasr_tpu.formats.recipe import Recipe
+        lines = [f"audio=/a/u{i}.wav" for i in range(10)]
+        full = Recipe.read(lines)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        shard = distributed.process_shard(full)
+        ref = Recipe.read(lines, 2, 2)      # 1-based batch index
+        assert [r.audio_path for r in shard] == \
+            [r.audio_path for r in ref]
