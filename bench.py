@@ -73,7 +73,7 @@ def decode_xrt():
     n = np.full(B, T, np.int32)
     res = search.decode_batch(obs, n)          # compile + warm
     dt = float("inf")
-    for i in range(3):                         # relay timing is noisy:
+    for i in range(5):                         # relay timing is noisy:
         t0 = time.perf_counter()               # take the best run
         res = search.decode_batch(obs, n)      # full path incl. fetch
         run = time.perf_counter() - t0

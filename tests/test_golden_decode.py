@@ -202,3 +202,49 @@ class TestGoldenDecode:
         ref = run_reference(ref_driver, tmp_path, lna)
         ours = run_ours(tmp_path, lna, dense=True)
         assert ours == ref
+
+
+class TestGoldenDecodeDurations:
+    def test_duration_model_identical(self, ref_driver, tmp_path):
+        """Gamma duration models active on both sides (dur-scale 3,
+        rectool.py:548)."""
+        model, lex, wi = make_task(tmp_path, seed=3)
+        rng = np.random.default_rng(7)
+        S = model.num_states
+        durs = np.zeros((S, 2))
+        durs[:, 0] = rng.uniform(1.5, 3.0, S)       # shape a
+        durs[:, 1] = rng.uniform(1.0, 2.0, S)       # scale b
+        model_io.write_dur(str(tmp_path / "m.dur"), durs)
+
+        import subprocess
+        for i, seq in enumerate([["aba"], ["ca", "bac"]]):
+            lna = synth_lna(tmp_path, model, lex, seq, seed=30 + i,
+                            noise=1.2, frames_per_state=3,
+                            name=f"g{i}.lna")
+            out = subprocess.run(
+                [ref_driver, "--ph", str(tmp_path / "m.ph"),
+                 "--dur", str(tmp_path / "m.dur"),
+                 "--lex", str(tmp_path / "lex.dict"),
+                 "--arpa", str(tmp_path / "lm.arpa"), "--lna", lna,
+                 "--beam", "400", "--token-limit", "100000",
+                 "--lm-scale", "10", "--dur-scale", "3",
+                 "--trans-scale", "1", "--no-crossword"],
+                check=True, capture_output=True, text=True, timeout=120)
+            ref = [w for w in out.stdout.split()
+                   if w not in ("<s>", "</s>", "*")]
+
+            from aaltoasr_tpu.decoder.toolbox import Toolbox
+            t = Toolbox(str(tmp_path / "m.ph"), str(tmp_path / "m.dur"))
+            t.set_lm_scale(10.0)
+            t.set_global_beam(400.0)
+            t.set_duration_scale(3.0)
+            t.set_transition_scale(1.0)
+            t.set_require_sentence_end(True)
+            t.set_silence_is_word(False)
+            t.set_optional_short_silence(True)
+            t.lex_read(str(tmp_path / "lex.dict"))
+            t.set_sentence_boundary("<s>", "</s>")
+            t.ngram_read(str(tmp_path / "lm.arpa"))
+            res = t.lna_decode(lna)
+            ours = [w for w in res.words if w not in ("<s>", "</s>")]
+            assert ours == ref, (seq, ref, ours)

@@ -29,6 +29,7 @@ int main(int argc, char **argv) {
   int token_limit = 100000;
   bool crossword = true;
   bool require_end = true;
+  bool oss = true;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return argv[++i]; };
@@ -45,6 +46,7 @@ int main(int argc, char **argv) {
     else if (a == "--trans-scale") trans_scale = atof(next());
     else if (a == "--insertion-penalty") insertion_penalty = atof(next());
     else if (a == "--no-crossword") crossword = false;
+    else if (a == "--no-oss") oss = false;
     else if (a == "--no-require-end") require_end = false;
     else { fprintf(stderr, "unknown arg %s\n", a.c_str()); return 2; }
   }
@@ -55,7 +57,7 @@ int main(int argc, char **argv) {
 
   Toolbox t(ph, dur);
   t.set_silence_is_word(0);
-  t.set_optional_short_silence(1);
+  t.set_optional_short_silence(oss);
   t.set_cross_word_triphones(crossword);
   t.set_require_sentence_end(require_end);
   t.set_verbose(0);
