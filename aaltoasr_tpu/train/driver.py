@@ -114,8 +114,8 @@ class EStepDriver:
     def _graph_from_chain(self, labels):
         chain = build_chain(self.model, self.table, labels)
         P_pad = _round_up(chain.num_positions, self.pos_bucket)
-        out = {k: jnp.asarray(v) for k, v in
-               pad_chain(chain, P_pad, fan=4).items()}
+        out = {k: jnp.asarray(v) for k, v in estep.shift_compile(
+            pad_chain(chain, P_pad, fan=4)).items()}
         phone = np.zeros(P_pad, dtype=np.int32)
         lbl_ids = [self._phone_id.get(l, 0) for l in labels]
         phone[:chain.num_positions] = np.asarray(
@@ -129,7 +129,7 @@ class EStepDriver:
         P = int(g["num_positions"])
         P_pad = _round_up(max(P, 1), self.pos_bucket)
         F = max(g["in_src"].shape[1], 4)
-        padded = pad_hmmnet(g, P_pad, fan=F)
+        padded = estep.shift_compile(pad_hmmnet(g, P_pad, fan=F))
         labels = [fst.arcs[ai].label for ai in emit] + [""] * (P_pad - P)
         # model phone index per position (for the mpfe-cps/mpfe modes)
         phone = np.zeros(P_pad, dtype=np.int32)

@@ -38,10 +38,14 @@ def _final(graph, P):
                      graph["final_logp"], LOG_ZERO)
 
 
-def masked_forward_backward(obs_pos, graph, n_frames, num_trans_slots: int):
+def masked_forward_backward(obs_pos, graph, n_frames, num_trans_slots: int,
+                            with_transitions: bool = True):
     """FB over [T_pad, P] with frames >= n_frames inert.
 
     Returns (gamma [T, P] linear, trans_post [NT], total_ll).
+    with_transitions=False skips the xi scan (arc-synchronous hmmnet
+    graphs derive transition occupancies from arc_slot instead — a
+    ~40% saving of the FB device time).
     """
     T, P = obs_pos.shape
     in_src, in_logp = graph["in_src"], graph["in_logp"]
@@ -92,9 +96,12 @@ def masked_forward_backward(obs_pos, graph, n_frames, num_trans_slots: int):
         return acc, None
 
     trans0 = jnp.zeros(num_trans_slots, dtype=jnp.float32)
-    trans_post, _ = jax.lax.scan(
-        trans_step, trans0,
-        (alphas[:-1], obs_pos[1:], betas[1:], valid[1:]))
+    if with_transitions:
+        trans_post, _ = jax.lax.scan(
+            trans_step, trans0,
+            (alphas[:-1], obs_pos[1:], betas[1:], valid[1:]))
+    else:
+        trans_post = trans0
     if "final_slot" in graph:
         trans_post = trans_post.at[graph["final_slot"]].add(1.0)
     return gamma, trans_post, total
@@ -246,8 +253,11 @@ def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
         obs_pos = obs_pos + graph["obs_const"][None, :]
 
     if mode == "bw":
-        gamma, trans_post, total = masked_forward_backward(
-            obs_pos, graph, n_frames, num_trans_slots)
+        fb = (masked_forward_backward_shift if "sh_logp" in graph
+              else masked_forward_backward)
+        gamma, trans_post, total = fb(
+            obs_pos, graph, n_frames, num_trans_slots,
+            with_transitions="arc_slot" not in graph)
     elif mode == "mpv":
         gamma, trans_post, total = masked_multipath_viterbi_fb(
             obs_pos, graph, n_frames, num_trans_slots)
@@ -347,3 +357,180 @@ def batch_chain_stats(scorer, features, graphs, n_frames,
     summed["log_likelihood"] = jnp.sum(stats["log_likelihood"])
     summed["num_frames"] = jnp.sum(stats["num_frames"])
     return summed
+
+
+# ---------------------------------------------------------------------------
+# shift-compiled forward-backward: positions are numbered phone-locally,
+# so nearly every edge has target - source in {0, 1, 2}; those relax as
+# array shifts (pure elementwise steps — TPU dynamic gathers run at only
+# ~150M elements/s, which otherwise bounds the whole E-step).  Remaining
+# edges form a compact irregular list handled by one small gather +
+# scatter-logsumexp per step.
+# ---------------------------------------------------------------------------
+
+def shift_compile(graph: dict) -> dict:
+    """Host: split a padded graph's in-edges into shift classes.
+
+    Returns the graph dict extended with:
+      sh_logp [3, P]  — in-edge weight from p-d for d in {0,1,2}
+      sh_slot [3, P]  — transition slot of that edge
+      ir_src/ir_tgt/ir_logp/ir_slot [Ei] — leftover edges
+    """
+    import numpy as np
+    in_src = np.asarray(graph["in_src"])
+    in_logp = np.asarray(graph["in_logp"])
+    in_slot = np.asarray(graph["in_slot"])
+    P, F = in_src.shape
+    sh_logp = np.full((3, P), LOG_ZERO, np.float32)
+    sh_slot = np.zeros((3, P), np.int32)
+    ir_src, ir_tgt, ir_logp, ir_slot = [], [], [], []
+    for p in range(P):
+        for f in range(F):
+            s = int(in_src[p, f])
+            w = float(in_logp[p, f])
+            if w <= LOG_ZERO / 2:
+                continue
+            d = p - s
+            if d in (0, 1, 2) and sh_logp[d, p] <= LOG_ZERO / 2:
+                sh_logp[d, p] = w
+                sh_slot[d, p] = in_slot[p, f]
+            else:
+                ir_src.append(s)
+                ir_tgt.append(p)
+                ir_logp.append(w)
+                ir_slot.append(int(in_slot[p, f]))
+    if not ir_src:
+        ir_src, ir_tgt = [0], [0]
+        ir_logp, ir_slot = [LOG_ZERO], [0]
+    out = dict(graph)
+    out["sh_logp"] = np.asarray(sh_logp)
+    out["sh_slot"] = np.asarray(sh_slot)
+    out["ir_src"] = np.asarray(ir_src, np.int32)
+    out["ir_tgt"] = np.asarray(ir_tgt, np.int32)
+    out["ir_logp"] = np.asarray(ir_logp, np.float32)
+    out["ir_slot"] = np.asarray(ir_slot, np.int32)
+    return out
+
+
+def _sh(x, d, fill):
+    """x[p-d] with fill for p < d (shift toward higher indices)."""
+    if not d:
+        return x
+    pad = jnp.full((d,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[:-d]])
+
+
+def _sh_back(x, d, fill):
+    """x[p+d] with fill past the end."""
+    if not d:
+        return x
+    pad = jnp.full((d,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x[d:], pad])
+
+
+def _scatter_lse(contrib, tgt, P):
+    """Log-sum-exp scatter of contrib [E] onto targets [E] -> [P]."""
+    mx = jnp.full((P,), LOG_ZERO, jnp.float32).at[tgt].max(contrib)
+    live = contrib > LOG_ZERO / 2
+    sums = jnp.zeros((P,), jnp.float32).at[tgt].add(
+        jnp.where(live, jnp.exp(contrib - mx[tgt]), 0.0))
+    return jnp.where(sums > 0, mx + jnp.log(jnp.maximum(sums, 1e-30)),
+                     LOG_ZERO)
+
+
+def masked_forward_backward_shift(obs_pos, graph, n_frames,
+                                  num_trans_slots: int,
+                                  with_transitions: bool = True):
+    """Shift-structured FB; same contract as masked_forward_backward.
+
+    Per-step transition statistics accumulate ELEMENTWISE into per-
+    (position, shift-class) carries and hit transition slots with one
+    segment-sum at the end (the per-step segment_sum of the plain path
+    is another scatter bottleneck).
+    """
+    T, P = obs_pos.shape
+    w0, w1, w2 = (graph["sh_logp"][d] for d in range(3))
+    ir_src, ir_tgt = graph["ir_src"], graph["ir_tgt"]
+    ir_logp = graph["ir_logp"]
+
+    valid = jnp.arange(T) < n_frames
+    alpha0 = jnp.maximum(obs_pos[0] + _entry(graph, P), LOG_ZERO)
+
+    def lse4(a, b, c, d):
+        m = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+        m_safe = jnp.maximum(m, LOG_ZERO)
+        s = (jnp.exp(a - m_safe) + jnp.exp(b - m_safe)
+             + jnp.exp(c - m_safe) + jnp.exp(d - m_safe))
+        return jnp.where(m > LOG_ZERO / 2,
+                         m_safe + jnp.log(jnp.maximum(s, 1e-30)),
+                         LOG_ZERO)
+
+    def fwd(alpha, xs):
+        obs_t, v = xs
+        c0 = alpha + w0
+        c1 = _sh(alpha, 1, LOG_ZERO) + w1
+        c2 = _sh(alpha, 2, LOG_ZERO) + w2
+        cir = _scatter_lse(alpha[ir_src] + ir_logp, ir_tgt, P)
+        new = jnp.maximum(lse4(c0, c1, c2, cir) + obs_t, LOG_ZERO)
+        new = jnp.where(v, new, alpha)
+        return new, alpha
+
+    alpha_T, alphas_prev = jax.lax.scan(
+        fwd, alpha0, (obs_pos[1:], valid[1:]))
+    alphas = jnp.concatenate([alphas_prev, alpha_T[None]], axis=0)
+
+    beta_last = _final(graph, P)
+    total = logsumexp(alpha_T + beta_last, axis=0)
+
+    # backward: out-edge of q with shift d has weight w_d[q+d]
+    def bwd(beta, xs):
+        obs_next, v = xs
+        t_ob = obs_next + beta                   # [P] target term
+        c0 = w0 + t_ob
+        c1 = _sh_back(w1 + t_ob, 1, LOG_ZERO)
+        c2 = _sh_back(w2 + t_ob, 2, LOG_ZERO)
+        cir = _scatter_lse(ir_logp + t_ob[ir_tgt], ir_src, P)
+        new = jnp.maximum(lse4(c0, c1, c2, cir), LOG_ZERO)
+        new = jnp.where(v, new, beta)
+        return new, new
+
+    _, betas_head = jax.lax.scan(
+        bwd, beta_last, (obs_pos[1:], valid[1:]), reverse=True)
+    betas = jnp.concatenate([betas_head, beta_last[None]], axis=0)
+
+    gamma = jnp.exp(jnp.maximum(alphas + betas - total, -80.0))
+    gamma = gamma * valid[:, None]
+
+    trans_post = jnp.zeros(num_trans_slots, dtype=jnp.float32)
+    if with_transitions:
+        Ei = ir_src.shape[0]
+
+        def trans_step(acc, xs):
+            acc_sh, acc_ir = acc
+            alpha_t, obs_next, beta_next, v = xs
+            t_ob = obs_next + beta_next - total
+            x0 = jnp.exp(jnp.maximum(alpha_t + w0 + t_ob, -80.0))
+            x1 = jnp.exp(jnp.maximum(
+                _sh(alpha_t, 1, LOG_ZERO) + w1 + t_ob, -80.0))
+            x2 = jnp.exp(jnp.maximum(
+                _sh(alpha_t, 2, LOG_ZERO) + w2 + t_ob, -80.0))
+            xir = jnp.exp(jnp.maximum(
+                alpha_t[ir_src] + ir_logp + t_ob[ir_tgt], -80.0))
+            vf = v.astype(jnp.float32)
+            acc_sh = acc_sh + vf * jnp.stack([x0, x1, x2])
+            acc_ir = acc_ir + vf * xir
+            return (acc_sh, acc_ir), None
+
+        (acc_sh, acc_ir), _ = jax.lax.scan(
+            trans_step,
+            (jnp.zeros((3, P), jnp.float32),
+             jnp.zeros((Ei,), jnp.float32)),
+            (alphas[:-1], obs_pos[1:], betas[1:], valid[1:]))
+        trans_post = jax.ops.segment_sum(
+            jnp.concatenate([acc_sh.reshape(-1), acc_ir]),
+            jnp.concatenate([graph["sh_slot"].reshape(-1),
+                             graph["ir_slot"]]),
+            num_segments=num_trans_slots)
+    if "final_slot" in graph:
+        trans_post = trans_post.at[graph["final_slot"]].add(1.0)
+    return gamma, trans_post, total

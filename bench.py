@@ -83,6 +83,41 @@ def decode_xrt():
     return (B * T / 125.0) / dt
 
 
+def estep_fps():
+    """Baum-Welch E-step throughput (the `stats` worker hot path)."""
+    import jax
+    from __graft_entry__ import _random_model
+    from aaltoasr_tpu.models.hmm import (
+        TransitionTable, build_chain, pad_chain)
+    from aaltoasr_tpu.ops.gmm import GmmScorer
+    from aaltoasr_tpu.train import estep
+
+    model = _random_model(G=10000, S=2500, D=39, K=8)
+    table = TransitionTable.from_model(model)
+    scorer = GmmScorer.from_model(model)
+    labels = [f"p{i % 1250}" for i in range(256)]
+    chain = build_chain(model, table, labels)
+    P = 512
+    while chain.num_positions > P:
+        P *= 2
+    g = {k: jnp.asarray(v) for k, v in estep.shift_compile(
+        pad_chain(chain, P, fan=4)).items()}
+    B, T = 32, 1000
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(0, 2, (B, T, 39)).astype(np.float32))
+    graphs = {k: jnp.broadcast_to(v[None], (B,) + v.shape)
+              for k, v in g.items()}
+    n = jnp.full((B,), T, jnp.int32)
+    fn = jax.jit(jax.vmap(lambda f, gg, nn: estep.chain_stats(
+        scorer, f, gg, nn, table.num_slots)))
+    out = fn(feats, graphs, n)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(feats, graphs, n)
+    jax.block_until_ready(out)
+    return B * T / (time.perf_counter() - t0)
+
+
 def main():
     # warm up the relay's device->host path (first sizable fetch per
     # process stalls on the tunneled axon platform)
@@ -91,6 +126,7 @@ def main():
     # relay-mediated timings that follow it
     xrt = decode_xrt()
     fps = scoring_fps()
+    efps = estep_fps()
     print(json.dumps({
         "metric": "dense_decode_realtime_factor",
         "value": round(xrt, 1),
@@ -98,6 +134,8 @@ def main():
         "vs_baseline": round(xrt / 100.0, 2),
         "scoring_frames_per_sec": round(fps, 1),
         "scoring_xrt": round(fps / 125.0, 1),
+        "estep_frames_per_sec": round(efps, 1),
+        "estep_xrt": round(efps / 125.0, 1),
     }))
 
 

@@ -49,7 +49,8 @@ def main():
     obs = rng.normal(-5, 2, (B, T, model.num_states)).astype(np.float32)
     n = np.full(B, T, np.int32)
 
-    lm_init = search.lm.initial_state("<s>")
+    lm_init = np.atleast_1d(np.asarray(
+        search.lm.initial_state("<s>"), dtype=np.int32))
     fn = jax.jit(jax.vmap(search._decode, in_axes=(0, 0, None)))
 
     t0 = time.perf_counter()
@@ -59,7 +60,7 @@ def main():
 
     # compile
     t0 = time.perf_counter()
-    out = fn(obs_d, jnp.asarray(n), jnp.int32(lm_init))
+    out = fn(obs_d, jnp.asarray(n), jnp.asarray(lm_init))
     jax.block_until_ready(out)
     t_compile = time.perf_counter() - t0
 
@@ -67,7 +68,7 @@ def main():
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(obs_d, jnp.asarray(n), jnp.int32(lm_init))
+        out = fn(obs_d, jnp.asarray(n), jnp.asarray(lm_init))
         jax.block_until_ready(out)
     t_run = (time.perf_counter() - t0) / reps
 

@@ -27,14 +27,16 @@ def main():
     np.asarray(jnp.zeros((128, 128)))
 
     model, tree, fsa = synth_task(num_words=1000)
-    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0)
+    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
+                       num_records=32)
     search = DenseBeamSearch(tree, fsa, model, cfg)
     B, T = 64, 100
     rng = np.random.default_rng(1)
     obs = jnp.asarray(
         rng.normal(-5, 2, (B, T, model.num_states)), jnp.float32)
     n = jnp.full((B,), T, jnp.int32)
-    lm_init = jnp.int32(search.lm.initial_state("<s>"))
+    lm_init = jnp.asarray(np.atleast_1d(np.asarray(
+        search.lm.initial_state("<s>"), dtype=np.int32)))
 
     fn = jax.jit(jax.vmap(search._decode, in_axes=(0, 0, None)))
     out = fn(obs, n, lm_init)

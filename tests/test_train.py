@@ -454,3 +454,72 @@ class TestFullStats:
         want = X.T @ X / n - np.outer(X.mean(0), X.mean(0))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(new.means[0], X.mean(0), rtol=1e-9)
+
+
+class TestShiftFB:
+    """Shift-compiled forward-backward == plain FB (gamma, transitions,
+    total) on chains and hmmnet graphs with irregular edges."""
+
+    def _compare(self, padded, T, table, seed):
+        import jax.numpy as jnp
+        from aaltoasr_tpu.train import estep
+        rng = np.random.default_rng(seed)
+        P = padded["pdf"].shape[0]
+        obs = rng.normal(-3, 1.5, (T, P)).astype(np.float32)
+        if "obs_const" in padded:
+            obs = obs + np.asarray(padded["obs_const"])[None, :]
+        g_plain = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+                   for k, v in padded.items()}
+        g_shift = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+                   for k, v in estep.shift_compile(padded).items()}
+        ga, ta, la = estep.masked_forward_backward(
+            jnp.asarray(obs), g_plain, jnp.int32(T), table.num_slots)
+        gb, tb, lb = estep.masked_forward_backward_shift(
+            jnp.asarray(obs), g_shift, jnp.int32(T), table.num_slots)
+        assert float(lb) == pytest.approx(float(la), rel=1e-5)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(tb), np.asarray(ta),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_chain_graph(self):
+        model = three_state_model(seed=11)
+        table = TransitionTable.from_model(model)
+        chain = build_chain(model, table, ["a", "_", "a"])
+        padded = pad_chain(chain, chain.num_positions + 3, fan=4)
+        self._compare(padded, 14, table, seed=12)
+
+    def test_hmmnet_graph_with_irregular_edges(self):
+        from aaltoasr_tpu.models.hmmnet import (
+            compile_hmmnet, pad_hmmnet, transcript_hmmnet, union_fst)
+        model = three_state_model(seed=13)
+        table = TransitionTable.from_model(model)
+        fst = union_fst(
+            transcript_hmmnet(model, table, ["a", "_"]),
+            transcript_hmmnet(model, table, ["_", "a"]))
+        g, _ = compile_hmmnet(fst, table)
+        padded = pad_hmmnet(g, int(g["num_positions"]) + 2, fan=6)
+        self._compare(padded, 12, table, seed=14)
+
+    def test_masked_frames_frozen(self):
+        import jax.numpy as jnp
+        from aaltoasr_tpu.train import estep
+        model = three_state_model(seed=15)
+        table = TransitionTable.from_model(model)
+        chain = build_chain(model, table, ["a"])
+        padded = pad_chain(chain, chain.num_positions, fan=4)
+        g = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+             for k, v in estep.shift_compile(padded).items()}
+        rng = np.random.default_rng(16)
+        P = padded["pdf"].shape[0]
+        obs = rng.normal(-3, 1, (10, P)).astype(np.float32)
+        # frames beyond n=6 must not affect results
+        ga, ta, la = estep.masked_forward_backward_shift(
+            jnp.asarray(obs), g, jnp.int32(6), table.num_slots)
+        obs2 = obs.copy()
+        obs2[6:] = 99.0
+        gb, tb, lb = estep.masked_forward_backward_shift(
+            jnp.asarray(obs2), g, jnp.int32(6), table.num_slots)
+        assert float(la) == pytest.approx(float(lb))
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=1e-6)
