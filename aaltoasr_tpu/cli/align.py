@@ -36,8 +36,10 @@ def align_utterance(model, table, scorer, fg, samples, labels):
     sll = logsumexp(gll[:, scorer.comp_idx] + scorer.comp_logw, axis=-1)
     obs = sll[:, chain.pdf]
     graph = {k: jnp.asarray(v) for k, v in
-             pad_chain(chain, chain.num_positions).items()}
-    path, score = estep.masked_viterbi(obs, graph, jnp.int32(obs.shape[0]))
+             estep.shift_compile(
+                 pad_chain(chain, chain.num_positions)).items()}
+    path, score = estep.masked_viterbi_shift(
+        obs, graph, jnp.int32(obs.shape[0]))
     path = np.asarray(path)
     segments = []
     start = 0

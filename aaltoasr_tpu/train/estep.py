@@ -262,7 +262,9 @@ def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
         gamma, trans_post, total = masked_multipath_viterbi_fb(
             obs_pos, graph, n_frames, num_trans_slots)
     elif mode == "vit":
-        path, total = masked_viterbi(obs_pos, graph, n_frames)
+        vit = (masked_viterbi_shift if "sh_logp" in graph
+               else masked_viterbi)
+        path, total = vit(obs_pos, graph, n_frames)
         valid = jnp.arange(T) < n_frames
         gamma = jax.nn.one_hot(path, P, dtype=jnp.float32) * valid[:, None]
         # transition counts along the path
@@ -534,3 +536,57 @@ def masked_forward_backward_shift(obs_pos, graph, n_frames,
     if "final_slot" in graph:
         trans_post = trans_post.at[graph["final_slot"]].add(1.0)
     return gamma, trans_post, total
+
+
+def masked_viterbi_shift(obs_pos, graph, n_frames):
+    """Shift-structured Viterbi; same contract as masked_viterbi.
+
+    Backpointers store the winning shift class (0/1/2) or 3+irregular
+    winner; the backtrace resolves them against the static tables.
+    """
+    T, P = obs_pos.shape
+    w0, w1, w2 = (graph["sh_logp"][d] for d in range(3))
+    ir_src, ir_tgt = graph["ir_src"], graph["ir_tgt"]
+    ir_logp = graph["ir_logp"]
+    Ei = ir_src.shape[0]
+    valid = jnp.arange(T) < n_frames
+
+    alpha0 = jnp.maximum(obs_pos[0] + _entry(graph, P), LOG_ZERO)
+
+    def step(alpha, xs):
+        obs_t, v = xs
+        c0 = alpha + w0
+        c1 = _sh(alpha, 1, LOG_ZERO) + w1
+        c2 = _sh(alpha, 2, LOG_ZERO) + w2
+        contrib = alpha[ir_src] + ir_logp               # [Ei]
+        cir = jnp.full((P,), LOG_ZERO, jnp.float32).at[ir_tgt].max(
+            contrib)
+        eidx = jnp.arange(Ei, dtype=jnp.int32)
+        win = jnp.full((P,), 0, jnp.int32).at[ir_tgt].max(
+            jnp.where(contrib >= cir[ir_tgt], eidx, 0))
+        stacked = jnp.stack([c0, c1, c2, cir])
+        choice = jnp.argmax(stacked, axis=0).astype(jnp.int32)
+        best = jnp.max(stacked, axis=0)
+        new = jnp.maximum(best + obs_t, LOG_ZERO)
+        new = jnp.where(v, new, alpha)
+        choice = jnp.where(v, choice, jnp.zeros_like(choice))
+        win = jnp.where(v, win, jnp.zeros_like(win))
+        return new, (choice, win, v)
+
+    alpha_T, (chs, wins, vs) = jax.lax.scan(
+        step, alpha0, (obs_pos[1:], valid[1:]))
+    final_v = alpha_T + _final(graph, P)
+    end_pos = jnp.argmax(final_v).astype(jnp.int32)
+    score = final_v[end_pos]
+
+    def back(pos, xs):
+        ch_t, win_t, v = xs
+        c = ch_t[pos]
+        prev = jnp.where(c == 3, ir_src[win_t[pos]], pos - c)
+        prev = jnp.where(v, prev, pos)
+        return prev, prev
+
+    _, path_rev = jax.lax.scan(back, end_pos, (chs, wins, vs),
+                               reverse=True)
+    path = jnp.concatenate([path_rev, end_pos[None]])
+    return path, score

@@ -156,7 +156,9 @@ def mpe_stats(scorer, features, num_graph, den_graph, n_frames,
     num_obs = sll[:, num_graph["pdf"]]
     if "obs_const" in num_graph:
         num_obs = num_obs + num_graph["obs_const"][None, :]
-    path, _ = estep.masked_viterbi(num_obs, num_graph, n_frames)
+    vit = (estep.masked_viterbi_shift if "sh_logp" in num_graph
+           else estep.masked_viterbi)
+    path, _ = vit(num_obs, num_graph, n_frames)
     ref_pdf = num_graph["pdf"][path]                       # [T]
 
     den_obs = sll[:, den_graph["pdf"]]

@@ -523,3 +523,34 @@ class TestShiftFB:
         assert float(la) == pytest.approx(float(lb))
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    atol=1e-6)
+
+
+class TestShiftViterbi:
+    def test_matches_plain_viterbi(self):
+        import jax.numpy as jnp
+        from aaltoasr_tpu.models.hmmnet import (
+            compile_hmmnet, pad_hmmnet, transcript_hmmnet, union_fst)
+        model = three_state_model(seed=21)
+        table = TransitionTable.from_model(model)
+        fst = union_fst(
+            transcript_hmmnet(model, table, ["a", "_"]),
+            transcript_hmmnet(model, table, ["_", "a", "a"]))
+        g, _ = compile_hmmnet(fst, table)
+        padded = pad_hmmnet(g, int(g["num_positions"]) + 2, fan=6)
+        shifted = estep.shift_compile(padded)
+        rng = np.random.default_rng(22)
+        P = padded["pdf"].shape[0]
+        for T, seed in ((10, 1), (14, 2), (9, 3)):
+            obs = (rng.normal(-3, 1.5, (14, P)).astype(np.float32)
+                   + np.asarray(padded["obs_const"])[None, :])
+            g1 = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+                  for k, v in padded.items()}
+            g2 = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+                  for k, v in shifted.items()}
+            p1, s1 = estep.masked_viterbi(
+                jnp.asarray(obs), g1, jnp.int32(T))
+            p2, s2 = estep.masked_viterbi_shift(
+                jnp.asarray(obs), g2, jnp.int32(T))
+            assert float(s2) == pytest.approx(float(s1), rel=1e-5)
+            np.testing.assert_array_equal(
+                np.asarray(p2)[:T], np.asarray(p1)[:T])
