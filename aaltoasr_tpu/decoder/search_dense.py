@@ -43,14 +43,16 @@ def _shift_structure(tree: PrefixTree):
     numbers each phone instance's states consecutively, so almost every
     arc has target - source in {0, 1, 2} (self / next / skip) — those
     relax as array SHIFTS (free vector ops).  Only trie branch arcs and
-    multi-exit fan-ins stay as a compact (src, tgt, logp) list handled
-    by 3k-element gathers + scatter-max instead of [N, F] gathers.
+    multi-exit fan-ins are irregular; they are grouped BY TARGET into a
+    padded [Mi, F] source table so the relaxation is a static gather +
+    small-axis argmax (scatters into [B, N] outputs cost ~100 us each
+    on TPU; static gathers with compact outputs are ~6 us).
     """
     N, A = tree.arc_tgt.shape
     shifts = {0: np.full(N, LOG_ZERO, np.float32),
               1: np.full(N, LOG_ZERO, np.float32),
               2: np.full(N, LOG_ZERO, np.float32)}
-    irr_src, irr_tgt, irr_logp = [], [], []
+    by_tgt: dict = {}
     for n in range(N):
         for a in range(A):
             t = int(tree.arc_tgt[n, a])
@@ -61,13 +63,22 @@ def _shift_structure(tree: PrefixTree):
             if d in (0, 1, 2) and shifts[d][t] <= LOG_ZERO / 2:
                 shifts[d][t] = lp
             else:
-                irr_src.append(n)
-                irr_tgt.append(t)
-                irr_logp.append(lp)
-    return (shifts,
-            np.asarray(irr_src, dtype=np.int32),
-            np.asarray(irr_tgt, dtype=np.int32),
-            np.asarray(irr_logp, dtype=np.float32))
+                by_tgt.setdefault(t, []).append((n, lp))
+    targets = sorted(by_tgt)
+    Mi = max(len(targets), 1)
+    F = max((len(v) for v in by_tgt.values()), default=1)
+    grp_src = np.zeros((Mi, F), np.int32)
+    grp_lp = np.full((Mi, F), LOG_ZERO, np.float32)
+    grp_tgt = np.zeros(Mi, np.int32)
+    # inverse map: node -> compact row (Mi = "no irregular in-arcs")
+    inv = np.full(N, Mi, np.int32)
+    for m, t in enumerate(targets):
+        grp_tgt[m] = t
+        inv[t] = m
+        for f, (n, lp) in enumerate(by_tgt[t]):
+            grp_src[m, f] = n
+            grp_lp[m, f] = lp
+    return shifts, grp_tgt, grp_src, grp_lp, inv
 
 
 def _node_duration_params(tree, model, scale):
@@ -111,11 +122,21 @@ class DenseBeamSearch:
             word_classes.apply_to_tree(tree, lm)
         lm_names = (word_classes.lm_word_names(tree.vocab)
                     if word_classes is not None else tree.vocab)
-        shifts, irr_src, irr_tgt, irr_logp = _shift_structure(tree)
-        if len(irr_src) == 0:
-            irr_src = np.zeros(1, np.int32)
-            irr_tgt = np.zeros(1, np.int32)
-            irr_logp = np.full(1, LOG_ZERO, np.float32)
+        shifts, grp_tgt, grp_src, grp_lp, grp_inv = _shift_structure(tree)
+        # compact re-entry space: union of all context-pair row targets
+        # (the only nodes stage 3 can write); merges happen in [B, M+1]
+        # arrays and expand to [B, N] with ONE static gather
+        pt = np.asarray(tree.root_pair_tgt)
+        plp = np.asarray(tree.root_pair_logp)
+        entry_nodes = np.unique(pt[plp > LOG_ZERO / 2])
+        if len(entry_nodes) == 0:
+            entry_nodes = np.zeros(1, dtype=pt.dtype)
+        M_entry = len(entry_nodes)
+        node_to_entry = np.full(tree.num_nodes, M_entry, np.int32)
+        node_to_entry[entry_nodes] = np.arange(M_entry, dtype=np.int32)
+        cpair_tgt = node_to_entry[pt]          # [NP, R] -> compact ids
+        cpair_tgt[plp <= LOG_ZERO / 2] = M_entry   # dead row slots
+        self._M_entry = M_entry
         # word-end slots as a flat static list (padded to >= num_records
         # so per-frame record buffers have a fixed shape)
         we_n, we_h = np.nonzero(tree.we_exit_logp > LOG_ZERO / 2)
@@ -154,9 +175,12 @@ class DenseBeamSearch:
             "self_logp": jnp.asarray(shifts[0]),
             "prev_logp": jnp.asarray(shifts[1]),
             "skip_logp": jnp.asarray(shifts[2]),
-            "irr_src": jnp.asarray(irr_src),
-            "irr_tgt": jnp.asarray(irr_tgt),
-            "irr_logp": jnp.asarray(irr_logp),
+            "grp_tgt": jnp.asarray(grp_tgt),
+            "grp_src": jnp.asarray(grp_src),
+            "grp_lp": jnp.asarray(grp_lp),
+            "grp_inv": jnp.asarray(grp_inv),
+            "cpair_tgt": jnp.asarray(cpair_tgt),
+            "entry_inv": jnp.asarray(node_to_entry),
             "pdf": jnp.asarray(tree.pdf),
             "dur_state": jnp.asarray(tree.dur_state),
             "we_node": jnp.asarray(we_n.astype(np.int32)),
@@ -169,7 +193,6 @@ class DenseBeamSearch:
                 tree.we_exit_logp[we_n, we_h], LOG_ZERO)),
             "we_pron": jnp.asarray(tree.we_pron_logp[we_n, we_h]),
             "we_skip": jnp.asarray(tree.we_skip_lm[we_n, we_h]),
-            "pair_tgt": jnp.asarray(tree.root_pair_tgt),
             "pair_logp": jnp.asarray(tree.root_pair_logp),
             # static per-we-slot duration constants (no dur_state gather)
             "we_dur_valid": None, "we_dur_lncoef": None,
@@ -190,8 +213,6 @@ class DenseBeamSearch:
         for key in ("valid", "lncoef", "invb", "const"):
             self.tables[f"we_dur_{key}"] = jnp.asarray(
                 np.asarray(self.tables[f"dur_{key}"])[we_n])
-        self._precompute_obs = True
-        self._obs_budget_bytes = 4_000_000_000
         self._decode_jit = jax.jit(self._decode)
 
     def _walk(self, states, word):
@@ -213,6 +234,18 @@ class DenseBeamSearch:
     def log_coeffs(self):
         return self._log_coeffs
 
+    def _bo_mix(self, states):
+        """max_k(log_coeff_k + min(bo_weight_k[state_k], 0)): the static
+        word-end rank estimate.  Carried per node as the `bo` payload so
+        the word-end stage never gathers bo_weight by (dynamic) LM state
+        — dynamic gathers cost ~300 us/step at [B, Nw] size."""
+        est = jnp.full(states.shape[:-1], -jnp.inf, jnp.float32)
+        for k, tab in enumerate(self._lm_tables):
+            est = jnp.maximum(
+                est, self._log_coeffs[k] + jnp.minimum(
+                    tab["bo_weight"][states[..., k]], 0.0))
+        return est
+
     def _dur_bonus(self, node, dur):
         """Table path (used for gathered word-end nodes)."""
         t = self.tables
@@ -229,19 +262,20 @@ class DenseBeamSearch:
             + t["dur_const"])
 
     def _step(self, state, obs_t, step_idx):
-        # obs_t is ALREADY per-node (gathered once outside the scan)
+        # obs_t is ALREADY per-node (gathered from [S] states outside)
         cfg = self.config
         t = self.tables
-        am, lms, lm, dur, rec, alive = state
+        am, lms, lm, dur, rec, bo, alive = state
         N = am.shape[0]
         E = cfg.num_records
         C = self.reentry_width
         total = jnp.where(alive, am + cfg.lm_scale * lms, LOG_ZERO)
 
-        # ---- 1. in-arc relaxation: shifts + compact irregular arcs.
+        # ---- 1. in-arc relaxation: shifts + grouped irregular arcs.
         # Node numbering makes nearly all arcs target-source deltas of
-        # 0/1/2, so relaxation is elementwise over shifted arrays; only
-        # the few irregular arcs pay gather/scatter cost.
+        # 0/1/2, so relaxation is elementwise over shifted arrays; the
+        # irregular leftovers relax in a compact [Mi, F] by-target table
+        # (static gathers + small argmax; no [B, N] scatters).
         ts = cfg.transition_scale
         if self._has_durations:
             durb_all = self._dur_bonus_dense(dur)
@@ -259,44 +293,55 @@ class DenseBeamSearch:
         cand1 = sh(cross_score, 1, LOG_ZERO) + ts * t["prev_logp"]
         cand2 = sh(cross_score, 2, LOG_ZERO) + ts * t["skip_logp"]
 
-        isrc, itgt, ilp = t["irr_src"], t["irr_tgt"], t["irr_logp"]
-        i_am = am[isrc] + durb_all[isrc] + ts * ilp      # [Ei]
-        i_sc = total[isrc] + durb_all[isrc] + ts * ilp
-        cand3 = jnp.full((N,), LOG_ZERO, jnp.float32).at[itgt].max(i_sc)
-        # winner arc per irregular target (ties -> larger arc index)
-        aidx = jnp.arange(isrc.shape[0], dtype=jnp.int32)
-        win = jnp.full((N,), -1, jnp.int32).at[itgt].max(
-            jnp.where(i_sc >= cand3[itgt], aidx, -1))
-        is_win = aidx == win[itgt]
+        gsrc, glp = t["grp_src"], t["grp_lp"]            # [Mi, F]
+        g_sc = cross_score[gsrc] + ts * glp              # [Mi, F]
+        fwin = jnp.argmax(g_sc, axis=-1)                 # [Mi]
+        g_best = jnp.max(g_sc, axis=-1)                  # [Mi]
+        oh_f = (fwin[:, None] ==
+                jnp.arange(gsrc.shape[1], dtype=jnp.int32))
 
-        def irr_pay(vals, fill=0):
-            shape = (N,) + vals.shape[1:]
-            z = jnp.full(shape, fill, vals.dtype)
-            mask = is_win.reshape((-1,) + (1,) * (vals.ndim - 1))
-            return z.at[itgt].add(jnp.where(mask, vals,
-                                            jnp.zeros_like(vals)))
+        def g_pick(vals):
+            """winner-arc payload: vals [Mi, F, ...] -> [Mi, ...]"""
+            m = oh_f.reshape(oh_f.shape + (1,) * (vals.ndim - 2))
+            return jnp.sum(jnp.where(m, vals, jnp.zeros_like(vals)),
+                           axis=1)
 
-        stacked = jnp.stack([cand0, cand1, cand2, cand3])
+        g_am = g_pick((am + durb_all)[gsrc] + ts * glp)
+        g_lms = g_pick(lms[gsrc])
+        g_lm = g_pick(lm[gsrc])
+        g_rec = g_pick(rec[gsrc])
+        g_bo = g_pick(bo[gsrc])
+
+        # expand compact [Mi] results to [N] via the static inverse map
+        # (pad slot Mi -> LOG_ZERO), then 2-way select vs the shifts
+        def expand(vals, fill):
+            pad = jnp.full((1,) + vals.shape[1:], fill, vals.dtype)
+            return jnp.concatenate([vals, pad])[t["grp_inv"]]
+
+        stacked = jnp.stack([cand0, cand1, cand2])
         choice = jnp.argmax(stacked, axis=0)
-        best = jnp.max(stacked, axis=0)
+        best3 = jnp.max(stacked, axis=0)
+        irr_sc = expand(g_best, LOG_ZERO)
+        take_irr = irr_sc > best3
+        best = jnp.maximum(best3, irr_sc)
 
-        def pick(v_self, v1, v2, v3):
+        def pick(v_self, v1, v2, v_irr, fill):
             c = choice.reshape((-1,) + (1,) * (v_self.ndim - 1))
-            return jnp.where(
-                c == 0, v_self,
-                jnp.where(c == 1, v1, jnp.where(c == 2, v2, v3)))
+            sel = jnp.where(
+                c == 0, v_self, jnp.where(c == 1, v1, v2))
+            m = take_irr.reshape((-1,) + (1,) * (v_self.ndim - 1))
+            return jnp.where(m, expand(v_irr, fill), sel)
 
         am_s = am + ts * t["self_logp"]
         am_1 = sh(am + durb_all, 1, LOG_ZERO) + ts * t["prev_logp"]
         am_2 = sh(am + durb_all, 2, LOG_ZERO) + ts * t["skip_logp"]
-        new_am = pick(am_s, am_1, am_2, irr_pay(i_am))
+        new_am = pick(am_s, am_1, am_2, g_am, LOG_ZERO)
         new_lms = pick(lms, sh(lms, 1, 0.0), sh(lms, 2, 0.0),
-                       irr_pay(lms[isrc]))
-        new_lm = pick(lm, sh(lm, 1, 0), sh(lm, 2, 0),
-                      irr_pay(lm[isrc]))
-        new_rec = pick(rec, sh(rec, 1, -1), sh(rec, 2, -1),
-                       irr_pay(rec[isrc]))
-        new_dur = jnp.where(choice == 0, dur + 1, 0)
+                       g_lms, 0.0)
+        new_lm = pick(lm, sh(lm, 1, 0), sh(lm, 2, 0), g_lm, 0)
+        new_rec = pick(rec, sh(rec, 1, -1), sh(rec, 2, -1), g_rec, -1)
+        new_bo = pick(bo, sh(bo, 1, 0.0), sh(bo, 2, 0.0), g_bo, 0.0)
+        new_dur = jnp.where(take_irr | (choice != 0), 0, dur + 1)
         new_alive = best > LOG_ZERO / 2
 
         # ---- 2. word ends (from the PREVIOUS frame's state)
@@ -320,13 +365,11 @@ class DenseBeamSearch:
             - d_we * t["we_dur_invb"] + t["we_dur_const"])
         we_am = am_wn + cfg.transition_scale * t["we_exit"] + we_durb
         base_lms = lms_wn + t["we_pron"]
-        bo_est = jnp.full(lm_wn.shape[:-1], -jnp.inf, jnp.float32)
-        for k, tab in enumerate(self._lm_tables):
-            bo_est = jnp.maximum(
-                bo_est, self._log_coeffs[k]
-                + jnp.minimum(tab["bo_weight"][lm_wn[..., k]], 0.0))
+        # the rank estimate's backoff term is the CARRIED bo payload
+        # (updated whenever a node's LM state changes) — a static [Nw]
+        # gather instead of a dynamic one through bo_weight
         appr_lm = jnp.where(
-            skip, 0.0, bo_est + t["we_uni"] + cfg.insertion_penalty)
+            skip, 0.0, bo[wn] + t["we_uni"] + cfg.insertion_penalty)
         # dead nodes hold am == LOG_ZERO (invariant set after the beam)
         slot_ok = ((am_wn > LOG_ZERO / 2)
                    & (t["we_exit"] > LOG_ZERO / 2)
@@ -340,25 +383,36 @@ class DenseBeamSearch:
         if k < E:
             cand = jnp.concatenate(
                 [cand, jnp.zeros((E - k,), cand.dtype)])
-        c_ok = jnp.take(slot_ok, cand)
+        # candidate payload extraction via a [E, Nw] one-hot mask:
+        # each [E]-sized dynamic gather costs ~17-55 us on TPU; the
+        # masked reductions are a few us of VPU work total
+        oh_e = cand[:, None] == jnp.arange(Nw, dtype=jnp.int32)
+
+        def take_e(vals):
+            m = oh_e.reshape(oh_e.shape + (1,) * (vals.ndim - 1))
+            return jnp.sum(jnp.where(m, vals[None],
+                                     jnp.zeros_like(vals[None])),
+                           axis=1)
+
+        c_ok = jnp.any(oh_e & slot_ok[None, :], axis=1)
         if k < E:
             c_ok = c_ok & (jnp.arange(E) < k)
-        c_word = jnp.take(w_word, cand)
-        c_skip = jnp.take(skip, cand)
-        c_state = jnp.take(lm_wn, cand, axis=0)
+        c_word = take_e(w_word)
+        c_skip = jnp.any(oh_e & skip[None, :], axis=1)
+        c_state = take_e(lm_wn)
         lm_next, lm_score = self._walk(
-            c_state, jnp.maximum(jnp.take(w_lmid, cand), 0))
+            c_state, jnp.maximum(take_e(w_lmid), 0))
         lm_next = jnp.where(c_skip[:, None], c_state, lm_next)
         lm_score = jnp.where(c_skip, 0.0, lm_score)
-        c_am = jnp.take(we_am, cand)
-        c_lms = (jnp.take(base_lms, cand) + lm_score
+        c_am = take_e(we_am)
+        c_lms = (take_e(base_lms) + lm_score
                  + jnp.where(c_skip, 0.0, cfg.insertion_penalty))
         c_alive = c_ok & (lm_score > LOG_ZERO / 2)
         c_total = jnp.where(c_alive, c_am + cfg.lm_scale * c_lms,
                             -jnp.inf)
 
         # records: the E candidates with exact scores
-        c_prev = rec[jnp.take(wn, cand)]
+        c_prev = take_e(rec[wn])
         is_word = c_alive & (c_word >= 0)
         rec_word = jnp.where(c_alive, c_word, -1)
         rec_prev = jnp.where(is_word, c_prev, -1)
@@ -369,49 +423,83 @@ class DenseBeamSearch:
 
         # ---- 3. re-entry: top-C candidates through their context-pair
         # rows (cross-word fan-in, TPLexPrefixTree.hh:172-240; monophone
-        # trees have one row)
+        # trees have one row).  All merging happens in the COMPACT entry
+        # space [M+1] (small scatters), then expands to [N] with one
+        # static gather per payload — [B, N]-output scatters cost
+        # ~60-110 us each on TPU and this stage used to need seven.
         _, top_c = jax.lax.top_k(c_total, C)
-        r_am = jnp.take(c_am, top_c)
-        r_lms = jnp.take(c_lms, top_c)
-        r_lm = jnp.take(lm_next, top_c, axis=0)
-        r_rec = jnp.take(e_rec, top_c)
-        r_alive = jnp.take(c_alive, top_c)
-        r_pair = jnp.take(jnp.take(t["we_pair"], cand), top_c)
-        rows_tgt = t["pair_tgt"][r_pair]                   # [C, R]
-        rows_lp = t["pair_logp"][r_pair]
+        oh_c2 = top_c[:, None] == jnp.arange(E, dtype=jnp.int32)
+
+        def take_c(vals):
+            m = oh_c2.reshape(oh_c2.shape + (1,) * (vals.ndim - 1))
+            return jnp.sum(jnp.where(m, vals[None],
+                                     jnp.zeros_like(vals[None])),
+                           axis=1)
+
+        r_am = take_c(c_am)
+        r_lms = take_c(c_lms)
+        r_lm = take_c(lm_next)
+        r_rec = take_c(e_rec)
+        r_alive = jnp.any(oh_c2 & c_alive[None, :], axis=1)
+        r_bo = self._bo_mix(r_lm)
+        r_pair = take_c(take_e(t["we_pair"]))
+        # pair rows via a [C, NP] one-hot (NP = context pairs, small)
+        oh_p = r_pair[:, None] == jnp.arange(
+            t["cpair_tgt"].shape[0], dtype=jnp.int32)
+
+        def take_p(vals):
+            m = oh_p.reshape(oh_p.shape + (1,) * (vals.ndim - 1))
+            return jnp.sum(jnp.where(m, vals[None],
+                                     jnp.zeros_like(vals[None])),
+                           axis=1)
+
+        crows_tgt = take_p(t["cpair_tgt"])                 # [C, R]
+        rows_lp = take_p(t["pair_logp"])
         r_total = jnp.where(r_alive, r_am + cfg.lm_scale * r_lms,
                             LOG_ZERO)
         enter = jnp.where(r_alive[:, None] & (rows_lp > LOG_ZERO / 2),
                           r_total[:, None] + rows_lp, LOG_ZERO)
-        # merge via small scatters over the C*R entry slots only ([N]-
-        # sized dynamic gathers lower to ~5 ms custom fusions on TPU)
-        R = rows_tgt.shape[1]
-        flat_tgt = rows_tgt.reshape(-1)                    # [C*R]
+        R = crows_tgt.shape[1]
+        M1 = self._M_entry + 1
+        flat_tgt = crows_tgt.reshape(-1)                   # [C*R]
         flat_score = enter.reshape(-1)
-        cur = jnp.where(new_alive, best, LOG_ZERO)
-        best_in = cur.at[flat_tgt].max(flat_score)
-        take_tgt = best_in > cur                           # [N]
+        # gather/scatter-free merge: scatters and tiny dynamic gathers
+        # pay a ~55 us fixed cost each on TPU; a [C*R, M+1] broadcast
+        # compare + masked reductions is pure VPU work at this size
+        oh_t = flat_tgt[:, None] == jnp.arange(M1, dtype=jnp.int32)
+        e_sc = jnp.max(jnp.where(oh_t, flat_score[:, None], LOG_ZERO),
+                       axis=0)                             # [M1]
         fidx = jnp.arange(flat_tgt.shape[0], dtype=jnp.int32)
-        win = jnp.full((N,), -1, jnp.int32).at[flat_tgt].max(
-            jnp.where(flat_score >= best_in[flat_tgt], fidx, -1))
-        is_win = fidx == win[flat_tgt]                     # [C*R]
-        cflat = fidx // R
+        is_best = oh_t & (flat_score[:, None] >= e_sc[None, :])
+        win = jnp.max(jnp.where(is_best, fidx[:, None], -1), axis=0)
+        sel = oh_t & (fidx[:, None] == win[None, :])       # one per col
+        flat_am = (r_am[:, None] + rows_lp).reshape(-1)
+        e_am = jnp.sum(jnp.where(sel, flat_am[:, None], 0.0), axis=0)
+        # per-candidate payloads via a tiny one-hot over C
+        c_win = win // R                                   # [M1]
+        oh_c = (c_win[:, None] ==
+                jnp.arange(C, dtype=jnp.int32)) & (win >= 0)[:, None]
 
-        def pay(vals, dtype=jnp.float32):
-            v = jnp.take(vals, cflat, axis=0).astype(dtype)
-            z = jnp.zeros((N,) + v.shape[1:], dtype)
-            mask = is_win.reshape((-1,) + (1,) * (v.ndim - 1))
-            return z.at[flat_tgt].add(jnp.where(mask, v,
-                                                jnp.zeros_like(v)))
+        def c_pay(vals):
+            m = oh_c.reshape(oh_c.shape + (1,) * (vals.ndim - 1))
+            return jnp.sum(jnp.where(m, vals[None], jnp.zeros_like(
+                vals[None])), axis=1)
 
-        pay_am = pay(r_am) + jnp.zeros((N,), jnp.float32).at[
-            flat_tgt].add(jnp.where(is_win, rows_lp.reshape(-1), 0.0))
-        new_am = jnp.where(take_tgt, pay_am, new_am)
-        new_lms = jnp.where(take_tgt, pay(r_lms), new_lms)
-        new_lm = jnp.where(take_tgt[:, None], pay(r_lm, jnp.int32),
-                           new_lm)
+        e_lms = c_pay(r_lms)
+        e_lm = c_pay(r_lm)
+        e_rec2 = c_pay(r_rec)
+        e_bo = c_pay(r_bo)
+
+        inv = t["entry_inv"]
+        cur = jnp.where(new_alive, best, LOG_ZERO)
+        sc_full = e_sc[inv]
+        take_tgt = sc_full > cur                           # [N]
+        new_am = jnp.where(take_tgt, e_am[inv], new_am)
+        new_lms = jnp.where(take_tgt, e_lms[inv], new_lms)
+        new_lm = jnp.where(take_tgt[:, None], e_lm[inv], new_lm)
         new_dur = jnp.where(take_tgt, 0, new_dur)
-        new_rec = jnp.where(take_tgt, pay(r_rec, jnp.int32), new_rec)
+        new_rec = jnp.where(take_tgt, e_rec2[inv], new_rec)
+        new_bo = jnp.where(take_tgt, e_bo[inv], new_bo)
         new_alive = new_alive | take_tgt
 
         # ---- 4. observation + beam
@@ -424,7 +512,8 @@ class DenseBeamSearch:
         # `_result` read aliveness off am directly)
         new_am = jnp.where(new_alive, new_am, LOG_ZERO)
 
-        return ((new_am, new_lms, new_lm, new_dur, new_rec, new_alive),
+        return ((new_am, new_lms, new_lm, new_dur, new_rec, new_bo,
+                 new_alive),
                 (rec_word, rec_prev, rec_am, rec_lms))
 
     def _decode(self, obs, n_frames, lm_init):
@@ -438,21 +527,17 @@ class DenseBeamSearch:
         r_tgt = jnp.asarray(init_row[init_lp > LOG_ZERO / 2])
         r_lp = jnp.asarray(init_lp[init_lp > LOG_ZERO / 2])
 
-        if self._precompute_obs:
-            # one [T, N] gather outside the scan (HBM permitting)
-            obs_pos = jnp.take(obs, t["pdf"], axis=1)
-        else:
-            obs_pos = None
-        first = obs[0][t["pdf"][r_tgt]] if obs_pos is None \
-            else obs_pos[0][r_tgt]
+        first = obs[0][t["pdf"][r_tgt]]
         am0 = jnp.full((N,), LOG_ZERO, jnp.float32)
         am0 = am0.at[r_tgt].max(first + r_lp)
         alive0 = jnp.zeros((N,), bool).at[r_tgt].set(True)
+        bo0 = self._bo_mix(lm_init[None, :])[0]
         state = (am0, jnp.zeros((N,), jnp.float32),
                  jnp.broadcast_to(lm_init[None, :],
                                   (N, self._K)).astype(jnp.int32),
                  jnp.zeros((N,), jnp.int32),
-                 jnp.full((N,), -1, jnp.int32), alive0)
+                 jnp.full((N,), -1, jnp.int32),
+                 jnp.full((N,), bo0, jnp.float32), alive0)
 
         T = obs.shape[0]
         valid = jnp.arange(1, T) < n_frames
@@ -460,9 +545,9 @@ class DenseBeamSearch:
 
         def step(state, xs):
             obs_t, v, i = xs
-            if obs_pos is None:
-                obs_t = obs_t[t["pdf"]]
-            new_state, recs = self._step(state, obs_t, i)
+            # per-step [N] <- [S] static gather: cheaper than a [T, N]
+            # precompute (which also capped the batch via its HBM cost)
+            new_state, recs = self._step(state, obs_t[t["pdf"]], i)
             out = tuple(jnp.where(v, n, o)
                         for n, o in zip(new_state, state))
             recs = jax.tree.map(
@@ -470,13 +555,13 @@ class DenseBeamSearch:
                     r, -1 if r.dtype == jnp.int32 else 0)), recs)
             return out, recs
 
-        xs_obs = obs[1:] if obs_pos is None else obs_pos[1:]
-        state, recs = jax.lax.scan(step, state, (xs_obs, valid, steps))
+        state, recs = jax.lax.scan(step, state,
+                                   (obs[1:], valid, steps))
 
         # finalize ON DEVICE: only scalars + the packed per-frame record
         # stacks cross the wire (a [B, N] state fetch costs seconds on a
         # relay-mediated link)
-        am, lms, lm, dur, rec, alive = state
+        am, lms, lm, dur, rec, bo, alive = state
         if cfg.require_sentence_end:
             end_id = self.lm.word_index.get(cfg.sentence_end)
             if end_id is not None:
@@ -510,38 +595,24 @@ class DenseBeamSearch:
         lm_init = np.atleast_1d(np.asarray(
             self.lm.initial_state(sentence_start), dtype=np.int32))
         B, T = obs.shape[0], obs.shape[1]
-        # HBM budget covers the [B,T,N] obs precompute AND the
-        # per-frame record stacks ([B,T,E] x 4 + vmap temporaries);
-        # past it, fall back to per-step gathers and chunk the batch.
-        need = 4 * B * T * self.tree.num_nodes
-        self._precompute_obs = need <= self._obs_budget_bytes
-        chunk = B
-        while chunk > 1 and (4 * chunk * T
-                             * (self.tree.num_nodes + 64)
-                             > self._obs_budget_bytes):
-            chunk = (chunk + 1) // 2
-        self._precompute_obs = (4 * chunk * T * self.tree.num_nodes
-                                <= self._obs_budget_bytes)
-        key = ("batch", chunk, T, self._precompute_obs)
+        # per-step obs gathers keep device memory at O(B*T*S + B*N):
+        # no [B, T, N] precompute, so no HBM-driven batch chunking
+        key = ("batch", T)
         if not hasattr(self, "_batch_jit"):
             self._batch_jit = {}
         if key not in self._batch_jit:
             self._batch_jit[key] = jax.jit(jax.vmap(
                 self._decode, in_axes=(0, 0, None)))
         fn = self._batch_jit[key]
-        parts = []
-        for i in range(0, B, chunk):
-            parts.append(fn(jnp.asarray(obs[i:i + chunk], jnp.float32),
-                            jnp.asarray(n_frames[i:i + chunk],
-                                        jnp.int32),
-                            jnp.asarray(lm_init)))
+        out = fn(jnp.asarray(obs, jnp.float32),
+                 jnp.asarray(n_frames, jnp.int32), jnp.asarray(lm_init))
         # ONE device->host fetch per array (per-utterance slicing
         # would issue B separate transfers — dominant on remote links)
-        finals = np.concatenate([np.asarray(p[0]) for p in parts])
-        rec_i = np.concatenate([np.asarray(p[1]) for p in parts])
-        rec_f = np.concatenate([np.asarray(p[2]) for p in parts])
+        finals = np.asarray(out[0])
+        rec_i = np.asarray(out[1])
+        rec_f = np.asarray(out[2])
         return [self._result(finals[b], rec_i[b], rec_f[b])
-                for b in range(obs.shape[0])]
+                for b in range(B)]
 
     def _result(self, finals, rec_i, rec_f):
         rec_f = np.asarray(rec_f, dtype=np.float32)
