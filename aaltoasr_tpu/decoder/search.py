@@ -520,8 +520,9 @@ class DecodeResult:
     """1-best plus the word-lattice records of one utterance."""
 
     def __init__(self, search, final_ptr, log_prob, final_am, final_lms,
-                 rec_words, rec_prevs, rec_ams, rec_lmss):
+                 rec_words, rec_prevs, rec_ams, rec_lmss, words=None):
         self.search = search
+        self._words = words
         self.final_ptr = final_ptr
         self.log_prob = log_prob
         self.final_am = final_am
@@ -540,7 +541,9 @@ class DecodeResult:
 
     @property
     def words(self) -> list:
-        """1-best word strings by unwinding the record chain."""
+        """1-best word strings (device traceback or record chain)."""
+        if self._words is not None:
+            return self._words
         words = []
         E = self.rec_words.shape[1]
         ptr = self.final_ptr
@@ -557,6 +560,9 @@ class DecodeResult:
 
     def word_graph(self):
         """Build a WordGraph (lattice) from the records."""
+        if self.rec_words is None:
+            raise RuntimeError(
+                "decoded with lattice=False: records were not fetched")
         from aaltoasr_tpu.decoder.wordgraph import WordGraph
         return WordGraph.from_records(
             self.search.tree.vocab, self.search.config,

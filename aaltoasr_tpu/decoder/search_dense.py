@@ -213,7 +213,6 @@ class DenseBeamSearch:
         for key in ("valid", "lncoef", "invb", "const"):
             self.tables[f"we_dur_{key}"] = jnp.asarray(
                 np.asarray(self.tables[f"dur_{key}"])[we_n])
-        self._decode_jit = jax.jit(self._decode)
 
     def _walk(self, states, word):
         """(states [..., K], word [...]) -> (next [..., K], score)."""
@@ -516,7 +515,7 @@ class DenseBeamSearch:
                  new_alive),
                 (rec_word, rec_prev, rec_am, rec_lms))
 
-    def _decode(self, obs, n_frames, lm_init):
+    def _decode(self, obs, n_frames, lm_init, lattice=True):
         cfg = self.config
         t = self.tables
         N = self.tree.num_nodes
@@ -573,6 +572,30 @@ class DenseBeamSearch:
         finals = jnp.stack([
             rec[bestn].astype(jnp.float32), total[bestn],
             am[bestn], lms[bestn]])
+        if not lattice:
+            # 1-best traceback ON DEVICE: the full record stacks are
+            # tens of MB and the relay moves ~10 MB/s; the word chain
+            # is a few hundred bytes.  Matches the reference's default
+            # (word graphs only on request, TokenPassSearch.hh:278-285).
+            flat_w = recs[0].reshape(-1)
+            flat_p = recs[1].reshape(-1)
+            Wmax = self._traceback_cap
+
+            def cond(c):
+                ptr, i, _ = c
+                return (ptr >= 0) & (i < Wmax)
+
+            def body(c):
+                ptr, i, out = c
+                w = flat_w[ptr]
+                out = out.at[i].set(w)
+                return flat_p[ptr], i + 1, out
+
+            _, nw, words = jax.lax.while_loop(
+                cond, body,
+                (rec[bestn], jnp.int32(0),
+                 jnp.full((Wmax,), -1, jnp.int32)))
+            return finals, words, nw
         rec_ints = jnp.stack([recs[0], recs[1]], axis=-1)   # [T-1, E, 2]
         rec_floats = jnp.stack([recs[2], recs[3]], axis=-1)
         if cfg.records_half:
@@ -580,39 +603,69 @@ class DenseBeamSearch:
         return finals, rec_ints, rec_floats
 
     # -- public API (mirrors BeamSearch) ----------------------------------
-    def decode(self, obs, n_frames=None, sentence_start="<s>"):
+    _traceback_cap = 512        # max words per utterance (lattice=False)
+
+    def decode(self, obs, n_frames=None, sentence_start="<s>",
+               lattice=True):
         obs = jnp.asarray(obs, dtype=jnp.float32)
         if n_frames is None:
             n_frames = obs.shape[0]
         lm_init = np.atleast_1d(np.asarray(
             self.lm.initial_state(sentence_start), dtype=np.int32))
-        finals, rec_i, rec_f = self._decode_jit(
-            obs, jnp.int32(n_frames), jnp.asarray(lm_init))
-        return self._result(np.asarray(finals), np.asarray(rec_i),
-                            np.asarray(rec_f))
+        fn = self._get_jit(("single", bool(lattice)), lattice,
+                           batched=False)
+        out = fn(obs, jnp.int32(n_frames), jnp.asarray(lm_init))
+        if lattice:
+            return self._result(np.asarray(out[0]), np.asarray(out[1]),
+                                np.asarray(out[2]))
+        return self._result_words(np.asarray(out[0]),
+                                  np.asarray(out[1]),
+                                  int(np.asarray(out[2])))
 
-    def decode_batch(self, obs, n_frames, sentence_start="<s>"):
+    def _get_jit(self, key, lattice, batched):
+        if not hasattr(self, "_jits"):
+            self._jits = {}
+        if key not in self._jits:
+            fn = lambda o, n, li: self._decode(  # noqa: E731
+                o, n, li, lattice=lattice)
+            if batched:
+                fn = jax.vmap(fn, in_axes=(0, 0, None))
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    def decode_batch(self, obs, n_frames, sentence_start="<s>",
+                     lattice=True):
         lm_init = np.atleast_1d(np.asarray(
             self.lm.initial_state(sentence_start), dtype=np.int32))
         B, T = obs.shape[0], obs.shape[1]
         # per-step obs gathers keep device memory at O(B*T*S + B*N):
         # no [B, T, N] precompute, so no HBM-driven batch chunking
-        key = ("batch", T)
-        if not hasattr(self, "_batch_jit"):
-            self._batch_jit = {}
-        if key not in self._batch_jit:
-            self._batch_jit[key] = jax.jit(jax.vmap(
-                self._decode, in_axes=(0, 0, None)))
-        fn = self._batch_jit[key]
+        fn = self._get_jit(("batch", T, bool(lattice)), lattice,
+                           batched=True)
         out = fn(jnp.asarray(obs, jnp.float32),
                  jnp.asarray(n_frames, jnp.int32), jnp.asarray(lm_init))
         # ONE device->host fetch per array (per-utterance slicing
         # would issue B separate transfers — dominant on remote links)
+        if lattice:
+            finals = np.asarray(out[0])
+            rec_i = np.asarray(out[1])
+            rec_f = np.asarray(out[2])
+            return [self._result(finals[b], rec_i[b], rec_f[b])
+                    for b in range(B)]
         finals = np.asarray(out[0])
-        rec_i = np.asarray(out[1])
-        rec_f = np.asarray(out[2])
-        return [self._result(finals[b], rec_i[b], rec_f[b])
+        words = np.asarray(out[1])
+        nws = np.asarray(out[2])
+        return [self._result_words(finals[b], words[b], int(nws[b]))
                 for b in range(B)]
+
+    def _result_words(self, finals, words_arr, n_words):
+        ids = [int(w) for w in words_arr[:n_words][::-1] if w >= 0]
+        return DecodeResult(
+            search=self, final_ptr=int(finals[0]),
+            log_prob=float(finals[1]),
+            final_am=float(finals[2]), final_lms=float(finals[3]),
+            rec_words=None, rec_prevs=None, rec_ams=None, rec_lmss=None,
+            words=[self.tree.vocab[i] for i in ids])
 
     def _result(self, finals, rec_i, rec_f):
         rec_f = np.asarray(rec_f, dtype=np.float32)

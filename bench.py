@@ -71,11 +71,11 @@ def decode_xrt():
     rng = np.random.default_rng(1)
     obs = rng.normal(-5, 2, (B, T, model.num_states)).astype(np.float32)
     n = np.full(B, T, np.int32)
-    res = search.decode_batch(obs, n)          # compile + warm
+    res = search.decode_batch(obs, n, lattice=False)   # compile + warm
     dt = float("inf")
     for i in range(5):                         # relay timing is noisy:
         t0 = time.perf_counter()               # take the best run
-        res = search.decode_batch(obs, n)      # full path incl. fetch
+        res = search.decode_batch(obs, n, lattice=False)
         run = time.perf_counter() - t0
         print(f"decode run {i}: {run:.3f}s", file=sys.stderr)
         dt = min(dt, run)

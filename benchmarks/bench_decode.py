@@ -97,9 +97,9 @@ def main():
     obs = rng.normal(-5, 2, (B, T, model.num_states)).astype(np.float32)
     n = np.full(B, T, np.int32)
 
-    res = search.decode_batch(obs, n)     # compile + run (blocks on
-    t0 = time.perf_counter()              # host-side result unwinding)
-    res = search.decode_batch(obs, n)
+    res = search.decode_batch(obs, n, lattice=False)   # compile+run
+    t0 = time.perf_counter()
+    res = search.decode_batch(obs, n, lattice=False)
     dt = time.perf_counter() - t0
     # reference operating point is 125 fps (doc/feature_configuration.
     # txt:50-56): T frames = T/125 seconds of audio
