@@ -166,6 +166,12 @@ class NGramFsa:
             "bo_next": jnp.asarray(self.bo_next),
             "uni_prob": jnp.asarray(uni_prob),
             "uni_next": jnp.asarray(uni_next),
+            # row-packed (prob, next-bitcast) pairs: one gather each
+            "uni_packed": jnp.asarray(np.stack(
+                [uni_prob, uni_next.view(np.float32)], axis=1)),
+            "bo_packed": jnp.asarray(np.stack(
+                [self.bo_weight,
+                 self.bo_next.view(np.float32)], axis=1)),
             "lookup_iters16": iters16,
         }
         tables.update(self.hash_tables())
@@ -217,11 +223,20 @@ class NGramFsa:
             if ok:
                 break
             size *= 2                     # longer chains: grow table
+        # row-packed [size, 4] variant: one gather per probe instead of
+        # four (each [E]-sized gather pays ~7-15 us of fixed op cost on
+        # TPU).  int32 columns are BITCAST into f32 lanes — gathers are
+        # bit-preserving copies, and the bits only flow through
+        # select/bitcast, never arithmetic (-1 is a NaN pattern).
+        packed = np.stack([
+            h_state.view(np.float32), h_word.view(np.float32),
+            h_next.view(np.float32), h_prob], axis=1)
         return {
             "hash_state": jnp.asarray(h_state),
             "hash_word": jnp.asarray(h_word),
             "hash_next": jnp.asarray(h_next),
             "hash_prob": jnp.asarray(h_prob),
+            "hash_packed": jnp.asarray(packed),
             "hash_mask": np.uint32(size - 1),
             "hash_probes": max_probe,
         }
@@ -241,7 +256,33 @@ def lm_walk_device(tables: dict, num_words: int, order: int, state, word):
     iters16 = tables["lookup_iters16"]
     M = tw.shape[0]
 
-    if "hash_state" in tables:
+    if "hash_packed" in tables:
+        # open-addressed (state, word) table, row-packed: ONE gather
+        # per probe (keys+values come back together; int32 columns are
+        # bitcast through f32 lanes, only touched by select/bitcast)
+        hp = tables["hash_packed"]
+        mask = jnp.uint32(tables["hash_mask"])
+        L = tables["hash_probes"]
+
+        def ic(x):
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+        def lookup(state, word):
+            h = ((state.astype(jnp.uint32) * jnp.uint32(2654435761))
+                 ^ (word.astype(jnp.uint32) * jnp.uint32(40503))) & mask
+            hit = jnp.zeros(state.shape, bool)
+            nxt = jnp.zeros(state.shape, jnp.int32)
+            prob = jnp.zeros(state.shape, jnp.float32)
+            for i in range(L):
+                cand = ((h + jnp.uint32(i)) & mask).astype(jnp.int32)
+                rows = hp[cand]                      # [..., 4]
+                m = ((ic(rows[..., 0]) == state)
+                     & (ic(rows[..., 1]) == word) & ~hit)
+                nxt = jnp.where(m, ic(rows[..., 2]), nxt)
+                prob = jnp.where(m, rows[..., 3], prob)
+                hit = hit | m
+            return hit, nxt, prob
+    elif "hash_state" in tables:
         # open-addressed (state, word) table: L probes x 2 key gathers
         # + 2 value gathers (vs ~50 for the 16-ary search)
         hs = tables["hash_state"]
@@ -299,26 +340,41 @@ def lm_walk_device(tables: dict, num_words: int, order: int, state, word):
     done = jnp.zeros(state.shape, bool)
     # contexts have length <= order-1, so at most `order` hops reach the
     # dense empty-context state (which always resolves)
-    for hop in range(order):
-        is_uni = state == 0
-        # dense path for the empty-context state
+    packed = "uni_packed" in tables
+
+    def ic(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    # the uni row only depends on `word`: gather it once, not per hop
+    if packed:
+        uni_rows = tables["uni_packed"][word]              # [..., 2]
+        up, un = uni_rows[..., 0], ic(uni_rows[..., 1])
+    else:
         up = tables["uni_prob"][word]
         un = tables["uni_next"][word]
-        uni_hit = is_uni & (up > NEG_INF / 2)
+    uni_hit0 = up > NEG_INF / 2
+
+    for hop in range(order):
+        is_uni = state == 0
         hit, l_next, l_prob = lookup(state, word)
-        hit = jnp.where(is_uni, uni_hit, hit)
+        hit = jnp.where(is_uni, uni_hit0, hit)
         nxt = jnp.where(is_uni, un, l_next)
         sc = jnp.where(is_uni, up, l_prob)
         take = hit & ~done
         next_state = jnp.where(take, nxt, next_state)
         score = jnp.where(take, score + sc, score)
         done = done | hit
-        bo = tables["bo_weight"][state]
+        if packed:
+            bo_rows = tables["bo_packed"][state]           # [..., 2]
+            bo, bnxt = bo_rows[..., 0], ic(bo_rows[..., 1])
+        else:
+            bo = tables["bo_weight"][state]
+            bnxt = tables["bo_next"][state]
         dead = ~done & (bo <= NEG_INF / 2)
         score = jnp.where(dead, NEG_INF, score)
         done = done | dead
         score = jnp.where(done, score, score + bo)
-        state = jnp.where(done, state, tables["bo_next"][state])
+        state = jnp.where(done, state, bnxt)
     return next_state, score
 
 
