@@ -69,7 +69,11 @@ def decode_xrt():
     search = DenseBeamSearch(tree, fsa, model, cfg)
     B, T = 64, 1000
     rng = np.random.default_rng(1)
-    obs = rng.normal(-5, 2, (B, T, model.num_states)).astype(np.float32)
+    # stage observations on device: production LNAs come from the
+    # scoring pipeline on-chip (see e2e_xrt); uploading 20 MB of host
+    # obs through the relay would dominate the measurement
+    obs = jnp.asarray(
+        rng.normal(-5, 2, (B, T, model.num_states)).astype(np.float32))
     n = np.full(B, T, np.int32)
     res = search.decode_batch(obs, n, lattice=False)   # compile + warm
     dt = float("inf")
@@ -81,6 +85,58 @@ def decode_xrt():
         dt = min(dt, run)
     del res
     return (B * T / 125.0) / dt
+
+
+def e2e_xrt():
+    """True serve-path real-time factor: raw audio -> MFCC features ->
+    GMM state log-probs (LNA-normalized) -> dense LVCSR decode ->
+    1-best words, everything on device (words fetched as ids).
+    This is the `decode-stream.cc` pipeline batched
+    (audio -> FeatureGenerator -> HmmSet likelihoods -> TokenPassSearch).
+    """
+    from bench_decode import synth_task
+    from __graft_entry__ import _MFCC_CFG
+    from aaltoasr_tpu.decoder.search import SearchConfig
+    from aaltoasr_tpu.decoder.search_dense import DenseBeamSearch
+    from aaltoasr_tpu.formats.feaconf import FeatureConfig
+    from aaltoasr_tpu.frontend.generator import FeatureGenerator
+    from aaltoasr_tpu.ops.gmm import GmmScorer
+
+    model, tree, fsa = synth_task(num_words=1000)   # D=39, cross-word
+    scorer = GmmScorer.from_model(model)
+    fg = FeatureGenerator(FeatureConfig.parse(_MFCC_CFG))
+    B, SECONDS = 64, 8
+    S_LEN = 16000 * SECONDS
+    rng = np.random.default_rng(2)
+    samples = jnp.asarray(
+        rng.normal(0, 1000, (B, S_LEN)).astype(np.float32))
+    n_frames_i = fg.num_frames(S_LEN)
+    n_frames = jnp.full((B,), n_frames_i, jnp.int32)
+    feature_fn = fg._compiled(S_LEN)
+    params = fg.params
+
+    @jax.jit
+    def front(s, n):
+        feats = jax.vmap(lambda a, m: feature_fn(a, m, params))(s, n)
+        return jax.vmap(scorer.lna_log_probs)(feats)
+
+    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
+                       num_records=32)
+    search = DenseBeamSearch(tree, fsa, model, cfg)
+
+    def run():
+        lna = front(samples, n_frames)
+        return search.decode_batch(lna, np.asarray(n_frames),
+                                   lattice=False)
+
+    run()                                     # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run()
+        best = min(best, time.perf_counter() - t0)
+    assert len(res) == B
+    return B * SECONDS / best
 
 
 def estep_fps():
@@ -125,6 +181,7 @@ def main():
     # decode first: the scoring phase's host-side load pollutes
     # relay-mediated timings that follow it
     xrt = decode_xrt()
+    e2e = e2e_xrt()
     fps = scoring_fps()
     efps = estep_fps()
     print(json.dumps({
@@ -132,6 +189,7 @@ def main():
         "value": round(xrt, 1),
         "unit": "x realtime/chip",
         "vs_baseline": round(xrt / 100.0, 2),
+        "e2e_wav_to_words_xrt": round(e2e, 1),
         "scoring_frames_per_sec": round(fps, 1),
         "scoring_xrt": round(fps / 125.0, 1),
         "estep_frames_per_sec": round(efps, 1),

