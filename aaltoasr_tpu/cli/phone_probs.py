@@ -52,7 +52,7 @@ def load_model(args) -> HmmModel | str:
     if args.base:
         return args.base
     if args.gk and args.mc and args.ph:
-        means, covars, cov_type, kind, full = read_gk(args.gk)
+        means, covars, cov_type, kind, full, _ss = read_gk(args.gk)
         mixtures = read_mc(args.mc)
         phones, transitions = read_ph(args.ph)
         return HmmModel(dim=means.shape[1], cov_type=cov_type, means=means,

@@ -52,11 +52,17 @@ class HmmModel:
     means: np.ndarray                  # [G, D] float64
     covars: np.ndarray                 # [G, D] diagonal covariances (diag gaussians)
     full_covars: dict = field(default_factory=dict)   # gauss idx -> [D, D] (full type)
-    gauss_kind: list = field(default_factory=list)    # per-gaussian 'diag'|'full'
+    gauss_kind: list = field(default_factory=list)    # per-gaussian 'diag'|'full'|'pcgmm'|'scgmm'
     mixtures: list = field(default_factory=list)      # per pdf: (np[int] indices, np[float] weights)
     phones: list = field(default_factory=list)        # list[HmmPhone]
     transitions: dict = field(default_factory=dict)   # tied state -> [(offset, prob)]
     durations: np.ndarray | None = None               # [S, 2] gamma (a, b) or None
+    # subspace-constrained Gaussians (aku/Subspaces.{hh,cc};
+    # PDFPool::read_gk "variable" rows, Distributions.cc:2844-2868)
+    precision_subspaces: dict = field(default_factory=dict)    # ssid -> PrecisionSubspace
+    exponential_subspaces: dict = field(default_factory=dict)  # ssid -> ExponentialSubspace
+    pcgmm_params: dict = field(default_factory=dict)   # g -> (ssid, tm[D], coeffs[B])
+    scgmm_params: dict = field(default_factory=dict)   # g -> (ssid, coeffs[B])
 
     # -- derived ----------------------------------------------------------
     @property
@@ -100,8 +106,12 @@ class HmmModel:
 # .gk
 # ---------------------------------------------------------------------------
 
-def read_gk(path) -> tuple[np.ndarray, np.ndarray, str, list, dict]:
-    """Parse a .gk file -> (means, covars, cov_type, gauss_kind, full_covars)."""
+def read_gk(path) -> tuple[np.ndarray, np.ndarray, str, list, dict, dict]:
+    """Parse a .gk -> (means, covars, cov_type, gauss_kind, full_covars,
+    subspaces) where subspaces packs the PCGMM/SCGMM payload
+    (PDFPool::read_gk, Distributions.cc:2812-2911)."""
+    from aaltoasr_tpu.ops.subspaces import (
+        ExponentialSubspace, PrecisionSubspace)
     with open(path) as f:
         tokens = f.read().split()
     it = iter(tokens)
@@ -112,6 +122,8 @@ def read_gk(path) -> tuple[np.ndarray, np.ndarray, str, list, dict]:
     covars = np.ones((num, dim), dtype=np.float64)
     gauss_kind: list[str] = []
     full_covars: dict[int, np.ndarray] = {}
+    subspaces = {"precision": {}, "exponential": {},
+                 "pcgmm": {}, "scgmm": {}}
 
     def read_diag(i):
         means[i] = [float(next(it)) for _ in range(dim)]
@@ -127,15 +139,57 @@ def read_gk(path) -> tuple[np.ndarray, np.ndarray, str, list, dict]:
         covars[i] = np.diag(cov)
         gauss_kind.append("full")
 
+    def read_pcgmm(i):
+        ssid = int(next(it))
+        ps = subspaces["precision"][ssid]
+        ss_dim = int(next(it))
+        tm = np.array([float(next(it)) for _ in range(dim)])
+        lam = np.array([float(next(it)) for _ in range(ss_dim)])
+        subspaces["pcgmm"][i] = (ssid, tm, lam)
+        P = ps.compute_precision(lam)
+        cov = np.linalg.inv(P)
+        means[i] = cov @ tm
+        covars[i] = np.diag(cov)
+        full_covars[i] = cov
+        gauss_kind.append("pcgmm")
+
+    def read_scgmm(i):
+        ssid = int(next(it))
+        es = subspaces["exponential"][ssid]
+        ss_dim = int(next(it))
+        lam = np.array([float(next(it)) for _ in range(ss_dim)])
+        subspaces["scgmm"][i] = (ssid, lam)
+        psi, P = es.split_theta(es.compute_theta(lam))
+        cov = np.linalg.inv(P)
+        means[i] = cov @ psi
+        covars[i] = np.diag(cov)
+        full_covars[i] = cov
+        gauss_kind.append("scgmm")
+
     if cov_type == "variable":
-        for i in range(num):
+        i = 0
+        while i < num:
             kind = next(it)
             if kind == "diag":
                 read_diag(i)
             elif kind == "full":
                 read_full(i)
+            elif kind == "precision_subspace":
+                ssid = int(next(it))
+                subspaces["precision"][ssid] = PrecisionSubspace.read(it)
+                continue                      # no pool slot consumed
+            elif kind == "exponential_subspace":
+                ssid = int(next(it))
+                subspaces["exponential"][ssid] = \
+                    ExponentialSubspace.read(it)
+                continue
+            elif kind == "pcgmm":
+                read_pcgmm(i)
+            elif kind == "scgmm":
+                read_scgmm(i)
             else:
                 raise ValueError(f"Unknown model type {kind}")
+            i += 1
     elif cov_type == "diagonal_cov":
         for i in range(num):
             read_diag(i)
@@ -151,7 +205,7 @@ def read_gk(path) -> tuple[np.ndarray, np.ndarray, str, list, dict]:
         cov_type = "diagonal_cov"
     else:
         raise ValueError(f"Unknown covariance type {cov_type}")
-    return means, covars, cov_type, gauss_kind, full_covars
+    return means, covars, cov_type, gauss_kind, full_covars, subspaces
 
 
 def write_gk(path, model: HmmModel) -> None:
@@ -159,6 +213,14 @@ def write_gk(path, model: HmmModel) -> None:
     with open(path, "w") as f:
         if model.cov_type == "variable":
             f.write(f"{g} {model.dim} variable\n")
+            # subspaces precede the Gaussians that reference them
+            # (PDFPool::write_gk, Distributions.cc:2914-2966)
+            for ssid, ps in sorted(model.precision_subspaces.items()):
+                f.write(f"precision_subspace {ssid} ")
+                ps.write(f)
+            for ssid, es in sorted(model.exponential_subspaces.items()):
+                f.write(f"exponential_subspace {ssid} ")
+                es.write(f)
             for i in range(g):
                 kind = model.gauss_kind[i] if model.gauss_kind else "diag"
                 if kind == "full":
@@ -166,6 +228,15 @@ def write_gk(path, model: HmmModel) -> None:
                     vals = " ".join(_g(x) for x in model.means[i]) + " " + \
                         " ".join(_g(x) for x in cov.reshape(-1))
                     f.write(f"full {vals}\n")
+                elif kind == "pcgmm":
+                    ssid, tm, lam = model.pcgmm_params[i]
+                    f.write(f"pcgmm {ssid} {len(lam)} "
+                            + " ".join(_g(x) for x in tm) + " "
+                            + " ".join(_g(x) for x in lam) + "\n")
+                elif kind == "scgmm":
+                    ssid, lam = model.scgmm_params[i]
+                    f.write(f"scgmm {ssid} {len(lam)} "
+                            + " ".join(_g(x) for x in lam) + "\n")
                 else:
                     f.write("diag " + _gauss_line(model, i) + "\n")
         elif model.cov_type == "full_cov":
@@ -346,7 +417,8 @@ def write_dur(path, durations: np.ndarray) -> None:
 # ---------------------------------------------------------------------------
 
 def read_model(base: str, read_durations: bool = False) -> HmmModel:
-    means, covars, cov_type, gauss_kind, full_covars = read_gk(base + ".gk")
+    (means, covars, cov_type, gauss_kind, full_covars,
+     subspaces) = read_gk(base + ".gk")
     mixtures = read_mc(base + ".mc")
     phones, transitions = read_ph(base + ".ph")
     model = HmmModel(
@@ -359,6 +431,10 @@ def read_model(base: str, read_durations: bool = False) -> HmmModel:
         mixtures=mixtures,
         phones=phones,
         transitions=transitions,
+        precision_subspaces=subspaces["precision"],
+        exponential_subspaces=subspaces["exponential"],
+        pcgmm_params=subspaces["pcgmm"],
+        scgmm_params=subspaces["scgmm"],
     )
     if read_durations:
         model.durations = read_dur(base + ".dur", num_states=model.num_states)

@@ -50,6 +50,12 @@ class GmmScorer:
     comp_idx: jax.Array
     comp_logw: jax.Array
     full_cov: bool = False
+    # factored subspace scoring (PCGMM/SCGMM, ops/subspaces.py): per
+    # shared subspace one ([D_phi, B] basis, [B, Gp] coefficients) pair;
+    # scores += (phi(x) @ basis) @ coeffs — two MXU matmuls instead of
+    # materialized per-Gaussian precisions
+    sub_basis: tuple = ()
+    sub_lambda: tuple = ()
     # cluster gating (PDFPool::compute_likelihoods clustering branch,
     # Distributions.cc:2684-2722): None = dense evaluation
     cluster_of: jax.Array | None = None       # [Gp] cluster per Gaussian
@@ -65,8 +71,9 @@ class GmmScorer:
         means = model.means
         G, D = means.shape
         Gp = _round_up(G, pad_gaussians_to)
+        has_sub = bool(model.pcgmm_params or model.scgmm_params)
         full_cov = (model.cov_type == "full_cov"
-                    or "full" in model.gauss_kind)
+                    or "full" in model.gauss_kind or has_sub)
 
         if full_cov:
             # exponential form over phi(x) = [vec(x x^T), x]:
@@ -79,6 +86,17 @@ class GmmScorer:
             A = np.zeros((D * D + D, Gp), dtype=np.float32)
             bias = np.full(Gp, LOG_ZERO, dtype=np.float32)
             for g in range(G):
+                if g in model.pcgmm_params:
+                    ssid, tm, lam = model.pcgmm_params[g]
+                    ps = model.precision_subspaces[ssid]
+                    A[D * D:, g] = tm
+                    bias[g] = ps.constant(tm, lam)
+                    continue
+                if g in model.scgmm_params:
+                    ssid, lam = model.scgmm_params[g]
+                    es = model.exponential_subspaces[ssid]
+                    bias[g] = es.constant(lam)
+                    continue
                 if g in model.full_covars:
                     cov = np.asarray(model.full_covars[g], np.float64)
                     P, C = _spd_precision(cov)
@@ -110,11 +128,28 @@ class GmmScorer:
             with np.errstate(divide="ignore"):
                 comp_logw[s, :len(w)] = np.where(
                     w > 0, np.log(np.maximum(w, 1e-300)), LOG_ZERO)
+        sub_basis, sub_lambda = [], []
+        if has_sub:
+            from aaltoasr_tpu.ops.subspaces import (
+                pcgmm_tables, scgmm_tables)
+            for ssid, ps in sorted(model.precision_subspaces.items()):
+                params = {g: (tm, lam) for g, (sid, tm, lam)
+                          in model.pcgmm_params.items() if sid == ssid}
+                t = pcgmm_tables(ps, params, D, Gp)
+                sub_basis.append(jnp.asarray(t["sub_basis"]))
+                sub_lambda.append(jnp.asarray(t["sub_lambda"]))
+            for ssid, es in sorted(model.exponential_subspaces.items()):
+                params = {g: lam for g, (sid, lam)
+                          in model.scgmm_params.items() if sid == ssid}
+                t = scgmm_tables(es, params, D, Gp)
+                sub_basis.append(jnp.asarray(t["sub_basis"]))
+                sub_lambda.append(jnp.asarray(t["sub_lambda"]))
         return cls(
             dim=D, num_states=S, num_gaussians=G,
             score_matrix=jnp.asarray(A), score_bias=jnp.asarray(bias),
             comp_idx=jnp.asarray(comp_idx), comp_logw=jnp.asarray(comp_logw),
             full_cov=full_cov,
+            sub_basis=tuple(sub_basis), sub_lambda=tuple(sub_lambda),
         )
 
     # -- scoring ----------------------------------------------------------
@@ -127,7 +162,12 @@ class GmmScorer:
             xx = jnp.concatenate([outer, x], axis=-1)
         else:
             xx = jnp.concatenate([x * x, x], axis=-1)
-        return jnp.dot(xx, self.score_matrix, precision=_F32) + self.score_bias
+        out = jnp.dot(xx, self.score_matrix, precision=_F32) + self.score_bias
+        for sb, sl in zip(self.sub_basis, self.sub_lambda):
+            # phi(x) through the shared subspace basis, then coefficients
+            out = out + jnp.dot(jnp.dot(xx, sb, precision=_F32), sl,
+                                precision=_F32)
+        return out
 
     def with_clustering(self, model: HmmModel, assign: np.ndarray,
                         num_clusters: int, eval_minc: float = 0.0,

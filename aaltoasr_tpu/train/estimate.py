@@ -64,6 +64,44 @@ def estimate_ml(model: HmmModel, table: TransitionTable, stats: HmmStats,
             # else: keep the previous covariance (invalid-parameters
             # branch, Distributions.cc:1571-1578)
 
+    # subspace-constrained M-step: re-optimize coefficients against the
+    # accumulated sample mean/covariance (PrecisionConstrainedGaussian /
+    # SubspaceConstrainedGaussian::set_parameters ->
+    # Subspaces::optimize_coefficients)
+    pcgmm_params = dict(model.pcgmm_params)
+    scgmm_params = dict(model.scgmm_params)
+    if buf.full_acc is not None and (pcgmm_params or scgmm_params):
+        for g, (ssid, tm, lam) in list(pcgmm_params.items()):
+            if g >= G or not has_data[g]:
+                continue
+            ps = model.precision_subspaces[ssid]
+            mu = new_mean[g]
+            C = buf.full_acc[g] / safe_gamma[g] - np.outer(mu, mu)
+            if np.linalg.eigvalsh(C).min() <= 0:
+                continue        # degenerate stats: keep old parameters
+            np.fill_diagonal(C, np.maximum(np.diag(C), minvar))
+            lam2 = ps.optimize_coefficients(C, lam0=lam)
+            P = ps.compute_precision(lam2)
+            pcgmm_params[g] = (ssid, P @ mu, lam2)
+            full_covars[g] = np.linalg.inv(P)
+            means[g] = mu
+            covars[g] = np.diag(full_covars[g])
+        for g, (ssid, lam) in list(scgmm_params.items()):
+            if g >= G or not has_data[g]:
+                continue
+            es = model.exponential_subspaces[ssid]
+            mu = new_mean[g]
+            C = buf.full_acc[g] / safe_gamma[g] - np.outer(mu, mu)
+            if np.linalg.eigvalsh(C).min() <= 0:
+                continue        # degenerate stats: keep old parameters
+            np.fill_diagonal(C, np.maximum(np.diag(C), minvar))
+            lam2 = es.optimize_coefficients(mu, C, lam0=lam)
+            scgmm_params[g] = (ssid, lam2)
+            P = es.compute_precision(lam2)
+            full_covars[g] = np.linalg.inv(P)
+            means[g] = es.compute_mu(lam2)
+            covars[g] = np.diag(full_covars[g])
+
     mixtures = []
     for s, (idx, w) in enumerate(model.mixtures):
         k = len(idx)
@@ -100,4 +138,7 @@ def estimate_ml(model: HmmModel, table: TransitionTable, stats: HmmStats,
         full_covars=full_covars,
         gauss_kind=list(model.gauss_kind),
         mixtures=mixtures, phones=list(model.phones),
-        transitions=transitions, durations=model.durations)
+        transitions=transitions, durations=model.durations,
+        precision_subspaces=dict(model.precision_subspaces),
+        exponential_subspaces=dict(model.exponential_subspaces),
+        pcgmm_params=pcgmm_params, scgmm_params=scgmm_params)
