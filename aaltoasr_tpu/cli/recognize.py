@@ -177,7 +177,8 @@ def main(argv=None) -> int:
         return 0
 
     for rinfo, lna_path in zip(recipe, lna_paths):
-        emit(rinfo, lna_path, t.lna_decode(lna_path))
+        emit(rinfo, lna_path,
+             t.lna_decode(lna_path, lattice=need_lattice))
     return 0
 
 

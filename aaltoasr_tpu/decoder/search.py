@@ -408,8 +408,9 @@ class BeamSearch:
         )
         return new_tokens, (rec_word, rec_prev, rec_am, rec_lms)
 
-    def _decode(self, obs, n_frames, lm_init):
-        """obs [T, Sp] state log-likelihoods -> final tokens + records."""
+    def _decode(self, obs, n_frames, lm_init, lattice=True):
+        """obs [T, Sp] state log-likelihoods -> final tokens + records
+        (lattice=True) or device-traced 1-best (lattice=False)."""
         cfg = self.config
         t = self.tables
         W = cfg.num_tokens
@@ -447,15 +448,50 @@ class BeamSearch:
 
         tokens, recs = jax.lax.scan(
             step, tokens, (obs[1:], valid, steps))
+        if not lattice:
+            # finalize + 1-best traceback ON DEVICE (the relay moves
+            # ~10 MB/s; the record stacks never leave the chip)
+            node, lmst, am, lms, dur, rec, alive, law = tokens
+            if cfg.require_sentence_end:
+                end_id = self.lm.word_index.get(cfg.sentence_end)
+                if end_id is not None:
+                    _, end_sc = self._walk(
+                        lmst, jnp.full(lmst.shape[:1], end_id,
+                                       jnp.int32))
+                    lms = lms + jnp.where(alive, end_sc, 0.0)
+            total = jnp.where(alive, am + cfg.lm_scale * lms, -jnp.inf)
+            best = jnp.argmax(total)
+            finals = jnp.stack([
+                rec[best].astype(jnp.float32), total[best],
+                am[best], lms[best]])
+            flat_w = recs[0].reshape(-1)
+            flat_p = recs[1].reshape(-1)
+            Wmax = 512
+
+            def cond(c):
+                ptr, i, _ = c
+                return (ptr >= 0) & (i < Wmax)
+
+            def body(c):
+                ptr, i, out = c
+                out = out.at[i].set(flat_w[ptr])
+                return flat_p[ptr], i + 1, out
+
+            _, nw, words = jax.lax.while_loop(
+                cond, body, (rec[best], jnp.int32(0),
+                             jnp.full((Wmax,), -1, jnp.int32)))
+            return finals, words, nw
         return tokens, recs
 
     # -- public API -------------------------------------------------------
     def decode(self, obs: np.ndarray, n_frames: int | None = None,
-               sentence_start: str = "<s>"):
+               sentence_start: str = "<s>", lattice: bool = True):
         """Decode one utterance: [T, S] state log-likelihoods -> result.
 
         Returns a DecodeResult (iterable as (words, log_prob) for
-        backwards compatibility) carrying the word-lattice records.
+        backwards compatibility).  With lattice=True it carries the
+        word-lattice records; lattice=False tracebacks on device and
+        fetches only the word ids.
         """
         obs = jnp.asarray(obs, dtype=jnp.float32)
         if n_frames is None:
@@ -463,16 +499,53 @@ class BeamSearch:
         lm_init = np.atleast_1d(
             np.asarray(self.lm.initial_state(sentence_start),
                        dtype=np.int32))
+        if not lattice:
+            fn = self._get_fast_jit(("single",))
+            out = fn(obs, jnp.int32(n_frames), jnp.asarray(lm_init))
+            return self._result_words(np.asarray(out[0]),
+                                      np.asarray(out[1]),
+                                      int(np.asarray(out[2])))
         tokens, recs = self._decode_jit(
             obs, jnp.int32(n_frames), jnp.asarray(lm_init))
         return self._result(tokens, recs)
 
+    def _get_fast_jit(self, key):
+        if not hasattr(self, "_fast_jits"):
+            self._fast_jits = {}
+        if key not in self._fast_jits:
+            fn = lambda o, n, li: self._decode(  # noqa: E731
+                o, n, li, lattice=False)
+            if key[0] == "batch":
+                fn = jax.vmap(fn, in_axes=(0, 0, None))
+            self._fast_jits[key] = jax.jit(fn)
+        return self._fast_jits[key]
+
+    def _result_words(self, finals, words_arr, n_words):
+        ids = [int(w) for w in words_arr[:n_words][::-1] if w >= 0]
+        return DecodeResult(
+            search=self, final_ptr=int(finals[0]),
+            log_prob=float(finals[1]),
+            final_am=float(finals[2]), final_lms=float(finals[3]),
+            rec_words=None, rec_prevs=None, rec_ams=None,
+            rec_lmss=None,
+            words=[self.tree.vocab[i] for i in ids])
+
     def decode_batch(self, obs: np.ndarray, n_frames: np.ndarray,
-                     sentence_start: str = "<s>"):
+                     sentence_start: str = "<s>", lattice: bool = True):
         """[B, T, S] batched decode via vmap; returns list of results."""
         lm_init = np.atleast_1d(
             np.asarray(self.lm.initial_state(sentence_start),
                        dtype=np.int32))
+        if not lattice:
+            fn = self._get_fast_jit(("batch",))
+            out = fn(jnp.asarray(obs, jnp.float32),
+                     jnp.asarray(n_frames, jnp.int32),
+                     jnp.asarray(lm_init))
+            finals = np.asarray(out[0])
+            words = np.asarray(out[1])
+            nws = np.asarray(out[2])
+            return [self._result_words(finals[b], words[b], int(nws[b]))
+                    for b in range(obs.shape[0])]
         if not hasattr(self, "_batch_jit"):
             self._batch_jit = jax.jit(jax.vmap(
                 self._decode, in_axes=(0, 0, None)))

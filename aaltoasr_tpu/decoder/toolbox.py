@@ -184,22 +184,25 @@ class Toolbox:
         return self._search
 
     def decode(self, state_log_probs: np.ndarray,
-               n_frames: int | None = None):
-        """[T, S] state log-probs -> (word list, total log-prob)."""
+               n_frames: int | None = None, lattice: bool = True):
+        """[T, S] state log-probs -> (word list, total log-prob).
+
+        lattice=False tracebacks the 1-best on device and skips the
+        record-stack fetch (word graphs unavailable on the result)."""
         return self._ensure_search().decode(
             state_log_probs, n_frames,
-            sentence_start=self._sentence_start)
+            sentence_start=self._sentence_start, lattice=lattice)
 
     def decode_batch(self, state_log_probs: np.ndarray,
-                     n_frames: np.ndarray):
+                     n_frames: np.ndarray, lattice: bool = True):
         return self._ensure_search().decode_batch(
             state_log_probs, n_frames,
-            sentence_start=self._sentence_start)
+            sentence_start=self._sentence_start, lattice=lattice)
 
-    def lna_decode(self, lna_path: str):
+    def lna_decode(self, lna_path: str, lattice: bool = True):
         """Decode one LNA file (lna_open + run loop equivalent)."""
         lp, _ = read_lna(lna_path)
-        return self.decode(lp)
+        return self.decode(lp, lattice=lattice)
 
     # -- streaming (OneFrameAcoustics; Toolbox.hh:123-145) ----------------
     def use_one_frame_acoustics(self):

@@ -155,3 +155,25 @@ class TestDeviceTraceback:
         assert single.words == full[0].words
         with pytest.raises(RuntimeError):
             fast[0].word_graph()
+
+    def test_exact_engine_device_traceback(self):
+        model, tree, fsa = make_decode_task()
+        cfg = SearchConfig(num_tokens=256, num_records=16,
+                           beam=1e9, lm_scale=1.0,
+                           require_sentence_end=True)
+        exact = BeamSearch(tree, fsa, model, cfg)
+        obs1 = synth_obs(tree, model, ["a", "b", "b", "a", "_"], seed=5)
+        obs2 = synth_obs(tree, model, ["c", "a", "b"], seed=6)
+        T = max(obs1.shape[0], obs2.shape[0])
+        pad = np.full((2, T, obs1.shape[1]), -100.0, dtype=np.float32)
+        pad[0, :obs1.shape[0]] = obs1
+        pad[1, :obs2.shape[0]] = obs2
+        n = np.array([obs1.shape[0], obs2.shape[0]])
+        full = exact.decode_batch(pad, n)
+        fast = exact.decode_batch(pad, n, lattice=False)
+        for a, b in zip(full, fast):
+            assert len(a.words) > 0
+            assert b.words == a.words
+            assert b.log_prob == pytest.approx(a.log_prob, rel=1e-5)
+        single = exact.decode(obs1, lattice=False)
+        assert single.words == full[0].words
