@@ -129,6 +129,65 @@ def forward_backward_chain(obs_pos, graph, num_trans_slots: int):
     return gamma, trans_post, total
 
 
+def dense_transition_matrix(graph) -> jnp.ndarray:
+    """[P, P] log-transition matrix M[i, j] = log p(j -> i) from the
+    padded fan-in tables (duplicate arcs logaddexp-accumulated)."""
+    import numpy as np
+    in_src = np.asarray(graph["in_src"])
+    in_logp = np.asarray(graph["in_logp"])
+    P = in_src.shape[0]
+    M = np.full((P, P), -np.inf)
+    for i in range(P):
+        for f in range(in_src.shape[1]):
+            lp = in_logp[i, f]
+            if lp > LOG_ZERO / 2:
+                M[i, in_src[i, f]] = np.logaddexp(M[i, in_src[i, f]],
+                                                  lp)
+    return jnp.asarray(np.maximum(M, LOG_ZERO), jnp.float32)
+
+
+def forward_assoc_chain(obs_pos, graph, trans_dense=None):
+    """Forward pass as a log-semiring matrix `associative_scan` over
+    time — the sequence-parallel formulation (SURVEY §5.7: the
+    legitimate SP analog; there is no attention to ring-shard).
+
+    alpha_t = (A_t (.) ... (.) A_1) alpha_0 with A_t[i, j] =
+    trans[j->i] + obs_t[i] and (B (.) A)[i, j] = logsum_k B[i,k] +
+    A[k,j].  `associative_scan` turns the T-step recurrence into a
+    log2(T)-depth tree whose combine is a [P, P] log-matmul, so XLA
+    can split the TIME axis across devices — shard `obs_pos` along T
+    under a mesh and the prefix tree composes across chips with
+    collectives.
+
+    Cost: O(T P^3) FLOPs vs the sequential scan's O(T P^2) — measured
+    unprofitable on ONE chip at LVCSR sizes (P >= 512); use it when a
+    single utterance must span devices (hour-scale audio) or P is
+    small.  Returns (alphas [T, P], total log-likelihood).
+    """
+    T, P = obs_pos.shape
+    if trans_dense is None:
+        trans_dense = dense_transition_matrix(graph)
+    nump = graph["num_positions"]
+    alpha0 = jnp.maximum(obs_pos[0] + _entry_vector(P, nump), LOG_ZERO)
+
+    # A_t for t = 1..T-1
+    A = trans_dense[None, :, :] + obs_pos[1:, :, None]   # [T-1, P, P]
+
+    def combine(a, b):
+        # (b (.) a)[i, j] = logsum_k b[i, k] + a[k, j]
+        return logsumexp(b[..., :, :, None] + a[..., None, :, :],
+                         axis=-2)
+
+    prefixes = jax.lax.associative_scan(combine, A, axis=0)
+    alphas_tail = logsumexp(
+        prefixes + alpha0[None, None, :], axis=-1)       # [T-1, P]
+    alphas = jnp.concatenate([alpha0[None], alphas_tail], axis=0)
+    alphas = jnp.maximum(alphas, LOG_ZERO)
+    beta_T = _final_vector(P, nump, graph["final_logp"])
+    total = logsumexp(alphas[-1] + beta_T, axis=0)
+    return alphas, total
+
+
 def occupancies_from_alignment(path, P: int):
     """One-hot gamma from a Viterbi path: [T, P] (PhnReader-style fixed
     segmentation, `aku/PhnReader.cc` next_frame semantics)."""
