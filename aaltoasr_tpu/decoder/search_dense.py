@@ -307,7 +307,10 @@ class DenseBeamSearch:
 
         g_am = g_pick((am + durb_all)[gsrc] + ts * glp)
         g_lms = g_pick(lms[gsrc])
-        g_lm = g_pick(lm[gsrc])
+        # lm member states live as K separate [N] arrays: a [N, K=1]
+        # array would tile its trailing (N, 1) dims as (8, 128) on TPU
+        # and waste 127/128 lanes of every pass over it
+        g_lm = tuple(g_pick(l[gsrc]) for l in lm)
         g_rec = g_pick(rec[gsrc])
         g_bo = g_pick(bo[gsrc])
 
@@ -337,7 +340,9 @@ class DenseBeamSearch:
         new_am = pick(am_s, am_1, am_2, g_am, LOG_ZERO)
         new_lms = pick(lms, sh(lms, 1, 0.0), sh(lms, 2, 0.0),
                        g_lms, 0.0)
-        new_lm = pick(lm, sh(lm, 1, 0), sh(lm, 2, 0), g_lm, 0)
+        new_lm = tuple(
+            pick(l, sh(l, 1, 0), sh(l, 2, 0), gl, 0)
+            for l, gl in zip(lm, g_lm))
         new_rec = pick(rec, sh(rec, 1, -1), sh(rec, 2, -1), g_rec, -1)
         new_bo = pick(bo, sh(bo, 1, 0.0), sh(bo, 2, 0.0), g_bo, 0.0)
         new_dur = jnp.where(take_irr | (choice != 0), 0, dur + 1)
@@ -356,7 +361,7 @@ class DenseBeamSearch:
         skip = t["we_skip"] | (w_word < 0)
         am_wn = am[wn]
         lms_wn = lms[wn]
-        lm_wn = lm[wn]
+        lm_wn = [l[wn] for l in lm]
         d_we = jnp.clip(dur[wn] + 1, 1,
                         cfg.max_dur).astype(jnp.float32)
         we_durb = t["we_dur_valid"] * (
@@ -398,7 +403,7 @@ class DenseBeamSearch:
             c_ok = c_ok & (jnp.arange(E) < k)
         c_word = take_e(w_word)
         c_skip = jnp.any(oh_e & skip[None, :], axis=1)
-        c_state = take_e(lm_wn)
+        c_state = jnp.stack([take_e(lw) for lw in lm_wn], axis=-1)
         lm_next, lm_score = self._walk(
             c_state, jnp.maximum(take_e(w_lmid), 0))
         lm_next = jnp.where(c_skip[:, None], c_state, lm_next)
@@ -485,7 +490,7 @@ class DenseBeamSearch:
                 vals[None])), axis=1)
 
         e_lms = c_pay(r_lms)
-        e_lm = c_pay(r_lm)
+        e_lm = c_pay(r_lm)                                 # [M1, K]
         e_rec2 = c_pay(r_rec)
         e_bo = c_pay(r_bo)
 
@@ -495,7 +500,9 @@ class DenseBeamSearch:
         take_tgt = sc_full > cur                           # [N]
         new_am = jnp.where(take_tgt, e_am[inv], new_am)
         new_lms = jnp.where(take_tgt, e_lms[inv], new_lms)
-        new_lm = jnp.where(take_tgt[:, None], e_lm[inv], new_lm)
+        new_lm = tuple(
+            jnp.where(take_tgt, e_lm[:, k][inv], l)
+            for k, l in enumerate(new_lm))
         new_dur = jnp.where(take_tgt, 0, new_dur)
         new_rec = jnp.where(take_tgt, e_rec2[inv], new_rec)
         new_bo = jnp.where(take_tgt, e_bo[inv], new_bo)
@@ -532,8 +539,8 @@ class DenseBeamSearch:
         alive0 = jnp.zeros((N,), bool).at[r_tgt].set(True)
         bo0 = self._bo_mix(lm_init[None, :])[0]
         state = (am0, jnp.zeros((N,), jnp.float32),
-                 jnp.broadcast_to(lm_init[None, :],
-                                  (N, self._K)).astype(jnp.int32),
+                 tuple(jnp.full((N,), lm_init[k], jnp.int32)
+                       for k in range(self._K)),
                  jnp.zeros((N,), jnp.int32),
                  jnp.full((N,), -1, jnp.int32),
                  jnp.full((N,), bo0, jnp.float32), alive0)
@@ -547,8 +554,8 @@ class DenseBeamSearch:
             # per-step [N] <- [S] static gather: cheaper than a [T, N]
             # precompute (which also capped the batch via its HBM cost)
             new_state, recs = self._step(state, obs_t[t["pdf"]], i)
-            out = tuple(jnp.where(v, n, o)
-                        for n, o in zip(new_state, state))
+            out = jax.tree.map(lambda n, o: jnp.where(v, n, o),
+                               new_state, state)
             recs = jax.tree.map(
                 lambda r: jnp.where(v, r, jnp.full_like(
                     r, -1 if r.dtype == jnp.int32 else 0)), recs)
@@ -565,7 +572,8 @@ class DenseBeamSearch:
             end_id = self.lm.word_index.get(cfg.sentence_end)
             if end_id is not None:
                 _, end_sc = self._walk(
-                    lm, jnp.full((N,), end_id, jnp.int32))
+                    jnp.stack(lm, axis=-1),
+                    jnp.full((N,), end_id, jnp.int32))
                 lms = lms + jnp.where(alive, end_sc, 0.0)
         total = jnp.where(alive, am + cfg.lm_scale * lms, -jnp.inf)
         bestn = jnp.argmax(total)
