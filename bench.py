@@ -67,7 +67,7 @@ def decode_xrt():
     cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
                        num_records=32, records_half=True)
     search = DenseBeamSearch(tree, fsa, model, cfg)
-    B, T = 64, 1000
+    B, T = 128, 1000     # B>=128 fills the 128 VPU lanes
     rng = np.random.default_rng(1)
     # stage observations on device: production LNAs come from the
     # scoring pipeline on-chip (see e2e_xrt); uploading 20 MB of host
@@ -105,7 +105,7 @@ def e2e_xrt():
     model, tree, fsa = synth_task(num_words=1000)   # D=39, cross-word
     scorer = GmmScorer.from_model(model)
     fg = FeatureGenerator(FeatureConfig.parse(_MFCC_CFG))
-    B, SECONDS = 64, 8
+    B, SECONDS = 128, 8
     S_LEN = 16000 * SECONDS
     rng = np.random.default_rng(2)
     samples = jnp.asarray(

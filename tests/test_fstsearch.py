@@ -61,3 +61,58 @@ class TestFstSearch:
         write_lna(str(p), obs, 4)
         result, score = fs.get_result_and_logprob(str(p))
         assert result == "A"
+
+
+class TestFstConfidence:
+    def _obs_for(self, model, seq, T=None, good=0.0, bad=-10.0):
+        T = T or len(seq)
+        obs = np.full((T, model.num_states), bad, dtype=np.float32)
+        for t, s in enumerate(seq):
+            obs[t, s] = good
+        return obs
+
+    def test_clean_and_levenshtein(self):
+        from aaltoasr_tpu.decoder.fstsearch import _clean, _levenshtein
+        assert _clean("A A B") == "AB"
+        assert _clean("aabba") == "aba"
+        assert _levenshtein("kitten", "sitting") == 3
+        assert _levenshtein("", "abc") == 3
+
+    def test_confident_vs_unconfident(self):
+        """Clean acoustics along the grammar path score a clearly
+        higher confidence than acoustics that fight the grammar."""
+        from aaltoasr_tpu.decoder.fstsearch import FstConfidence
+        model = three_state_model()
+        table = TransitionTable.from_model(model)
+        fc = FstConfidence(word_loop_fst(table), model, table)
+
+        good = self._obs_for(model, [0, 0, 1, 2, 2, 2, 0, 0, 1])
+        w_g, _, conf_g = fc.run_with_confidence(good)
+        assert w_g == ["A", "B", "A"]
+
+        # acoustics prefer states the grammar path cannot follow well
+        rng = np.random.default_rng(0)
+        bad = rng.uniform(-9, -6, good.shape).astype(np.float32)
+        bad[:, 2] = -1.0          # strong free-best path off-grammar
+        w_b, _, conf_b = fc.run_with_confidence(bad)
+        assert conf_g > conf_b + 0.1
+        assert 0.0 <= fc.token_conf <= 1.0
+
+    def test_phone_loop_variant(self, tmp_path):
+        from aaltoasr_tpu.decoder.fstsearch import (
+            FstConfidenceWithPhoneLoop)
+        from aaltoasr_tpu.formats.lna import write_lna
+        model = three_state_model()
+        table = TransitionTable.from_model(model)
+        # phone loop = same network here (free alternative)
+        fc = FstConfidenceWithPhoneLoop(
+            word_loop_fst(table), word_loop_fst(table), model, table)
+        obs = self._obs_for(model, [0, 0, 1, 2, 2, 2, 0, 0, 1])
+        p = tmp_path / "c.lna"
+        lg = obs - np.log(np.exp(obs).sum(axis=1, keepdims=True))
+        write_lna(str(p), lg.astype(np.float32), lna_bytes=4)
+        res, conf = fc.result_and_confidence(str(p))
+        assert res == "A B A"
+        # grammar == phone loop here: edit distance 0, agreement high
+        assert fc.edit_conf == pytest.approx(1.0)
+        assert 0.0 <= conf <= 1.2
