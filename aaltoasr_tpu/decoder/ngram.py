@@ -183,8 +183,12 @@ class NGramFsa:
     _HASH_MUL_S = np.uint32(2654435761)
     _HASH_MUL_W = np.uint32(40503)
 
-    def hash_tables(self, max_probe: int = 4) -> dict:
-        """Linear-probed hash of the non-root transitions."""
+    def hash_tables(self, max_probe: int = 2) -> dict:
+        """Linear-probed hash of the non-root transitions.
+
+        max_probe=2 with a 4x load factor: every probe is a gather in
+        the decoder's inner scan (~18 us each at B=128), so buy fewer
+        probes with a larger table (HBM is free at these sizes)."""
         rows = slice(int(self.state_first[1]), len(self.trans_word))
         states = np.repeat(
             np.arange(self.num_states, dtype=np.int64),
@@ -194,7 +198,7 @@ class NGramFsa:
         probs = self.trans_prob[rows]
         M = len(words)
         size = 1
-        while size < max(2 * M, 16):
+        while size < max(4 * M, 16):
             size *= 2
         while True:
             mask = np.uint32(size - 1)
@@ -257,9 +261,10 @@ def lm_walk_device(tables: dict, num_words: int, order: int, state, word):
     M = tw.shape[0]
 
     if "hash_packed" in tables:
-        # open-addressed (state, word) table, row-packed: ONE gather
-        # per probe (keys+values come back together; int32 columns are
-        # bitcast through f32 lanes, only touched by select/bitcast)
+        # open-addressed (state, word) table, row-packed: ALL probes in
+        # ONE gather per lookup (keys+values come back together; int32
+        # columns are bitcast through f32 lanes, only touched by
+        # select/bitcast).  Keys are unique, so at most one probe hits.
         hp = tables["hash_packed"]
         mask = jnp.uint32(tables["hash_mask"])
         L = tables["hash_probes"]
@@ -270,17 +275,14 @@ def lm_walk_device(tables: dict, num_words: int, order: int, state, word):
         def lookup(state, word):
             h = ((state.astype(jnp.uint32) * jnp.uint32(2654435761))
                  ^ (word.astype(jnp.uint32) * jnp.uint32(40503))) & mask
-            hit = jnp.zeros(state.shape, bool)
-            nxt = jnp.zeros(state.shape, jnp.int32)
-            prob = jnp.zeros(state.shape, jnp.float32)
-            for i in range(L):
-                cand = ((h + jnp.uint32(i)) & mask).astype(jnp.int32)
-                rows = hp[cand]                      # [..., 4]
-                m = ((ic(rows[..., 0]) == state)
-                     & (ic(rows[..., 1]) == word) & ~hit)
-                nxt = jnp.where(m, ic(rows[..., 2]), nxt)
-                prob = jnp.where(m, rows[..., 3], prob)
-                hit = hit | m
+            cand = ((h[..., None] + jnp.arange(L, dtype=jnp.uint32))
+                    & mask).astype(jnp.int32)
+            rows = hp[cand]                          # [..., L, 4]
+            m = ((ic(rows[..., 0]) == state[..., None])
+                 & (ic(rows[..., 1]) == word[..., None]))
+            hit = jnp.any(m, axis=-1)
+            nxt = jnp.sum(jnp.where(m, ic(rows[..., 2]), 0), axis=-1)
+            prob = jnp.sum(jnp.where(m, rows[..., 3], 0.0), axis=-1)
             return hit, nxt, prob
     elif "hash_state" in tables:
         # open-addressed (state, word) table: L probes x 2 key gathers
