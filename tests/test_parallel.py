@@ -155,3 +155,42 @@ class TestDistributed:
         ref = Recipe.read(lines, 2, 2)      # 1-based batch index
         assert [r.audio_path for r in shard] == \
             [r.audio_path for r in ref]
+
+
+class TestShardedDecode:
+    def test_dense_decode_sharded_over_batch(self):
+        """Multi-chip batched serving: obs sharded along the utterance
+        axis across 8 devices; the decode program is embarrassingly
+        parallel (tables replicated, no collectives) and results must
+        equal the unsharded decode."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        from tests.test_decoder import make_decode_task, synth_obs
+        from aaltoasr_tpu.decoder.search import SearchConfig
+        from aaltoasr_tpu.decoder.search_dense import DenseBeamSearch
+
+        model, tree, fsa = make_decode_task()
+        cfg = SearchConfig(num_tokens=256, num_records=16,
+                           beam=1e9, lm_scale=1.0)
+        dense = DenseBeamSearch(tree, fsa, model, cfg)
+        seqs = [["a", "b", "b", "a"], ["c", "a", "_"],
+                ["b", "a", "c", "a"], ["a", "b", "_"]] * 2
+        obs_list = [synth_obs(tree, model, s, seed=i)
+                    for i, s in enumerate(seqs)]
+        T = max(o.shape[0] for o in obs_list)
+        B = len(obs_list)
+        pad = np.full((B, T, obs_list[0].shape[1]), -100.0, np.float32)
+        n = np.zeros(B, np.int32)
+        for i, o in enumerate(obs_list):
+            pad[i, :o.shape[0]] = o
+            n[i] = o.shape[0]
+
+        base = dense.decode_batch(pad, n, lattice=False)
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        sh = NamedSharding(mesh, PartitionSpec("data"))
+        pad_s = jax.device_put(jnp.asarray(pad), sh)
+        n_s = jax.device_put(jnp.asarray(n), sh)
+        sharded = dense.decode_batch(pad_s, n_s, lattice=False)
+        for a, b in zip(base, sharded):
+            assert b.words == a.words
+            assert b.log_prob == pytest.approx(a.log_prob, rel=1e-5)
