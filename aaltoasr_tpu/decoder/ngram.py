@@ -227,6 +227,12 @@ class NGramFsa:
             if ok:
                 break
             size *= 2                     # longer chains: grow table
+            if size > max(1024 * M, 1 << 16):
+                # pathological collisions: buy probes, not memory
+                max_probe += 1
+                size = 1
+                while size < max(4 * M, 16):
+                    size *= 2
         # row-packed [size, 4] variant: one gather per probe instead of
         # four (each [E]-sized gather pays ~7-15 us of fixed op cost on
         # TPU).  int32 columns are BITCAST into f32 lanes — gathers are
