@@ -50,7 +50,7 @@ def main(argv=None) -> int:
                    default="exact",
                    help="decoder engine: exact token passing or the "
                         "dense batched fast mode (node-level Viterbi "
-                        "recombination, ~400x realtime/chip)")
+                        "recombination, >1000x realtime/chip at B>=128)")
     p.add_argument("--decode-batch", type=int, default=32,
                    help="utterances decoded together (dense engine)")
     p.add_argument("--lattices", action="store_true",
