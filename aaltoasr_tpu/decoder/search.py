@@ -250,7 +250,12 @@ class BeamSearch:
                                  self.lm.order, states[..., 0], word)
         return nxt[..., None], sc
 
-    def _step(self, tokens, obs_t, step_idx):
+    def _step(self, tokens, obs_node, step_idx):
+        # obs_node is ALREADY per-node (obs_t[pdf] gathered by the
+        # caller): candidates then need ONE dynamic gather instead of
+        # the chained pdf[cand] -> obs[pdf] pair (each runs ~0.2
+        # elem/ns over [B, W*A] on TPU — together they were ~60% of
+        # the exact step)
         cfg = self.config
         t = self.tables
         W = cfg.num_tokens
@@ -358,7 +363,7 @@ class BeamSearch:
         cand = {k: jnp.concatenate([c1[k], c2[k]]) for k in c1}
 
         # ---- 3. observation + beam + recombination + top-W
-        obs = obs_t[t["pdf"][cand["node"]]]
+        obs = obs_node[cand["node"]]
         cand["am"] = cand["am"] + obs
         total = cand["am"] + cfg.lm_scale * cand["lms"]
         if self._la_bigram:
@@ -438,7 +443,7 @@ class BeamSearch:
 
         def step(tokens, xs):
             obs_t, v, i = xs
-            new_tokens, recs = self._step(tokens, obs_t, i)
+            new_tokens, recs = self._step(tokens, obs_t[t["pdf"]], i)
             out = tuple(jnp.where(v, n, o)
                         for n, o in zip(new_tokens, tokens))
             recs = jax.tree.map(
@@ -701,7 +706,8 @@ class StreamingDecoder:
                                 s, "_la_init_row", 0), jnp.int32))
         else:
             self._tokens, recs = self._step_jit(
-                self._tokens, obs_t, jnp.int32(self._frame - 1))
+                self._tokens, obs_t[s.tables["pdf"]],
+                jnp.int32(self._frame - 1))
             self._rec_words.append(np.asarray(recs[0]))
             self._rec_prevs.append(np.asarray(recs[1]))
             self._rec_ams.append(np.asarray(recs[2]))
