@@ -238,3 +238,58 @@ class TestSubspaceMStep:
         # untouched Gaussians keep their parameters
         assert np.allclose(new.pcgmm_params[1][2],
                            model.pcgmm_params[1][2])
+
+
+class TestMixedVariablePool:
+    def test_diag_full_pcgmm_in_one_pool(self, tmp_path):
+        """One 'variable' .gk mixing diag + full + pcgmm rows
+        (PDFPool::read_gk handles arbitrary per-row kinds); IO
+        round-trips and the scorer matches per-kind references."""
+        from aaltoasr_tpu.ops.gmm import GmmScorer
+        rng = np.random.default_rng(21)
+        model = _toy_model(rng)
+        G, d = model.num_gaussians, model.dim
+        # gaussian 1 -> full covariance
+        L = rng.normal(0, 0.2, (d, d))
+        C1 = L @ L.T + np.diag(model.covars[1])
+        # gaussian 2 -> pcgmm over a full-dimensional subspace
+        dvec = d * (d + 1) // 2
+        ps = PrecisionSubspace.initialize_pca(
+            np.ones(G), [np.diag(model.covars[g]) for g in range(G)],
+            basis_dim=dvec + 1)
+        lam = ps.optimize_coefficients(np.diag(model.covars[2]))
+        P2 = ps.compute_precision(lam)
+        model.cov_type = "variable"
+        model.gauss_kind = ["diag", "full", "pcgmm"] + ["diag"] * (G - 3)
+        model.full_covars = {1: C1}
+        model.precision_subspaces = {1: ps}
+        model.pcgmm_params = {2: (1, P2 @ model.means[2], lam)}
+
+        model_io.write_model(str(tmp_path / "mix"), model)
+        back = model_io.read_model(str(tmp_path / "mix"))
+        assert back.gauss_kind[:3] == ["diag", "full", "pcgmm"]
+        assert np.allclose(back.full_covars[1], C1)
+        assert np.allclose(back.pcgmm_params[2][2], lam)
+
+        sc = GmmScorer.from_model(back)
+        x = rng.normal(0, 1.5, (8, d)).astype(np.float32)
+        out = np.asarray(sc.gaussian_log_likelihoods(x))
+        # diag reference
+        prec0 = 1.0 / model.covars[0]
+        want0 = (0.5 * np.log(prec0.prod())
+                 - 0.5 * ((x - model.means[0]) ** 2 * prec0).sum(1))
+        np.testing.assert_allclose(out[:, 0], want0, rtol=1e-4,
+                                   atol=1e-3)
+        # full reference
+        P1 = np.linalg.inv(C1)
+        dx = x - model.means[1]
+        want1 = (0.5 * np.linalg.slogdet(P1)[1]
+                 - 0.5 * np.einsum("ti,ij,tj->t", dx, P1, dx))
+        np.testing.assert_allclose(out[:, 1], want1, rtol=1e-4,
+                                   atol=2e-3)
+        # pcgmm reference (same density through the factored path)
+        dx = x - model.means[2]
+        want2 = (0.5 * np.linalg.slogdet(P2)[1]
+                 - 0.5 * np.einsum("ti,ij,tj->t", dx, P2, dx))
+        np.testing.assert_allclose(out[:, 2], want2, rtol=1e-4,
+                                   atol=2e-3)
