@@ -471,7 +471,8 @@ class BeamSearch:
                 am[best], lms[best]])
             flat_w = recs[0].reshape(-1)
             flat_p = recs[1].reshape(-1)
-            Wmax = 512
+            # at most one word commits per frame on the 1-best chain
+            Wmax = T
 
             def cond(c):
                 ptr, i, _ = c

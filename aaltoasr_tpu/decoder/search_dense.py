@@ -587,7 +587,8 @@ class DenseBeamSearch:
             # (word graphs only on request, TokenPassSearch.hh:278-285).
             flat_w = recs[0].reshape(-1)
             flat_p = recs[1].reshape(-1)
-            Wmax = self._traceback_cap
+            # at most one word commits per frame on the 1-best chain
+            Wmax = min(self._traceback_cap, T)
 
             def cond(c):
                 ptr, i, _ = c
@@ -611,7 +612,9 @@ class DenseBeamSearch:
         return finals, rec_ints, rec_floats
 
     # -- public API (mirrors BeamSearch) ----------------------------------
-    _traceback_cap = 512        # max words per utterance (lattice=False)
+    _traceback_cap = 100000     # word-chain safety bound; the per-
+                                # utterance cap is min(cap, T) since at
+                                # most one word commits per frame
 
     def decode(self, obs, n_frames=None, sentence_start="<s>",
                lattice=True):

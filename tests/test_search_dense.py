@@ -177,3 +177,18 @@ class TestDeviceTraceback:
             assert b.log_prob == pytest.approx(a.log_prob, rel=1e-5)
         single = exact.decode(obs1, lattice=False)
         assert single.words == full[0].words
+
+    def test_long_utterance_word_chain_beyond_512(self):
+        """The 1-best chain cap scales with T: a long utterance can
+        commit more than 512 words (regression: fixed cap truncated)."""
+        model, tree, fsa = make_decode_task()
+        cfg = SearchConfig(num_tokens=256, num_records=16,
+                           beam=1e9, lm_scale=0.01)
+        dense = DenseBeamSearch(tree, fsa, model, cfg)
+        reps = 560
+        obs = synth_obs(tree, model, ["a", "b"] * reps,
+                        frames_per_phone=1, noise=0.1, seed=9)
+        full = dense.decode(obs, lattice=True)
+        fast = dense.decode(obs, lattice=False)
+        assert len(full.words) > 512
+        assert fast.words == full.words
