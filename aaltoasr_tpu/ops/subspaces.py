@@ -20,6 +20,11 @@ Subspaces.cc); we implement it fully.
   with f(x) = [x; m2v(-0.5 x x')] and K = 0.5(-d log 2pi + log det P
   - psi'P^-1 psi) (ExponentialSubspace::K, Subspaces.cc:1217-1251).
 
+Scope note: `PrecisionSubspace::optimize_basis` is DECLARED in
+Subspaces.hh:84 but never defined anywhere in the reference — basis
+estimation upstream is exactly the PCA initialization implemented
+here; per-Gaussian coefficients are the only trained parameters.
+
 Known defects in the reference's (never-compiled) code, corrected here
 and covered by tests: PrecisionConstrainedGaussian::
 compute_log_likelihood (Distributions.cc:1639) discards the quadratic
