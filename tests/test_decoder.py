@@ -596,3 +596,34 @@ ngram 2=1
         w2, _ = bi.decode(obs)
         assert w2[:2] == ["yksi", "kaksi"]
         assert w1 != w2
+
+
+class TestOverflowCompaction:
+    def test_overflow_mode_matches_default(self):
+        """overflow_tokens >= W is fully exact: identical words and
+        totals to the dense [W, A] expansion on every test sequence."""
+        model, tree, fsa = make_decode_task()
+        base_cfg = SearchConfig(num_tokens=256, num_records=16,
+                                beam=1e9, lm_scale=1.0)
+        ov_cfg = SearchConfig(num_tokens=256, num_records=16,
+                              beam=1e9, lm_scale=1.0,
+                              overflow_tokens=256)
+        a = BeamSearch(tree, fsa, model, base_cfg)
+        b = BeamSearch(tree, fsa, model, ov_cfg)
+        for seed, seq in [(0, ["_", "a", "b", "b", "a", "_"]),
+                          (1, ["c", "a", "a", "b"]),
+                          (2, ["b", "a", "c", "a"])]:
+            obs = synth_obs(tree, model, seq, noise=0.8, seed=seed)
+            ra = a.decode(obs)
+            rb = b.decode(obs)
+            assert rb.words == ra.words, seq
+            assert rb.log_prob == pytest.approx(ra.log_prob, rel=1e-5)
+
+    def test_small_budget_still_decodes(self):
+        model, tree, fsa = make_decode_task()
+        cfg = SearchConfig(num_tokens=256, num_records=16, beam=1e9,
+                           lm_scale=1.0, overflow_tokens=8)
+        b = BeamSearch(tree, fsa, model, cfg)
+        obs = synth_obs(tree, model, ["a", "b", "b", "a"], seed=3)
+        r = b.decode(obs)
+        assert len(r.words) >= 1
