@@ -53,6 +53,10 @@ def main(argv=None) -> int:
                         "recombination, >1000x realtime/chip at B>=128)")
     p.add_argument("--decode-batch", type=int, default=32,
                    help="utterances decoded together (dense engine)")
+    p.add_argument("--overflow-tokens", type=int, default=0,
+                   help="exact engine: branch-expansion budget "
+                        "(0 = full exact expansion; ~tokens/8 is "
+                        "~1.7x faster with beam-like pruning)")
     p.add_argument("--lattices", action="store_true",
                    help="write SLF word graphs next to the LNAs")
     p.add_argument("--nbest", type=int, default=0,
@@ -133,6 +137,8 @@ def main(argv=None) -> int:
     t.set_lm_scale(args.lm_scale)
     t.set_duration_scale(args.duration_scale)
     t.set_insertion_penalty(args.insertion_penalty)
+    if args.overflow_tokens:
+        t.set_overflow_tokens(args.overflow_tokens)
 
     need_lattice = bool(args.lattices or args.nbest or args.confidence)
 

@@ -155,6 +155,12 @@ class Toolbox:
         self.config.insertion_penalty = p
         self._search = None
 
+    def set_overflow_tokens(self, n: int):
+        """Exact-engine candidate compaction budget (SearchConfig
+        .overflow_tokens): 0 = full expansion."""
+        self.config.overflow_tokens = int(n)
+        self._search = None
+
     def set_word_boundary(self, word: str):
         self._word_boundary = word
 
