@@ -129,15 +129,16 @@ def synth_lna(tmp_path, model, lex, word_seq, seed, noise=1.0,
     return str(tmp_path / name)
 
 
-def run_reference(driver, tmp_path, lna, lm_scale=10.0, beam=400.0):
+def run_reference(driver, tmp_path, lna, lm_scale=10.0, beam=400.0,
+                  token_limit=100000):
     out = subprocess.run(
         [driver, "--ph", str(tmp_path / "m.ph"),
          "--lex", str(tmp_path / "lex.dict"),
          "--arpa", str(tmp_path / "lm.arpa"), "--lna", lna,
-         "--beam", str(beam), "--token-limit", "100000",
+         "--beam", str(beam), "--token-limit", str(token_limit),
          "--lm-scale", str(lm_scale), "--dur-scale", "0",
          "--trans-scale", "1", "--no-crossword"],
-        check=True, capture_output=True, text=True, timeout=120)
+        check=True, capture_output=True, text=True, timeout=300)
     words = [w for w in out.stdout.split()
              if w not in ("<s>", "</s>", "*")]
     return words
