@@ -43,10 +43,12 @@ def patches_count(num_samples: int, window_width: int, adv: float) -> int:
 class FeatureGenerator:
     """Compiled feature frontend for one .cfg configuration."""
 
-    def __init__(self, config: FeatureConfig | str):
+    def __init__(self, config: FeatureConfig | str,
+                 fused_mfcc: bool = False):
         if isinstance(config, str):
             config = FeatureConfig.load(config)
         self.config = config
+        self._fused_mfcc = fused_mfcc
 
         base = config.base
         self.base_type = base.type
@@ -105,6 +107,41 @@ class FeatureGenerator:
         # Initial runtime params pytree.
         self.params = {name: op.init_params() for name, op in self.ops.items()}
         self.params = {k: v for k, v in self.params.items() if v}
+
+        # fused MFCC-core (opt-in): the canonical fft -> {mel -> dct,
+        # power} subgraph can run as ONE pallas kernel
+        # (ops/frontend_pallas.py; the north-star frontend design) —
+        # verified identical to 6e-6 on TPU, but MEASURED ~2% slower
+        # than XLA's own fusion of the same matmul chain (973k vs 991k
+        # frames/s through the scoring pipeline), so the default stays
+        # the unfused ops; pass fused_mfcc=True to use the kernel.
+        self._fusion = self._detect_mfcc_fusion()
+
+    def _detect_mfcc_fusion(self):
+        consumers: dict = {}
+        for spec in self.config.modules[1:]:
+            for s in spec.sources:
+                consumers.setdefault(s, []).append(spec.name)
+        type_of = {spec.name: spec.type
+                   for spec in self.config.modules[1:]}
+        for spec in self.config.modules[1:]:
+            if spec.type != "fft":
+                continue
+            fft = self.ops[spec.name]
+            if getattr(fft, "log", 0):
+                continue
+            cons = consumers.get(spec.name, [])
+            mels = [c for c in cons if type_of.get(c) == "mel"]
+            pows = [c for c in cons if type_of.get(c) == "power"]
+            if len(mels) != 1 or len(cons) != len(mels) + len(pows)                     or len(pows) > 1:
+                continue
+            mel = mels[0]
+            mcons = consumers.get(mel, [])
+            if len(mcons) != 1 or type_of.get(mcons[0]) != "dct":
+                continue
+            return {"fft": spec.name, "mel": mel, "dct": mcons[0],
+                    "power": pows[0] if pows else None}
+        return None
 
     # -- metadata ---------------------------------------------------------
     @property
@@ -203,9 +240,46 @@ class FeatureGenerator:
             else:
                 arrays[config.base.name] = self._base_frames(
                     samples, n_frames, bl, T_pad, br, start=start)
+            fusion = self._fusion if (
+                self._fusion is not None and self._fused_mfcc
+                and jax.default_backend() == "tpu") else None
+            fused_skip = (set(fusion.values()) - {None}
+                          if fusion else set())
             for spec in config.modules[1:]:
                 op = ops[spec.name]
                 nl, nr = need[spec.name]
+                if fusion and spec.name == fusion["fft"]:
+                    # one pallas kernel for the whole MFCC core; the
+                    # output stored directly under the dct (and power)
+                    # names, sliced to their own context ranges
+                    from aaltoasr_tpu.ops import frontend_pallas as FP
+                    (src,) = spec.sources
+                    snl, _ = need[src]
+                    off = snl - nl
+                    length = T_pad + nl + nr
+                    frames = arrays[src][off:off + length]
+                    fft_op = ops[fusion["fft"]]
+                    mel_op = ops[fusion["mel"]]
+                    dct_op = ops[fusion["dct"]]
+                    cep, pw = FP.mfcc_core(
+                        frames, jnp.asarray(fft_op.basis),
+                        jnp.asarray(mel_op.weights),
+                        jnp.asarray(dct_op.matrix),
+                        magnitude=bool(fft_op.magnitude),
+                        root=bool(mel_op.root),
+                        with_power=fusion["power"] is not None)
+
+                    def store(name, val):
+                        tnl, tnr = need[name]
+                        o = nl - tnl
+                        arrays[name] = val[o:o + T_pad + tnl + tnr]
+
+                    store(fusion["dct"], cep)
+                    if fusion["power"] is not None:
+                        store(fusion["power"], pw)
+                    continue
+                if spec.name in fused_skip:
+                    continue
                 srcs = []
                 for s in spec.sources:
                     snl, _snr = need[s]
