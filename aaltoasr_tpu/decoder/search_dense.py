@@ -214,13 +214,26 @@ class DenseBeamSearch:
             self.tables[f"we_dur_{key}"] = jnp.asarray(
                 np.asarray(self.tables[f"dur_{key}"])[we_n])
 
-    def _walk(self, states, word):
+        # device tables pass through jit as ARGUMENTS: closed-over
+        # arrays embed as HLO constants, and uploading a production
+        # LM's tables inside the program blows the compile-relay's
+        # request limit (observed as HTTP 413 with a trigram LM)
+        def _split(d):
+            dev = {k: v for k, v in d.items()
+                   if hasattr(v, "dtype") and getattr(v, "ndim", 0) > 0}
+            return dev, {k: v for k, v in d.items() if k not in dev}
+
+        self._dev_t, self._static_t = _split(self.tables)
+        pairs = [_split(tab) for tab in self._lm_tables]
+        self._dev_lm = [p[0] for p in pairs]
+        self._static_lm = [p[1] for p in pairs]
+
+    def _walk(self, states, word, lm_tables):
         """(states [..., K], word [...]) -> (next [..., K], score)."""
         if self._K > 1:
-            return lm_walk_device_multi(self, self._lm_tables,
-                                        states, word)
+            return lm_walk_device_multi(self, lm_tables, states, word)
         m = self.lm
-        nxt, sc = lm_walk_device(self._lm_tables[0], m.num_words,
+        nxt, sc = lm_walk_device(lm_tables[0], m.num_words,
                                  m.order, states[..., 0], word)
         return nxt[..., None], sc
 
@@ -233,37 +246,34 @@ class DenseBeamSearch:
     def log_coeffs(self):
         return self._log_coeffs
 
-    def _bo_mix(self, states):
+    def _bo_mix(self, states, lm_tables):
         """max_k(log_coeff_k + min(bo_weight_k[state_k], 0)): the static
         word-end rank estimate.  Carried per node as the `bo` payload so
         the word-end stage never gathers bo_weight by (dynamic) LM state
         — dynamic gathers cost ~300 us/step at [B, Nw] size."""
         est = jnp.full(states.shape[:-1], -jnp.inf, jnp.float32)
-        for k, tab in enumerate(self._lm_tables):
+        for k, tab in enumerate(lm_tables):
             est = jnp.maximum(
                 est, self._log_coeffs[k] + jnp.minimum(
                     tab["bo_weight"][states[..., k]], 0.0))
         return est
 
-    def _dur_bonus(self, node, dur):
+    def _dur_bonus(self, node, dur, t):
         """Table path (used for gathered word-end nodes)."""
-        t = self.tables
         d = jnp.clip(dur + 1, 1, self.config.max_dur)
         return t["dur_tab"][t["dur_state"][node], d - 1]
 
-    def _dur_bonus_dense(self, dur):
+    def _dur_bonus_dense(self, dur, t):
         """Gather-free duration bonus for ALL nodes: the gamma formula
         evaluated elementwise with static per-node parameters."""
-        t = self.tables
         d = jnp.clip(dur + 1, 1, self.config.max_dur).astype(jnp.float32)
         return t["dur_valid"] * (
             t["dur_lncoef"] * jnp.log(d) - d * t["dur_invb"]
             + t["dur_const"])
 
-    def _step(self, state, obs_t, step_idx):
+    def _step(self, state, obs_t, step_idx, t, lm_tables):
         # obs_t is ALREADY per-node (gathered from [S] states outside)
         cfg = self.config
-        t = self.tables
         am, lms, lm, dur, rec, bo, alive = state
         N = am.shape[0]
         E = cfg.num_records
@@ -277,7 +287,7 @@ class DenseBeamSearch:
         # (static gathers + small argmax; no [B, N] scatters).
         ts = cfg.transition_scale
         if self._has_durations:
-            durb_all = self._dur_bonus_dense(dur)
+            durb_all = self._dur_bonus_dense(dur, t)
         else:
             durb_all = jnp.zeros((N,), jnp.float32)
         cross_score = total + durb_all          # leaving the state
@@ -405,7 +415,7 @@ class DenseBeamSearch:
         c_skip = jnp.any(oh_e & skip[None, :], axis=1)
         c_state = jnp.stack([take_e(lw) for lw in lm_wn], axis=-1)
         lm_next, lm_score = self._walk(
-            c_state, jnp.maximum(take_e(w_lmid), 0))
+            c_state, jnp.maximum(take_e(w_lmid), 0), lm_tables)
         lm_next = jnp.where(c_skip[:, None], c_state, lm_next)
         lm_score = jnp.where(c_skip, 0.0, lm_score)
         c_am = take_e(we_am)
@@ -445,7 +455,7 @@ class DenseBeamSearch:
         r_lm = take_c(lm_next)
         r_rec = take_c(e_rec)
         r_alive = jnp.any(oh_c2 & c_alive[None, :], axis=1)
-        r_bo = self._bo_mix(r_lm)
+        r_bo = self._bo_mix(r_lm, lm_tables)
         r_pair = take_c(take_e(t["we_pair"]))
         # pair rows via a [C, NP] one-hot (NP = context pairs, small)
         oh_p = r_pair[:, None] == jnp.arange(
@@ -522,9 +532,9 @@ class DenseBeamSearch:
                  new_alive),
                 (rec_word, rec_prev, rec_am, rec_lms))
 
-    def _decode(self, obs, n_frames, lm_init, lattice=True):
+    def _decode(self, obs, n_frames, lm_init, t, lm_tables,
+                lattice=True):
         cfg = self.config
-        t = self.tables
         N = self.tree.num_nodes
         # utterance-initial entries: the boundary-context pair row
         # (TPLexPrefixTree fan-in; union row for monophone trees)
@@ -537,7 +547,7 @@ class DenseBeamSearch:
         am0 = jnp.full((N,), LOG_ZERO, jnp.float32)
         am0 = am0.at[r_tgt].max(first + r_lp)
         alive0 = jnp.zeros((N,), bool).at[r_tgt].set(True)
-        bo0 = self._bo_mix(lm_init[None, :])[0]
+        bo0 = self._bo_mix(lm_init[None, :], lm_tables)[0]
         state = (am0, jnp.zeros((N,), jnp.float32),
                  tuple(jnp.full((N,), lm_init[k], jnp.int32)
                        for k in range(self._K)),
@@ -553,7 +563,8 @@ class DenseBeamSearch:
             obs_t, v, i = xs
             # per-step [N] <- [S] static gather: cheaper than a [T, N]
             # precompute (which also capped the batch via its HBM cost)
-            new_state, recs = self._step(state, obs_t[t["pdf"]], i)
+            new_state, recs = self._step(state, obs_t[t["pdf"]], i,
+                                         t, lm_tables)
             out = jax.tree.map(lambda n, o: jnp.where(v, n, o),
                                new_state, state)
             recs = jax.tree.map(
@@ -573,7 +584,7 @@ class DenseBeamSearch:
             if end_id is not None:
                 _, end_sc = self._walk(
                     jnp.stack(lm, axis=-1),
-                    jnp.full((N,), end_id, jnp.int32))
+                    jnp.full((N,), end_id, jnp.int32), lm_tables)
                 lms = lms + jnp.where(alive, end_sc, 0.0)
         total = jnp.where(alive, am + cfg.lm_scale * lms, -jnp.inf)
         bestn = jnp.argmax(total)
@@ -625,7 +636,8 @@ class DenseBeamSearch:
             self.lm.initial_state(sentence_start), dtype=np.int32))
         fn = self._get_jit(("single", bool(lattice)), lattice,
                            batched=False)
-        out = fn(obs, jnp.int32(n_frames), jnp.asarray(lm_init))
+        out = fn(obs, jnp.int32(n_frames), jnp.asarray(lm_init),
+                 self._dev_t, self._dev_lm)
         if lattice:
             return self._result(np.asarray(out[0]), np.asarray(out[1]),
                                 np.asarray(out[2]))
@@ -637,10 +649,14 @@ class DenseBeamSearch:
         if not hasattr(self, "_jits"):
             self._jits = {}
         if key not in self._jits:
-            fn = lambda o, n, li: self._decode(  # noqa: E731
-                o, n, li, lattice=lattice)
+            def fn(o, n, li, dev_t, dev_lm):
+                t = {**self._static_t, **dev_t}
+                lms_ = [{**st, **dv} for st, dv
+                        in zip(self._static_lm, dev_lm)]
+                return self._decode(o, n, li, t, lms_,
+                                    lattice=lattice)
             if batched:
-                fn = jax.vmap(fn, in_axes=(0, 0, None))
+                fn = jax.vmap(fn, in_axes=(0, 0, None, None, None))
             self._jits[key] = jax.jit(fn)
         return self._jits[key]
 
@@ -654,7 +670,8 @@ class DenseBeamSearch:
         fn = self._get_jit(("batch", T, bool(lattice)), lattice,
                            batched=True)
         out = fn(jnp.asarray(obs, jnp.float32),
-                 jnp.asarray(n_frames, jnp.int32), jnp.asarray(lm_init))
+                 jnp.asarray(n_frames, jnp.int32), jnp.asarray(lm_init),
+                 self._dev_t, self._dev_lm)
         # ONE device->host fetch per array (per-utterance slicing
         # would issue B separate transfers — dominant on remote links)
         if lattice:

@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def synth_task(num_words=1000, num_phones=25, seed=0):
+def synth_task(num_words=1000, num_phones=25, seed=0, order=2):
     from aaltoasr_tpu.decoder.lexicon import build_prefix_tree
     from aaltoasr_tpu.decoder.ngram import NGramFsa
     from aaltoasr_tpu.formats import model_io
@@ -58,9 +58,20 @@ def synth_task(num_words=1000, num_phones=25, seed=0):
     for _ in range(num_words * 10):
         a = word_index[words[int(rng.integers(num_words))]]
         b = word_index[words[int(rng.integers(num_words))]]
-        bi[(a, b)] = (float(np.log(0.01 + rng.random() * 0.05)), 0.0)
-    lm = ArpaLM(order=2, vocab=vocab, word_index=word_index,
-                ngrams=[{}, uni, bi])
+        bo = -0.5 if order > 2 else 0.0
+        bi[(a, b)] = (float(np.log(0.01 + rng.random() * 0.05)), bo)
+    grams = [{}, uni, bi]
+    if order >= 3:
+        tri = {}
+        bikeys = list(bi)
+        for _ in range(num_words * 20):
+            a, b = bikeys[int(rng.integers(len(bikeys)))]
+            c = word_index[words[int(rng.integers(num_words))]]
+            tri[(a, b, c)] = (
+                float(np.log(0.02 + rng.random() * 0.1)), 0.0)
+        grams.append(tri)
+    lm = ArpaLM(order=order, vocab=vocab, word_index=word_index,
+                ngrams=grams)
 
     from aaltoasr_tpu.decoder.lexicon import read_lexicon
     tree = build_prefix_tree(model, read_lexicon("\n".join(lex_lines)))
@@ -75,6 +86,8 @@ def main():
     p.add_argument("--words", type=int, default=1000)
     p.add_argument("--records", type=int, default=32,
                    help="word-end records per frame (lattice richness)")
+    p.add_argument("--order", type=int, default=2,
+                   help="n-gram order of the synthetic LM")
     args = p.parse_args()
 
     import jax
@@ -85,7 +98,7 @@ def main():
     # axon relay warm-up: first sizable device->host fetch stalls
     np.asarray(jnp.zeros((128, 128)))
 
-    model, tree, fsa = synth_task(num_words=args.words)
+    model, tree, fsa = synth_task(num_words=args.words, order=args.order)
     print(f"tree nodes: {tree.num_nodes}, lm states: {fsa.num_states}",
           flush=True)
     cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
