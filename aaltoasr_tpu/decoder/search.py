@@ -29,6 +29,7 @@ winning chain after the scan.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -284,32 +285,56 @@ class BeamSearch:
                           file=sys.stderr)
                 self.tables["la"] = jnp.asarray(unigram_lookahead(
                     tree, la_lm, lm_names))
-        self._decode_jit = jax.jit(self._decode, static_argnames=())
+        # device tables pass through jit as ARGUMENTS (closed-over
+        # arrays embed as HLO constants; production-LM tables blow the
+        # compile relay's program-size limit — same fix as the dense
+        # searcher)
+        def _split(d):
+            dev = {k: v for k, v in d.items()
+                   if hasattr(v, "dtype") and getattr(v, "ndim", 0) > 0}
+            return dev, {k: v for k, v in d.items() if k not in dev}
+
+        self._dev_t, self._static_t = _split(self.tables)
+        if self._lm_tables is not None:
+            pairs = [_split(tab) for tab in self._lm_tables]
+            self._dev_lm = [p[0] for p in pairs]
+            self._static_lm = [p[1] for p in pairs]
+        else:
+            self._dev_lm = None
+            self._static_lm = None
+
+        def _bound(o, n, li, dev_t, dev_lm, lattice=True):
+            t = {**self._static_t, **dev_t}
+            lms_ = (None if dev_lm is None else
+                    [{**st, **dv} for st, dv
+                     in zip(self._static_lm, dev_lm)])
+            return self._decode(o, n, li, t, lms_, lattice=lattice)
+
+        self._bound_decode = _bound
+        self._decode_jit = jax.jit(_bound, static_argnames=())
 
     # -- candidate container: dict of parallel arrays ---------------------
-    def _dur_bonus(self, node, dur):
+    def _dur_bonus(self, node, dur, t):
         """Duration log-prob for leaving a state after dur+1 frames."""
-        t = self.tables
         d = jnp.clip(dur + 1, 1, self.config.max_dur)
         return t["dur_tab"][t["dur_state"][node], d - 1]
 
-    def _walk(self, states, word):
+    def _walk(self, states, word, t, lm_tables):
         """(states [..., K], word [...]) -> (next [..., K], score)."""
-        if self._lm_tables is not None:
-            return lm_walk_device_multi(self.lm, self._lm_tables,
+        if lm_tables is not None:
+            return lm_walk_device_multi(self.lm, lm_tables,
                                         states, word)
-        nxt, sc = lm_walk_device(self.tables, self.lm.num_words,
+        nxt, sc = lm_walk_device(t, self.lm.num_words,
                                  self.lm.order, states[..., 0], word)
         return nxt[..., None], sc
 
-    def _step(self, tokens, obs_node, step_idx):
+    def _step(self, tokens, obs_node, step_idx, t, lm_tables):
         # obs_node is ALREADY per-node (obs_t[pdf] gathered by the
         # caller): candidates then need ONE dynamic gather instead of
         # the chained pdf[cand] -> obs[pdf] pair (each runs ~0.2
         # elem/ns over [B, W*A] on TPU — together they were ~60% of
         # the exact step)
         cfg = self.config
-        t = self.tables
         W = cfg.num_tokens
         E = cfg.num_records
         K = self._K
@@ -321,7 +346,7 @@ class BeamSearch:
             payloads broadcast from token index sel_tok."""
             shape = a_tgt.shape
             is_self = allow_self & (a_tgt == sel_node[:, None])
-            durb = self._dur_bonus(sel_node, dur[sel_tok])[:, None]
+            durb = self._dur_bonus(sel_node, dur[sel_tok], t)[:, None]
             durp = jnp.where(is_self, 0.0, durb)
             c = {
                 "node": a_tgt,
@@ -372,7 +397,7 @@ class BeamSearch:
         lm_in = jnp.broadcast_to(
             lmst[:, None, :], w_word.shape + (K,)).reshape(-1, K)
         word_in = jnp.maximum(w_lmid, 0).reshape(-1)
-        lm_next, lm_score = self._walk(lm_in, word_in)
+        lm_next, lm_score = self._walk(lm_in, word_in, t, lm_tables)
         lm_next = lm_next.reshape(w_word.shape + (K,))
         lm_score = lm_score.reshape(w_word.shape)
         skip = w_skip | (w_word < 0)
@@ -381,7 +406,7 @@ class BeamSearch:
         lm_next = jnp.where(skip[:, :, None], lmst[:, None, :], lm_next)
         lm_score = jnp.where(skip, 0.0, lm_score)
         we_am = (am[:, None] + cfg.transition_scale * w_exit
-                 + self._dur_bonus(node, dur)[:, None])
+                 + self._dur_bonus(node, dur, t)[:, None])
         we_lms = (lms[:, None] + lm_score + w_pron
                   + jnp.where(skip, 0.0, cfg.insertion_penalty))
         we_alive = w_alive & (lm_score > LOG_ZERO / 2)
@@ -493,11 +518,11 @@ class BeamSearch:
         )
         return new_tokens, (rec_word, rec_prev, rec_am, rec_lms)
 
-    def _decode(self, obs, n_frames, lm_init, lattice=True):
+    def _decode(self, obs, n_frames, lm_init, t, lm_tables,
+                lattice=True):
         """obs [T, Sp] state log-likelihoods -> final tokens + records
         (lattice=True) or device-traced 1-best (lattice=False)."""
         cfg = self.config
-        t = self.tables
         W = cfg.num_tokens
         R = t["root_tgt"].shape[1]
 
@@ -523,7 +548,8 @@ class BeamSearch:
 
         def step(tokens, xs):
             obs_t, v, i = xs
-            new_tokens, recs = self._step(tokens, obs_t[t["pdf"]], i)
+            new_tokens, recs = self._step(tokens, obs_t[t["pdf"]], i,
+                                          t, lm_tables)
             out = tuple(jnp.where(v, n, o)
                         for n, o in zip(new_tokens, tokens))
             recs = jax.tree.map(
@@ -542,7 +568,7 @@ class BeamSearch:
                 if end_id is not None:
                     _, end_sc = self._walk(
                         lmst, jnp.full(lmst.shape[:1], end_id,
-                                       jnp.int32))
+                                       jnp.int32), t, lm_tables)
                     lms = lms + jnp.where(alive, end_sc, 0.0)
             total = jnp.where(alive, am + cfg.lm_scale * lms, -jnp.inf)
             best = jnp.argmax(total)
@@ -587,22 +613,23 @@ class BeamSearch:
                        dtype=np.int32))
         if not lattice:
             fn = self._get_fast_jit(("single",))
-            out = fn(obs, jnp.int32(n_frames), jnp.asarray(lm_init))
+            out = fn(obs, jnp.int32(n_frames), jnp.asarray(lm_init),
+                     self._dev_t, self._dev_lm)
             return self._result_words(np.asarray(out[0]),
                                       np.asarray(out[1]),
                                       int(np.asarray(out[2])))
         tokens, recs = self._decode_jit(
-            obs, jnp.int32(n_frames), jnp.asarray(lm_init))
+            obs, jnp.int32(n_frames), jnp.asarray(lm_init),
+            self._dev_t, self._dev_lm)
         return self._result(tokens, recs)
 
     def _get_fast_jit(self, key):
         if not hasattr(self, "_fast_jits"):
             self._fast_jits = {}
         if key not in self._fast_jits:
-            fn = lambda o, n, li: self._decode(  # noqa: E731
-                o, n, li, lattice=False)
+            fn = functools.partial(self._bound_decode, lattice=False)
             if key[0] == "batch":
-                fn = jax.vmap(fn, in_axes=(0, 0, None))
+                fn = jax.vmap(fn, in_axes=(0, 0, None, None, None))
             self._fast_jits[key] = jax.jit(fn)
         return self._fast_jits[key]
 
@@ -626,7 +653,7 @@ class BeamSearch:
             fn = self._get_fast_jit(("batch",))
             out = fn(jnp.asarray(obs, jnp.float32),
                      jnp.asarray(n_frames, jnp.int32),
-                     jnp.asarray(lm_init))
+                     jnp.asarray(lm_init), self._dev_t, self._dev_lm)
             finals = np.asarray(out[0])
             words = np.asarray(out[1])
             nws = np.asarray(out[2])
@@ -634,10 +661,11 @@ class BeamSearch:
                     for b in range(obs.shape[0])]
         if not hasattr(self, "_batch_jit"):
             self._batch_jit = jax.jit(jax.vmap(
-                self._decode, in_axes=(0, 0, None)))
+                self._bound_decode, in_axes=(0, 0, None, None, None)))
         tokens, recs = self._batch_jit(
             jnp.asarray(obs, jnp.float32),
-            jnp.asarray(n_frames, jnp.int32), jnp.asarray(lm_init))
+            jnp.asarray(n_frames, jnp.int32), jnp.asarray(lm_init),
+            self._dev_t, self._dev_lm)
         # ONE device->host fetch per array (per-utterance slicing
         # would issue B separate transfers — dominant on remote links)
         tokens_h = tuple(np.asarray(x) for x in tokens)
@@ -742,7 +770,15 @@ class StreamingDecoder:
 
     def __init__(self, search: BeamSearch, sentence_start: str = "<s>"):
         self.search = search
-        self._step_jit = jax.jit(search._step)
+
+        def step(tokens, obs_node, i, dev_t, dev_lm):
+            t = {**search._static_t, **dev_t}
+            lms_ = (None if dev_lm is None else
+                    [{**st, **dv} for st, dv
+                     in zip(search._static_lm, dev_lm)])
+            return search._step(tokens, obs_node, i, t, lms_)
+
+        self._step_jit = jax.jit(step)
         self._sentence_start = sentence_start
         self.reset()
 
@@ -788,7 +824,7 @@ class StreamingDecoder:
         else:
             self._tokens, recs = self._step_jit(
                 self._tokens, obs_t[s.tables["pdf"]],
-                jnp.int32(self._frame - 1))
+                jnp.int32(self._frame - 1), s._dev_t, s._dev_lm)
             self._rec_words.append(np.asarray(recs[0]))
             self._rec_prevs.append(np.asarray(recs[1]))
             self._rec_ams.append(np.asarray(recs[2]))
