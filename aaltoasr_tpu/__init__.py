@@ -19,4 +19,23 @@ parallel  mesh/sharding helpers and collective reductions
 cli       command-line tools mirroring the reference's aku/decoder binaries
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# convenience top-level API (the common serve/train surfaces)
+from aaltoasr_tpu.decoder.toolbox import Toolbox                 # noqa: F401,E402
+from aaltoasr_tpu.formats.model_io import read_model, write_model  # noqa: F401,E402
+from aaltoasr_tpu.frontend.generator import FeatureGenerator     # noqa: F401,E402
+
+
+def __getattr__(name):
+    # heavier classes resolved lazily to keep bare import light
+    if name == "BeamSearch":
+        from aaltoasr_tpu.decoder.search import BeamSearch
+        return BeamSearch
+    if name == "DenseBeamSearch":
+        from aaltoasr_tpu.decoder.search_dense import DenseBeamSearch
+        return DenseBeamSearch
+    if name == "PhoneProbs":
+        from aaltoasr_tpu.models.phone_probs import PhoneProbs
+        return PhoneProbs
+    raise AttributeError(name)
