@@ -94,6 +94,13 @@ class PrefixTree:
     root_pair_tgt: np.ndarray | None = None  # [P, R]
     root_pair_logp: np.ndarray | None = None # [P, R]
     init_pair: int = 0                       # utterance-initial row
+    # pair factorization: pair = left_class * num_rcsets + rcset, and
+    # membership of an entry node in a pair row is the PRODUCT
+    # (left_class in variant.left) * (variant.first_class in rcset) —
+    # the dense searcher exploits this to merge re-entries with two
+    # small matmuls instead of materializing [P, R] one-hots
+    num_classes: int = 1
+    num_rcsets: int = 1
 
     def __post_init__(self):
         if self.root_pair_tgt is None:
@@ -562,7 +569,8 @@ def _build_crossword_tree(model: HmmModel, entries: list,
         root_tgt=np.asarray(union, dtype=np.int32),
         root_logp=np.zeros(len(union), dtype=np.float32),
         we_pair=we_pair, root_pair_tgt=root_pair_tgt,
-        root_pair_logp=root_pair_logp, init_pair=init_pair)
+        root_pair_logp=root_pair_logp, init_pair=init_pair,
+        num_classes=NC, num_rcsets=NR)
 
 
 def duration_table(model: HmmModel, max_dur: int = 64,

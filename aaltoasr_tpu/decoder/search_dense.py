@@ -52,18 +52,24 @@ def _shift_structure(tree: PrefixTree):
     shifts = {0: np.full(N, LOG_ZERO, np.float32),
               1: np.full(N, LOG_ZERO, np.float32),
               2: np.full(N, LOG_ZERO, np.float32)}
+    src = np.repeat(np.arange(N, dtype=np.int64), A)
+    tgt = tree.arc_tgt.reshape(-1).astype(np.int64)
+    lp = tree.arc_logp.reshape(-1).astype(np.float32)
+    valid = lp > LOG_ZERO / 2
+    delta = tgt - src
+    irregular = valid.copy()
+    for d in (0, 1, 2):
+        m = valid & (delta == d)
+        idx = np.nonzero(m)[0]
+        # first arc per (shift, target) wins; duplicates stay irregular
+        _, first = np.unique(tgt[idx], return_index=True)
+        take = idx[first]
+        shifts[d][tgt[take]] = lp[take]
+        irregular[take] = False
     by_tgt: dict = {}
-    for n in range(N):
-        for a in range(A):
-            t = int(tree.arc_tgt[n, a])
-            lp = float(tree.arc_logp[n, a])
-            if lp <= LOG_ZERO / 2:
-                continue
-            d = t - n
-            if d in (0, 1, 2) and shifts[d][t] <= LOG_ZERO / 2:
-                shifts[d][t] = lp
-            else:
-                by_tgt.setdefault(t, []).append((n, lp))
+    for i in np.nonzero(irregular)[0]:
+        by_tgt.setdefault(int(tgt[i]), []).append(
+            (int(src[i]), float(lp[i])))
     targets = sorted(by_tgt)
     Mi = max(len(targets), 1)
     F = max((len(v) for v in by_tgt.values()), default=1)
@@ -85,23 +91,26 @@ def _node_duration_params(tree, model, scale):
     """Per-node gamma duration params so the dense relaxation computes
     bonus = scale*((a-1) ln d - d/b - a ln b - lgamma(a)) elementwise
     (identical values to duration_table, no gather)."""
-    import math
+    from scipy.special import gammaln
     N = tree.num_nodes
     valid = np.zeros(N, np.float32)
     lncoef = np.zeros(N, np.float32)
     invb = np.zeros(N, np.float32)
     const = np.zeros(N, np.float32)
     if model.durations is not None:
-        da = model.durations[:, 0]
-        db = model.durations[:, 1]
-        for n in range(N):
-            s_ = int(tree.dur_state[n])
-            if s_ < len(da) and da[s_] > 0 and db[s_] > 0:
-                valid[n] = 1.0
-                lncoef[n] = scale * (da[s_] - 1.0)
-                invb[n] = scale / db[s_]
-                const[n] = scale * (-da[s_] * math.log(db[s_])
-                                    - math.lgamma(da[s_]))
+        s = np.asarray(tree.dur_state, dtype=np.int64)
+        in_range = s < model.durations.shape[0]
+        da = model.durations[np.where(in_range, s, 0), 0]
+        db = model.durations[np.where(in_range, s, 0), 1]
+        ok = in_range & (da > 0) & (db > 0)
+        da_s = np.where(ok, da, 1.0)
+        db_s = np.where(ok, db, 1.0)
+        valid = ok.astype(np.float32)
+        lncoef = np.where(ok, scale * (da_s - 1.0), 0.0).astype(np.float32)
+        invb = np.where(ok, scale / db_s, 0.0).astype(np.float32)
+        const = np.where(ok, scale * (-da_s * np.log(db_s)
+                                      - gammaln(da_s)), 0.0).astype(
+                                          np.float32)
     return {"dur_valid": jnp.asarray(valid),
             "dur_lncoef": jnp.asarray(lncoef),
             "dur_invb": jnp.asarray(invb),
@@ -134,9 +143,32 @@ class DenseBeamSearch:
         M_entry = len(entry_nodes)
         node_to_entry = np.full(tree.num_nodes, M_entry, np.int32)
         node_to_entry[entry_nodes] = np.arange(M_entry, dtype=np.int32)
-        cpair_tgt = node_to_entry[pt]          # [NP, R] -> compact ids
-        cpair_tgt[plp <= LOG_ZERO / 2] = M_entry   # dead row slots
         self._M_entry = M_entry
+        # pair membership factored as (left-class mask) x (rcset mask):
+        # pair = cls * NR + rc and a variant enters row (cls, rc) iff
+        # cls in variant.left AND variant.first_class in rcset (the
+        # builder's product predicate, lexicon._build_crossword_tree).
+        # Entry log-probs are always 0 (asserted), so the merge needs
+        # only the mask — two [C, NC]/[C, NR] one-hot matmuls at decode
+        # time instead of a [C*R, M] one-hot (R reaches ~500 and M ~16k
+        # on a production cross-word tree; the reference's re-entry is
+        # likewise per fan-in variant, TPLexPrefixTree.hh:172-240).
+        NP = pt.shape[0]
+        NC, NR = tree.num_classes, tree.num_rcsets
+        assert NP == NC * NR, (NP, NC, NR)
+        valid_rows = plp > LOG_ZERO / 2
+        assert not np.any(plp[valid_rows] != 0.0), \
+            "dense re-entry assumes zero entry log-probs"
+        member = np.zeros((NP, M_entry), bool)
+        rows_p, rows_r = np.nonzero(valid_rows)
+        member[rows_p, node_to_entry[pt[rows_p, rows_r]]] = True
+        m3 = member.reshape(NC, NR, M_entry)
+        left_mem = m3.any(axis=1)              # [NC, M]
+        first_mem = m3.any(axis=0)             # [NR, M]
+        assert np.array_equal(
+            left_mem[:, None, :] & first_mem[None, :, :], m3), \
+            "pair membership is not a product — tree builder invariant"
+        self._NC, self._NR = NC, NR
         # word-end slots as a flat static list (padded to >= num_records
         # so per-frame record buffers have a fixed shape)
         we_n, we_h = np.nonzero(tree.we_exit_logp > LOG_ZERO / 2)
@@ -179,7 +211,8 @@ class DenseBeamSearch:
             "grp_src": jnp.asarray(grp_src),
             "grp_lp": jnp.asarray(grp_lp),
             "grp_inv": jnp.asarray(grp_inv),
-            "cpair_tgt": jnp.asarray(cpair_tgt),
+            "left_mem": jnp.asarray(left_mem.astype(np.float32)),
+            "first_mem": jnp.asarray(first_mem.astype(np.float32)),
             "entry_inv": jnp.asarray(node_to_entry),
             "pdf": jnp.asarray(tree.pdf),
             "dur_state": jnp.asarray(tree.dur_state),
@@ -193,7 +226,6 @@ class DenseBeamSearch:
                 tree.we_exit_logp[we_n, we_h], LOG_ZERO)),
             "we_pron": jnp.asarray(tree.we_pron_logp[we_n, we_h]),
             "we_skip": jnp.asarray(tree.we_skip_lm[we_n, we_h]),
-            "pair_logp": jnp.asarray(tree.root_pair_logp),
             # static per-we-slot duration constants (no dur_state gather)
             "we_dur_valid": None, "we_dur_lncoef": None,
             "we_dur_invb": None, "we_dur_const": None,
@@ -457,56 +489,51 @@ class DenseBeamSearch:
         r_alive = jnp.any(oh_c2 & c_alive[None, :], axis=1)
         r_bo = self._bo_mix(r_lm, lm_tables)
         r_pair = take_c(take_e(t["we_pair"]))
-        # pair rows via a [C, NP] one-hot (NP = context pairs, small)
-        oh_p = r_pair[:, None] == jnp.arange(
-            t["cpair_tgt"].shape[0], dtype=jnp.int32)
-
-        def take_p(vals):
-            m = oh_p.reshape(oh_p.shape + (1,) * (vals.ndim - 1))
-            return jnp.sum(jnp.where(m, vals[None],
-                                     jnp.zeros_like(vals[None])),
-                           axis=1)
-
-        crows_tgt = take_p(t["cpair_tgt"])                 # [C, R]
-        rows_lp = take_p(t["pair_logp"])
+        # pair membership is a product (left-class in variant.left) x
+        # (variant.first_class in rcset): two tiny one-hot matmuls give
+        # the [C, M] entry mask directly.  Entry log-probs are zero by
+        # builder invariant (asserted in __init__), so the merge is a
+        # masked max over the C candidates — no [C*R, M] one-hot (R
+        # reaches ~500 on production cross-word trees).
+        NR = self._NR
+        oh_cls = ((r_pair // NR)[:, None] ==
+                  jnp.arange(self._NC, dtype=jnp.int32)).astype(
+                      jnp.float32)                         # [C, NC]
+        oh_rc = ((r_pair % NR)[:, None] ==
+                 jnp.arange(NR, dtype=jnp.int32)).astype(
+                     jnp.float32)                          # [C, NR]
+        maskC = ((oh_cls @ t["left_mem"])
+                 * (oh_rc @ t["first_mem"])) > 0.5         # [C, M]
         r_total = jnp.where(r_alive, r_am + cfg.lm_scale * r_lms,
                             LOG_ZERO)
-        enter = jnp.where(r_alive[:, None] & (rows_lp > LOG_ZERO / 2),
-                          r_total[:, None] + rows_lp, LOG_ZERO)
-        R = crows_tgt.shape[1]
-        M1 = self._M_entry + 1
-        flat_tgt = crows_tgt.reshape(-1)                   # [C*R]
-        flat_score = enter.reshape(-1)
-        # gather/scatter-free merge: scatters and tiny dynamic gathers
-        # pay a ~55 us fixed cost each on TPU; a [C*R, M+1] broadcast
-        # compare + masked reductions is pure VPU work at this size
-        oh_t = flat_tgt[:, None] == jnp.arange(M1, dtype=jnp.int32)
-        e_sc = jnp.max(jnp.where(oh_t, flat_score[:, None], LOG_ZERO),
-                       axis=0)                             # [M1]
-        fidx = jnp.arange(flat_tgt.shape[0], dtype=jnp.int32)
-        is_best = oh_t & (flat_score[:, None] >= e_sc[None, :])
-        win = jnp.max(jnp.where(is_best, fidx[:, None], -1), axis=0)
-        sel = oh_t & (fidx[:, None] == win[None, :])       # one per col
-        flat_am = (r_am[:, None] + rows_lp).reshape(-1)
-        e_am = jnp.sum(jnp.where(sel, flat_am[:, None], 0.0), axis=0)
-        # per-candidate payloads via a tiny one-hot over C
-        c_win = win // R                                   # [M1]
-        oh_c = (c_win[:, None] ==
-                jnp.arange(C, dtype=jnp.int32)) & (win >= 0)[:, None]
+        enter = jnp.where(maskC & r_alive[:, None],
+                          r_total[:, None], LOG_ZERO)      # [C, M]
+        e_sc = jnp.max(enter, axis=0)                      # [M]
+        winner = jnp.argmax(enter, axis=0)                 # [M]
+        oh_w = ((jnp.arange(C, dtype=jnp.int32)[:, None] ==
+                 winner[None, :])
+                & (e_sc > LOG_ZERO / 2)[None, :])          # [C, M]
 
-        def c_pay(vals):
-            m = oh_c.reshape(oh_c.shape + (1,) * (vals.ndim - 1))
-            return jnp.sum(jnp.where(m, vals[None], jnp.zeros_like(
-                vals[None])), axis=1)
+        def c_pay(vals, fill=0.0):
+            """winner payload: vals [C, ...] -> [M, ...] (+ pad row)."""
+            m = oh_w.reshape(oh_w.shape + (1,) * (vals.ndim - 1))
+            out = jnp.sum(
+                jnp.where(m, vals[:, None], jnp.zeros_like(vals)[:, None]),
+                axis=0)
+            pad = jnp.full((1,) + out.shape[1:], fill, out.dtype)
+            return jnp.concatenate([out, pad])
 
+        e_am = c_pay(r_am)
         e_lms = c_pay(r_lms)
-        e_lm = c_pay(r_lm)                                 # [M1, K]
+        e_lm = c_pay(r_lm)                                 # [M+1, K]
         e_rec2 = c_pay(r_rec)
         e_bo = c_pay(r_bo)
+        e_sc1 = jnp.concatenate([e_sc, jnp.full((1,), LOG_ZERO,
+                                                e_sc.dtype)])
 
         inv = t["entry_inv"]
         cur = jnp.where(new_alive, best, LOG_ZERO)
-        sc_full = e_sc[inv]
+        sc_full = e_sc1[inv]
         take_tgt = sc_full > cur                           # [N]
         new_am = jnp.where(take_tgt, e_am[inv], new_am)
         new_lms = jnp.where(take_tgt, e_lms[inv], new_lms)

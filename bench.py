@@ -56,32 +56,47 @@ def scoring_fps():
     return B * n_frames_i / dt
 
 
-def decode_xrt():
-    """Dense batched decode real-time factor (synthetic ~12k-node
-    cross-word-capable tree, bigram FSA; 125 fps operating point)."""
-    from bench_decode import synth_task
+def decode_xrt(num_words=1000, triphone=True, durations=True, order=3,
+               tag=""):
+    """Dense batched decode real-time factor at the REFERENCE operating
+    point: tied cross-word triphone tree (fan-in/fan-out,
+    `TPLexPrefixTree.hh:172-240`), gamma duration model at scale 3
+    (`rectool.py:547`), trigram backoff LM; 125 fps."""
+    from bench_decode import synth_task, synth_obs
     from aaltoasr_tpu.decoder.search import SearchConfig
     from aaltoasr_tpu.decoder.search_dense import DenseBeamSearch
 
-    model, tree, fsa = synth_task(num_words=1000)
-    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
+    model, tree, fsa = synth_task(num_words=num_words, order=order,
+                                  triphone=triphone, durations=durations)
+    info = synth_task.last_info
+    print(f"decode{tag}: {tree.num_nodes} nodes, {fsa.num_states} "
+          f"lm states, {model.num_states} tied states", file=sys.stderr)
+    cfg = SearchConfig(lm_scale=30.0,
+                       duration_scale=3.0 if durations else 0.0,
                        num_records=32, records_half=True)
     search = DenseBeamSearch(tree, fsa, model, cfg)
     B, T = 128, 1000     # B>=128 fills the 128 VPU lanes
-    rng = np.random.default_rng(1)
-    # stage observations on device: production LNAs come from the
-    # scoring pipeline on-chip (see e2e_xrt); uploading 20 MB of host
-    # obs through the relay would dominate the measurement
-    obs = jnp.asarray(
-        rng.normal(-5, 2, (B, T, model.num_states)).astype(np.float32))
+    # structured observations generated ON device from a [B, T] planted
+    # state plan (real LNAs come from the scoring pipeline on-chip, see
+    # e2e_xrt; a [B, T, S] host upload would be ~GB through the relay)
+    obs_fn, true_words = synth_obs(model, info, B, T)
+    obs = jax.jit(obs_fn)(jax.random.PRNGKey(1))
     n = np.full(B, T, np.int32)
     res = search.decode_batch(obs, n, lattice=False)   # compile + warm
+    agree = tot = dec = 0
+    for b in range(4):
+        ref = [f"w{i}" for i in true_words[b]]
+        agree += sum(h == r for h, r in zip(res[b].words, ref))
+        tot += len(ref)
+        dec += len(res[b].words)
+    print(f"decode{tag}: planted-word check {agree}/{tot} "
+          f"({dec} decoded)", file=sys.stderr)
     dt = float("inf")
     for i in range(5):                         # relay timing is noisy:
         t0 = time.perf_counter()               # take the best run
         res = search.decode_batch(obs, n, lattice=False)
         run = time.perf_counter() - t0
-        print(f"decode run {i}: {run:.3f}s", file=sys.stderr)
+        print(f"decode{tag} run {i}: {run:.3f}s", file=sys.stderr)
         dt = min(dt, run)
     del res
     return (B * T / 125.0) / dt
@@ -102,7 +117,10 @@ def e2e_xrt():
     from aaltoasr_tpu.frontend.generator import FeatureGenerator
     from aaltoasr_tpu.ops.gmm import GmmScorer
 
-    model, tree, fsa = synth_task(num_words=1000)   # D=39, cross-word
+    # the full reference operating point: cross-word tied-triphone
+    # tree + gamma durations (scale 3) + trigram LM
+    model, tree, fsa = synth_task(num_words=1000, order=3,
+                                  triphone=True, durations=True)
     scorer = GmmScorer.from_model(model)
     fg = FeatureGenerator(FeatureConfig.parse(_MFCC_CFG))
     B, SECONDS = 128, 8
@@ -120,7 +138,7 @@ def e2e_xrt():
         feats = jax.vmap(lambda a, m: feature_fn(a, m, params))(s, n)
         return jax.vmap(scorer.lna_log_probs)(feats)
 
-    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
+    cfg = SearchConfig(lm_scale=30.0, duration_scale=3.0,
                        num_records=32)
     search = DenseBeamSearch(tree, fsa, model, cfg)
 

@@ -21,7 +21,21 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def synth_task(num_words=1000, num_phones=25, seed=0, order=2):
+def synth_task(num_words=1000, num_phones=25, seed=0, order=2,
+               triphone=False, durations=False, tied_variants=6):
+    """Synthetic decode task shaped like the reference's operating point.
+
+    triphone=True builds a decision-tree-tied cross-word triphone
+    inventory (the reference default model family, `train.pl` ties
+    context phones via PhonePool): every triphone label ``l-c+r`` the
+    lexicon's cross-word expansion can ask for is present, with its 3
+    states drawn from a tied-state pool keyed by (center, position,
+    left-class, right-class) — the classic tied-state layout, so
+    `build_prefix_tree` takes the `_build_crossword_tree` fan-in/out
+    path (`decoder/src/TPLexPrefixTree.hh:172-240`).
+    durations=True attaches per-state gamma duration params (`.dur`,
+    `dur_est.cc`), decoded with duration_scale 3 (`rectool.py:547`).
+    """
     from aaltoasr_tpu.decoder.lexicon import build_prefix_tree
     from aaltoasr_tpu.decoder.ngram import NGramFsa
     from aaltoasr_tpu.formats import model_io
@@ -30,25 +44,80 @@ def synth_task(num_words=1000, num_phones=25, seed=0, order=2):
     rng = np.random.default_rng(seed)
     phones = [f"p{i}" for i in range(num_phones)] + ["_"]
     D = 39
-    S = 3 * len(phones)
-    means = rng.normal(0, 2, (S, D))
-    model = model_io.HmmModel(
-        dim=D, cov_type="diagonal_cov", means=means,
-        covars=np.ones((S, D)),
-        mixtures=[(np.array([i], np.int32), np.array([1.0]))
-                  for i in range(S)],
-        phones=[model_io.HmmPhone(p, [3 * i, 3 * i + 1, 3 * i + 2])
-                for i, p in enumerate(phones)],
-        transitions={i: [(0, 0.5), (1, 0.5)] for i in range(S)})
 
     lex_lines = ["_ _"]
     words = []
+    prons = []
     for w in range(num_words):
         n = int(rng.integers(3, 9))
-        pron = " ".join(phones[int(rng.integers(num_phones))]
-                        for _ in range(n))
+        pron = [phones[int(rng.integers(num_phones))] for _ in range(n)]
+        prons.append(pron)
         words.append(f"w{w}")
-        lex_lines.append(f"w{w} {pron}")
+        lex_lines.append(f"w{w} " + " ".join(pron))
+
+    if triphone:
+        # tied-state pool: (center, position, left-class, right-class)
+        # -> state id; tied_variants classes per side mimic decision-
+        # tree leaf counts (~1.5k tied states at the defaults)
+        import zlib
+
+        def cls(p, salt):
+            return zlib.crc32(f"{p}|{salt}".encode()) % tied_variants
+
+        state_key: dict = {}
+
+        def tied_state(c, pos, l, r):
+            k = (c, pos, cls(l, 0), cls(r, 1))
+            if k not in state_key:
+                state_key[k] = len(state_key)
+            return state_key[k]
+
+        labels: dict = {}
+
+        def add_tri(l, c, r):
+            lbl = f"{l}-{c}+{r}"
+            if lbl not in labels:
+                labels[lbl] = [tied_state(c, pos, l, r)
+                               for pos in range(3)]
+
+        classes = sorted({p[0] for p in prons}
+                         | {p[-1] for p in prons} | {"_"})
+        for p in prons:
+            for i in range(1, len(p) - 1):
+                add_tri(p[i - 1], p[i], p[i + 1])
+            for c in classes:              # cross-word fan-in/fan-out
+                add_tri(c, p[0], p[1])
+                add_tri(p[-2], p[-1], c)
+        # silence: monophone, own 3 states
+        sil_states = [len(state_key) + i for i in range(3)]
+        S = len(state_key) + 3
+        model_phones = (
+            [model_io.HmmPhone(lbl, sts) for lbl, sts in labels.items()]
+            + [model_io.HmmPhone("_", sil_states)])
+        means = rng.normal(0, 2, (S, D))
+        model = model_io.HmmModel(
+            dim=D, cov_type="diagonal_cov", means=means,
+            covars=np.ones((S, D)),
+            mixtures=[(np.array([i], np.int32), np.array([1.0]))
+                      for i in range(S)],
+            phones=model_phones,
+            transitions={i: [(0, 0.5), (1, 0.5)] for i in range(S)})
+    else:
+        S = 3 * len(phones)
+        means = rng.normal(0, 2, (S, D))
+        model = model_io.HmmModel(
+            dim=D, cov_type="diagonal_cov", means=means,
+            covars=np.ones((S, D)),
+            mixtures=[(np.array([i], np.int32), np.array([1.0]))
+                      for i in range(S)],
+            phones=[model_io.HmmPhone(p, [3 * i, 3 * i + 1, 3 * i + 2])
+                    for i, p in enumerate(phones)],
+            transitions={i: [(0, 0.5), (1, 0.5)] for i in range(S)})
+    if durations:
+        # gamma (a, b) per state, the dur_est.cc model family
+        model.durations = np.stack(
+            [rng.uniform(1.5, 4.0, S), rng.uniform(1.5, 4.0, S)],
+            axis=1)
 
     vocab = ["<s>", "</s>"] + words
     word_index = {w: i for i, w in enumerate(vocab)}
@@ -76,7 +145,71 @@ def synth_task(num_words=1000, num_phones=25, seed=0, order=2):
     from aaltoasr_tpu.decoder.lexicon import read_lexicon
     tree = build_prefix_tree(model, read_lexicon("\n".join(lex_lines)))
     fsa = NGramFsa.from_arpa(lm)
+    synth_task.last_info = {"prons": prons, "words": words,
+                            "phones": phones, "triphone": triphone}
     return model, tree, fsa
+
+
+def synth_obs(model, info, B, T, seed=1, gain=8.0, noise=2.0):
+    """Structured observations: plant a random word sequence per batch
+    element (states via the model's own cross-word context resolution,
+    2-5 frames per state) and emit log-probs = noise + gain on the true
+    state.  Random iid observations make beam decode degenerate (the
+    best path loiters on one self-loop and never pays an LM score);
+    planted sequences make the bench decode actual words like real
+    LNAs do.  Returns (obs_fn(key) -> [B,T,S] device array, true word
+    id sequences) — obs are built on device from the [B,T] state plan
+    (a [B,T,S] host upload would be ~GBs through the relay).
+    """
+    import jax
+    import jax.numpy as jnp
+    from aaltoasr_tpu.decoder.lexicon import _resolve_context
+
+    rng = np.random.default_rng(seed)
+    phone_map = {p.label: p for p in model.phones}
+    prons, words = info["prons"], info["words"]
+    plan = np.zeros((B, T), np.int32)
+    true_words = []
+    for b in range(B):
+        t = 0
+        seq = []
+        prev_last = "_"
+        order = rng.permutation(len(words))
+        i = 0
+        while t < T:
+            w = int(order[i % len(order)])
+            i += 1
+            p = prons[w]
+            nxt = prons[int(order[i % len(order)])][0]
+            states = []
+            for j, c in enumerate(p):
+                l = p[j - 1] if j > 0 else prev_last
+                r = p[j + 1] if j + 1 < len(p) else nxt
+                if info["triphone"]:
+                    lbl = _resolve_context(phone_map, l, c, r) or c
+                else:
+                    lbl = c
+                states.extend(phone_map[lbl].states)
+            start = t
+            for s in states:
+                d = int(rng.integers(2, 6))
+                plan[b, t:t + d] = s
+                t += d
+                if t >= T:
+                    break
+            if t < T:          # word fully planted
+                seq.append(w)
+            prev_last = p[-1]
+        true_words.append(seq)
+    plan_dev = jnp.asarray(plan)
+    S = model.num_states
+
+    def obs_fn(key):
+        z = jax.random.normal(key, (B, T, S), jnp.float32) * noise - 5.0
+        oh = jax.nn.one_hot(plan_dev, S, dtype=jnp.float32) * gain
+        return z + oh
+
+    return obs_fn, true_words
 
 
 def main():
@@ -88,6 +221,11 @@ def main():
                    help="word-end records per frame (lattice richness)")
     p.add_argument("--order", type=int, default=2,
                    help="n-gram order of the synthetic LM")
+    p.add_argument("--triphone", action="store_true",
+                   help="tied cross-word triphone task (reference "
+                        "default model family)")
+    p.add_argument("--durations", action="store_true",
+                   help="gamma duration model, scale 3 (rectool.py:547)")
     args = p.parse_args()
 
     import jax
@@ -98,19 +236,23 @@ def main():
     # axon relay warm-up: first sizable device->host fetch stalls
     np.asarray(jnp.zeros((128, 128)))
 
-    model, tree, fsa = synth_task(num_words=args.words, order=args.order)
+    model, tree, fsa = synth_task(num_words=args.words, order=args.order,
+                                  triphone=args.triphone,
+                                  durations=args.durations)
     print(f"tree nodes: {tree.num_nodes}, lm states: {fsa.num_states}",
           flush=True)
-    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
-                       num_records=args.records)
+    cfg = SearchConfig(
+        lm_scale=30.0,
+        duration_scale=3.0 if args.durations else 0.0,
+        num_records=args.records)
     search = DenseBeamSearch(tree, fsa, model, cfg)
 
     B, T = args.batch, args.frames
-    rng = np.random.default_rng(1)
-    # obs staged on device (production LNAs are produced on-chip by the
-    # scoring pipeline; host->device upload is not part of decode)
-    obs = jnp.asarray(
-        rng.normal(-5, 2, (B, T, model.num_states)).astype(np.float32))
+    # obs generated on device from a planted word-sequence state plan
+    # (production LNAs are produced on-chip by the scoring pipeline;
+    # host->device upload is not part of decode)
+    obs_fn, _ = synth_obs(model, synth_task.last_info, B, T)
+    obs = jax.jit(obs_fn)(jax.random.PRNGKey(1))
     n = np.full(B, T, np.int32)
 
     res = search.decode_batch(obs, n, lattice=False)   # compile+run

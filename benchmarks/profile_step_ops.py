@@ -1,24 +1,36 @@
-"""Trace the actual DenseBeamSearch._decode and print top device ops
-with their source lines."""
+"""Trace the actual DenseBeamSearch decode and print top device ops
+with their source lines.
+
+Usage: python benchmarks/profile_step_ops.py [--triphone] [--batch 64]
+       [--frames 100] [--words 1000]
+"""
 
 from __future__ import annotations
 
+import argparse
 import glob
 import gzip
 import json
 import os
 import sys
-import time
 from collections import defaultdict
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from bench_decode import synth_task  # noqa: E402
+from bench_decode import synth_task, synth_obs  # noqa: E402
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--words", type=int, default=1000)
+    p.add_argument("--triphone", action="store_true")
+    p.add_argument("--order", type=int, default=2)
+    a = p.parse_args()
+
     import jax
     import jax.numpy as jnp
     from aaltoasr_tpu.decoder.search import SearchConfig
@@ -26,26 +38,27 @@ def main():
 
     np.asarray(jnp.zeros((128, 128)))
 
-    model, tree, fsa = synth_task(num_words=1000)
-    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
-                       num_records=32)
+    model, tree, fsa = synth_task(num_words=a.words, order=a.order,
+                                  triphone=a.triphone,
+                                  durations=a.triphone)
+    info = synth_task.last_info
+    print(f"nodes {tree.num_nodes} lm {fsa.num_states}", flush=True)
+    cfg = SearchConfig(lm_scale=30.0,
+                       duration_scale=3.0 if a.triphone else 0.0,
+                       num_records=32, records_half=True)
     search = DenseBeamSearch(tree, fsa, model, cfg)
-    B, T = 64, 100
-    rng = np.random.default_rng(1)
-    obs = jnp.asarray(
-        rng.normal(-5, 2, (B, T, model.num_states)), jnp.float32)
-    n = jnp.full((B,), T, jnp.int32)
-    lm_init = jnp.asarray(np.atleast_1d(np.asarray(
-        search.lm.initial_state("<s>"), dtype=np.int32)))
+    B, T = a.batch, a.frames
+    obs_fn, _ = synth_obs(model, info, B, T)
+    obs = jax.jit(obs_fn)(jax.random.PRNGKey(1))
+    n = np.full((B,), T, np.int32)
 
-    fn = jax.jit(jax.vmap(search._decode, in_axes=(0, 0, None)))
-    out = fn(obs, n, lm_init)
-    jax.block_until_ready(out)
+    res = search.decode_batch(obs, n, lattice=False)
+    del res
 
     tdir = "/tmp/jaxtrace2"
     with jax.profiler.trace(tdir):
-        out = fn(obs, n, lm_init)
-        jax.block_until_ready(out)
+        res = search.decode_batch(obs, n, lattice=False)
+        del res
 
     files = sorted(glob.glob(f"{tdir}/**/*.trace.json.gz",
                              recursive=True))
@@ -53,19 +66,23 @@ def main():
     dur = defaultdict(float)
     cnt = defaultdict(int)
     args = {}
+    total = 0.0
     for e in data["traceEvents"]:
         if e.get("ph") == "X" and "dur" in e:
             name = e.get("name", "?")
             dur[name] += e["dur"]
             cnt[name] += 1
+            total += e["dur"]
             if name not in args and "args" in e:
                 args[name] = e["args"]
-    top = sorted(dur.items(), key=lambda kv: -kv[1])[:30]
+    print(f"total traced: {total/1e3:.1f} ms over {T} frames "
+          f"({total/1e3/T:.3f} ms/frame)")
+    top = sorted(dur.items(), key=lambda kv: -kv[1])[:40]
     for name, d in top:
-        a = args.get(name, {})
-        src = a.get("source", "")[-60:]
-        long = a.get("long_name", "")[:100]
-        print(f"{d/1e3:8.2f} ms x{cnt[name]:5d} {name[:24]:24s} "
+        aa = args.get(name, {})
+        src = aa.get("source", "")[-60:]
+        long = aa.get("long_name", "")[:110]
+        print(f"{d/1e3:8.2f} ms x{cnt[name]:5d} {name[:28]:28s} "
               f"{src} | {long}")
 
 
