@@ -330,6 +330,16 @@ def _build_crossword_tree(model: HmmModel, entries: list,
 
     Word ends carry pair ids (last monophone class, fan-out class set);
     ``root_pair_tgt[pair]`` lists the fan-in entries that continue them.
+
+    Tied-model minimization: boundary variants are keyed by their TIED
+    STATE SEQUENCE, not their label — decision-tree tying maps many
+    context labels to the same physical states, and such variants are
+    acoustically identical, so they merge (context sets union).  The
+    reference builds one node chain per label (`TPLexPrefixTree.cc`
+    fan-in/fan-out); a dense searcher pays for every node every frame,
+    so the minimized network is the TPU-correct form.  Decode scores
+    are unchanged: merged variants had identical emission pdfs,
+    transitions, and continuations.
     """
     import sys
 
@@ -414,13 +424,14 @@ def _build_crossword_tree(model: HmmModel, entries: list,
                     lbl = _resolve_context(phone_map, c, p[0], r)
                     if lbl is None:
                         continue          # this context pair unmodeled
-                    v = vd.get(lbl)
+                    skey = tuple(phone_map[lbl].states)
+                    v = vd.get(skey)
                     if v is None:
-                        v = vd[lbl] = Variant(lbl)
+                        v = vd[skey] = Variant(lbl)
                         v.first_class = cid[p[0]]
                     v.left.add(cid[c])
                     v.rset.add(cid[r])
-                    variants[lbl] = v
+                    variants[skey] = v
             if not variants:
                 print(f"build_prefix_tree: unknown hmm {p[0]} in "
                       f"word '{e.word}'", file=sys.stderr)
@@ -451,16 +462,17 @@ def _build_crossword_tree(model: HmmModel, entries: list,
                   f"'{e.word}'", file=sys.stderr)
             continue
 
-        # fan-in variants of the first phone
+        # fan-in variants of the first phone (merged by tied states)
         fi = fanin.setdefault((p[0], p[1]), {})
         first_vars = {}
         for c, lbl in first_lbls.items():
-            v = fi.get(lbl)
+            skey = tuple(phone_map[lbl].states)
+            v = fi.get(skey)
             if v is None:
-                v = fi[lbl] = Variant(lbl)
+                v = fi[skey] = Variant(lbl)
                 v.first_class = cid[p[0]]
             v.left.add(cid[c])
-            first_vars[lbl] = v
+            first_vars[skey] = v
 
         # shared interior chain
         prev_insts = [v.inst for v in first_vars.values()]
@@ -473,15 +485,16 @@ def _build_crossword_tree(model: HmmModel, entries: list,
                 wire(src, inst)
             prev_insts = [inst]
 
-        # fan-out variants of the last phone
+        # fan-out variants of the last phone (merged by tied states)
         fo = fanout.setdefault(tuple(p), {})
         last_vars = {}
         for r, lbl in last_lbls.items():
-            v = fo.get(lbl)
+            skey = tuple(phone_map[lbl].states)
+            v = fo.get(skey)
             if v is None:
-                v = fo[lbl] = Variant(lbl)
+                v = fo[skey] = Variant(lbl)
             v.rset.add(cid[r])
-            last_vars[lbl] = v
+            last_vars[skey] = v
         for v in last_vars.values():
             for src in prev_insts:
                 wire(src, v.inst)

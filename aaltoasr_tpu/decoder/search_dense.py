@@ -585,39 +585,66 @@ class DenseBeamSearch:
         T = obs.shape[0]
         valid = jnp.arange(1, T) < n_frames
         steps = jnp.arange(T - 1, dtype=jnp.int32)
+        # Without a final </s> LM update the per-frame best is a few
+        # scalars, so instead of freezing the whole [N] carry with
+        # jnp.where(v, new, old) per payload (7 full-array read+writes
+        # per step), snapshot the best (rec, total, am, lms) each frame
+        # and let the state evolve garbage past n_frames.
+        snap = not cfg.require_sentence_end
 
-        def step(state, xs):
+        def fin_of(s):
+            am_, lms_, _lm, _dur, rec_, _bo, alive_ = s
+            total = jnp.where(alive_, am_ + cfg.lm_scale * lms_,
+                              -jnp.inf)
+            mx = jnp.max(total)
+            isb = total == mx
+            best_rec = jnp.max(jnp.where(isb, rec_, jnp.int32(-2**31)))
+            best_am = jnp.max(jnp.where(isb, am_, -jnp.inf))
+            best_lms = jnp.max(jnp.where(isb, lms_, -jnp.inf))
+            return jnp.stack([best_rec.astype(jnp.float32), mx,
+                              best_am, best_lms])
+
+        def step(carry, xs):
+            state, fin = carry
             obs_t, v, i = xs
             # per-step [N] <- [S] static gather: cheaper than a [T, N]
             # precompute (which also capped the batch via its HBM cost)
             new_state, recs = self._step(state, obs_t[t["pdf"]], i,
                                          t, lm_tables)
-            out = jax.tree.map(lambda n, o: jnp.where(v, n, o),
-                               new_state, state)
+            if snap:
+                fin = jnp.where(v, fin_of(new_state), fin)
+                out = new_state
+            else:
+                out = jax.tree.map(lambda n, o: jnp.where(v, n, o),
+                                   new_state, state)
             recs = jax.tree.map(
                 lambda r: jnp.where(v, r, jnp.full_like(
                     r, -1 if r.dtype == jnp.int32 else 0)), recs)
-            return out, recs
+            return (out, fin), recs
 
-        state, recs = jax.lax.scan(step, state,
-                                   (obs[1:], valid, steps))
+        (state, fin), recs = jax.lax.scan(
+            step, (state, fin_of(state)), (obs[1:], valid, steps))
 
         # finalize ON DEVICE: only scalars + the packed per-frame record
         # stacks cross the wire (a [B, N] state fetch costs seconds on a
         # relay-mediated link)
-        am, lms, lm, dur, rec, bo, alive = state
-        if cfg.require_sentence_end:
+        if snap:
+            finals = fin
+            rec_best = fin[0].astype(jnp.int32)
+        else:
+            am, lms, lm, dur, rec, bo, alive = state
             end_id = self.lm.word_index.get(cfg.sentence_end)
             if end_id is not None:
                 _, end_sc = self._walk(
                     jnp.stack(lm, axis=-1),
                     jnp.full((N,), end_id, jnp.int32), lm_tables)
                 lms = lms + jnp.where(alive, end_sc, 0.0)
-        total = jnp.where(alive, am + cfg.lm_scale * lms, -jnp.inf)
-        bestn = jnp.argmax(total)
-        finals = jnp.stack([
-            rec[bestn].astype(jnp.float32), total[bestn],
-            am[bestn], lms[bestn]])
+            total = jnp.where(alive, am + cfg.lm_scale * lms, -jnp.inf)
+            bestn = jnp.argmax(total)
+            finals = jnp.stack([
+                rec[bestn].astype(jnp.float32), total[bestn],
+                am[bestn], lms[bestn]])
+            rec_best = rec[bestn]
         if not lattice:
             # 1-best traceback ON DEVICE: the full record stacks are
             # tens of MB and the relay moves ~10 MB/s; the word chain
@@ -640,7 +667,7 @@ class DenseBeamSearch:
 
             _, nw, words = jax.lax.while_loop(
                 cond, body,
-                (rec[bestn], jnp.int32(0),
+                (rec_best, jnp.int32(0),
                  jnp.full((Wmax,), -1, jnp.int32)))
             return finals, words, nw
         rec_ints = jnp.stack([recs[0], recs[1]], axis=-1)   # [T-1, E, 2]
