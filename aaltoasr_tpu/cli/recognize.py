@@ -61,6 +61,10 @@ def main(argv=None) -> int:
                    help="write SLF word graphs next to the LNAs")
     p.add_argument("--nbest", type=int, default=0,
                    help="print n-best lists")
+    p.add_argument("--stateseg", action="store_true",
+                   help="write <lna>.stateseg state-segmentation files "
+                        "(recognize-stateseg.py workflow; "
+                        "Toolbox.hh:261-265,334)")
     p.add_argument("--confidence", action="store_true",
                    help="print per-word confusion-network confidences")
     p.add_argument("-B", "--batch", type=int, default=0)
@@ -145,6 +149,9 @@ def main(argv=None) -> int:
     def emit(rinfo, lna_path, res):
         key = rinfo.utterance_id or os.path.basename(lna_path)
         print(f"{' '.join(res.words)} ({key})")
+        if args.stateseg:
+            lp, _ = read_lna(lna_path)
+            t.write_state_segmentation(lna_path + ".stateseg", res, lp)
         if need_lattice:
             g = res.word_graph()
             if args.lattices:

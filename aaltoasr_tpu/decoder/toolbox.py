@@ -55,6 +55,7 @@ class Toolbox:
     # -- model/lexicon/LM loading (Toolbox.hh:42-108) ---------------------
     def lex_read(self, path) -> None:
         entries = read_lexicon(path)
+        self._lex_entries = entries
         self.tree = build_prefix_tree(
             self.model, entries,
             silence_is_word=self._silence_is_word,
@@ -209,6 +210,52 @@ class Toolbox:
         """Decode one LNA file (lna_open + run loop equivalent)."""
         lp, _ = read_lna(lna_path)
         return self.decode(lp, lattice=lattice)
+
+    # -- state segmentation (Toolbox.hh:261-265, 334) ----------------------
+    def set_keep_state_segmentation(self, value) -> None:
+        """Keep enough decode context to emit state-level segments."""
+        self._keep_stateseg = bool(value)
+
+    def state_segmentation(self, result, state_log_probs,
+                           n_frames: int | None = None) -> list:
+        """State segments of a decode result: re-aligns the 1-best word
+        sequence with the hmmnet Viterbi (see decoder/stateseg.py; the
+        reference threads a StateHistory chain through the search,
+        `TokenPassSearch.cc:668-680`)."""
+        from aaltoasr_tpu.decoder.stateseg import state_segmentation
+        from aaltoasr_tpu.models.hmm import TransitionTable
+        if getattr(self, "_lex_entries", None) is None:
+            raise RuntimeError("lexicon not loaded (lex_read)")
+        if getattr(self, "_ss_table", None) is None:
+            self._ss_table = TransitionTable.from_model(self.model)
+        prons: dict = {}
+        sil_prons: list = []
+        for e in self._lex_entries:
+            if not e.phones:
+                continue
+            is_sil = (e.word == "_" or (not self._silence_is_word
+                                        and e.word.startswith("_")))
+            if is_sil:
+                sil_prons.append(e.phones)
+            else:
+                prons.setdefault(e.word, []).append(e.phones)
+        words = result.words if hasattr(result, "words") else result
+        words = [w for w in words
+                 if w not in (self._sentence_start, self._sentence_end)]
+        if n_frames is None:
+            n_frames = state_log_probs.shape[0]
+        return state_segmentation(
+            self.model, self._ss_table, state_log_probs, n_frames,
+            [prons[w] for w in words], silence_prons=sil_prons)
+
+    def write_state_segmentation(self, file_name: str, result,
+                                 state_log_probs,
+                                 n_frames: int | None = None) -> None:
+        """``start end state`` lines (Toolbox.hh:334)."""
+        from aaltoasr_tpu.decoder.stateseg import write_state_segmentation
+        write_state_segmentation(
+            file_name,
+            self.state_segmentation(result, state_log_probs, n_frames))
 
     # -- streaming (OneFrameAcoustics; Toolbox.hh:123-145) ----------------
     def use_one_frame_acoustics(self):

@@ -24,6 +24,8 @@
 int main(int argc, char **argv) {
   const char *ph = nullptr, *dur = nullptr, *lex = nullptr;
   const char *arpa = nullptr, *lna = nullptr, *lookahead = nullptr;
+  const char *stateseg = nullptr, *wordgraph = nullptr;
+  const char *nbest = nullptr;
   float beam = 280, lm_scale = 30, dur_scale = 3, trans_scale = 1;
   float insertion_penalty = 0;
   int token_limit = 100000;
@@ -45,6 +47,9 @@ int main(int argc, char **argv) {
     else if (a == "--dur-scale") dur_scale = atof(next());
     else if (a == "--trans-scale") trans_scale = atof(next());
     else if (a == "--insertion-penalty") insertion_penalty = atof(next());
+    else if (a == "--stateseg") stateseg = next();
+    else if (a == "--wordgraph") wordgraph = next();
+    else if (a == "--nbest") nbest = next();
     else if (a == "--no-crossword") crossword = false;
     else if (a == "--no-oss") oss = false;
     else if (a == "--no-require-end") require_end = false;
@@ -81,12 +86,18 @@ int main(int argc, char **argv) {
   }
   t.set_use_word_pair_approximation(true);
 
+  if (stateseg) t.set_keep_state_segmentation(1);
+  if (wordgraph || nbest) t.set_generate_word_graph(true);
+
   t.lna_open(lna, 1024);
   t.reset(0);
   t.set_end(-1);
   int frames = 0;
   while (t.run()) ++frames;
   t.print_best_lm_history(stdout);
+  if (stateseg) t.write_state_segmentation(stateseg);
+  if (wordgraph) t.write_word_graph(wordgraph);
+  if (nbest) t.write_word_history(nbest);
   fprintf(stderr, "frames=%d\n", frames);
   return 0;
 }
