@@ -210,6 +210,8 @@ class BeamSearch:
                 [lm.word_index.get(w, -1) for w in lm_names]
                 or [-1], dtype=np.int32)),
         }
+        self._has_durations = bool(
+            np.any(np.asarray(self.tables["dur_tab"]) != 0))
         # interpolated LMs walk every member and mix scores
         # (InterTreeGram decode, decoder/src/InterTreeGram.hh:41)
         if isinstance(lm, InterNGramFsa):
@@ -260,6 +262,12 @@ class BeamSearch:
             "over_tgt": jnp.asarray(o_tgt),
             "over_lp": jnp.asarray(o_lp),
         })
+        # fused (node, lm) sort key when the product space fits int32
+        S_lm = int(getattr(lm, "num_states", 0) or 0)
+        self._fused_sort_key = 0
+        if self._K == 1 and S_lm > 0 and \
+                tree.num_nodes * S_lm < 2**31 - 1:
+            self._fused_sort_key = S_lm
         self._init_pair = int(tree.init_pair)
         self._la_on = bool(config.lm_lookahead)
         self._la_bigram = False
@@ -316,6 +324,10 @@ class BeamSearch:
     # -- candidate container: dict of parallel arrays ---------------------
     def _dur_bonus(self, node, dur, t):
         """Duration log-prob for leaving a state after dur+1 frames."""
+        if not self._has_durations:
+            # no duration model / scale 0: the table is all zeros, and
+            # the two [B, W]-sized gathers per step are pure overhead
+            return jnp.zeros(node.shape, jnp.float32)
         d = jnp.clip(dur + 1, 1, self.config.max_dur)
         return t["dur_tab"][t["dur_state"][node], d - 1]
 
@@ -487,34 +499,56 @@ class BeamSearch:
         # recombine: one sort by (node, lm, -total) carrying only the
         # candidate index as payload; first per key wins.  Then top-W via
         # top_k on the masked scores (cheaper than a second full sort).
+        # When (node, lm) fits one int32 the two key columns fuse
+        # (fewer sort passes); payloads after top-W come back through
+        # ONE row-packed gather (ints bitcast through f32) — separate
+        # per-payload takes cost a fixed ~0.3 ms each on TPU.
         sort_node = jnp.where(cand["alive"], cand["node"], INT_MAX)
         neg_total = jnp.where(cand["alive"], -total, jnp.inf)
         idx0 = jnp.arange(sort_node.shape[0], dtype=jnp.int32)
-        lm_cols = tuple(cand["lm"][:, k] for k in range(K))
-        out = jax.lax.sort(
-            (sort_node,) + lm_cols + (neg_total, idx0),
-            num_keys=2 + K)
-        s_node = out[0]
-        s_lms = out[1:1 + K]
-        s_negt, s_idx = out[1 + K], out[2 + K]
-        diff = s_node[1:] != s_node[:-1]
-        for col in s_lms:
-            diff = diff | (col[1:] != col[:-1])
-        first = jnp.concatenate([jnp.asarray([True]), diff])
-        s_alive = first & (s_node != INT_MAX)
+        if self._fused_sort_key:
+            key = jnp.where(
+                cand["alive"],
+                cand["node"] * jnp.int32(self._fused_sort_key)
+                + cand["lm"][:, 0], INT_MAX)
+            out = jax.lax.sort((key, neg_total, idx0), num_keys=2)
+            s_key, s_negt, s_idx = out
+            diff = s_key[1:] != s_key[:-1]
+            first = jnp.concatenate([jnp.asarray([True]), diff])
+            s_alive = first & (s_key != INT_MAX)
+        else:
+            lm_cols = tuple(cand["lm"][:, k] for k in range(K))
+            out = jax.lax.sort(
+                (sort_node,) + lm_cols + (neg_total, idx0),
+                num_keys=2 + K)
+            s_node = out[0]
+            s_lms = out[1:1 + K]
+            s_negt, s_idx = out[1 + K], out[2 + K]
+            diff = s_node[1:] != s_node[:-1]
+            for col in s_lms:
+                diff = diff | (col[1:] != col[:-1])
+            first = jnp.concatenate([jnp.asarray([True]), diff])
+            s_alive = first & (s_node != INT_MAX)
 
         score = jnp.where(s_alive, -s_negt, -jnp.inf)
-        _, top = jax.lax.top_k(score, W)
+        vals, top = jax.lax.top_k(score, W)
         sel = jnp.take(s_idx, top)          # original candidate rows
+        as_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        as_i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        packed = jnp.stack(
+            [as_f(cand["node"]), cand["am"], cand["lms"],
+             as_f(cand["dur"]), as_f(cand["rec"]), as_f(cand["law"])]
+            + [as_f(cand["lm"][:, k]) for k in range(K)], axis=-1)
+        got = jnp.take(packed, sel, axis=0)           # [W, 6+K]
         new_tokens = (
-            jnp.take(cand["node"], sel),
-            jnp.take(cand["lm"], sel, axis=0),
-            jnp.take(cand["am"], sel),
-            jnp.take(cand["lms"], sel),
-            jnp.take(cand["dur"], sel),
-            jnp.take(cand["rec"], sel),
-            jnp.take(s_alive, top),
-            jnp.take(cand["law"], sel),
+            as_i(got[:, 0]),
+            jnp.stack([as_i(got[:, 6 + k]) for k in range(K)], axis=-1),
+            got[:, 1],
+            got[:, 2],
+            as_i(got[:, 3]),
+            as_i(got[:, 4]),
+            vals > -jnp.inf,                # alive == selected real key
+            as_i(got[:, 5]),
         )
         return new_tokens, (rec_word, rec_prev, rec_am, rec_lms)
 
