@@ -67,6 +67,9 @@ def main(argv=None) -> int:
                         "Toolbox.hh:261-265,334)")
     p.add_argument("--confidence", action="store_true",
                    help="print per-word confusion-network confidences")
+    p.add_argument("--split-multiwords", action="store_true",
+                   help="score multiwords (give_me) as component-word "
+                        "sequences in the LM (Toolbox.hh:223-232)")
     p.add_argument("-B", "--batch", type=int, default=0)
     p.add_argument("-I", "--bindex", type=int, default=0)
     p.add_argument("-i", "--info", type=int, default=0)
@@ -143,6 +146,8 @@ def main(argv=None) -> int:
     t.set_insertion_penalty(args.insertion_penalty)
     if args.overflow_tokens:
         t.set_overflow_tokens(args.overflow_tokens)
+    if args.split_multiwords:
+        t.set_split_multiwords(True)
 
     need_lattice = bool(args.lattices or args.nbest or args.confidence)
 

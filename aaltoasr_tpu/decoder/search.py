@@ -74,6 +74,65 @@ class SearchConfig:
                                     # the default with branch expansion
                                     # pruned for the weakest tokens (a
                                     # beam-like knob).
+    split_multiwords: bool = False  # score multiwords ("give_me") as
+                                    # their component-word sequence in
+                                    # the LM (Toolbox.hh:223-232,
+                                    # TokenPassSearch.cc:1689-1734 +
+                                    # split_and_compute_ngram_score
+                                    # :1818-1843)
+
+
+def multiword_components(lm_names, lm, split: bool):
+    """Per tree word: component LM-word ids and names.
+
+    Returns (comp [V, Cmax] int32 padded with -1,
+             lm_id [V] int32 — first component id, or -1 when ANY
+             component is missing from the LM (such words are pruned,
+             `TokenPassSearch.cc:846-862`),
+             first_names, last_names — component names for lookahead
+             mapping: subtree values use the FIRST component, context
+             rows the LAST (TokenPassSearch.cc:1872 multiword
+             lookahead)).
+
+    With split=False (or no '_' in a word) every word is its own
+    single component, so Cmax == 1 and the walk loop degenerates to
+    the plain one-word walk at zero cost.  Words STARTING with '_'
+    are silences, never split (TokenPassSearch.cc:1688-1691).
+    """
+    parts_of = []
+    for w in lm_names:
+        if split and not w.startswith("_") and "_" in w:
+            ps = [p for p in w.split("_") if p]
+            parts_of.append(ps if ps else [w])
+        else:
+            parts_of.append([w])
+    cmax = max((len(p) for p in parts_of), default=1)
+    V = max(len(lm_names), 1)
+    comp = np.full((V, cmax), -1, np.int32)
+    lm_id = np.full((V,), -1, np.int32)
+    for i, ps in enumerate(parts_of):
+        ids = [lm.word_index.get(p, -1) for p in ps]
+        comp[i, :len(ids)] = ids
+        lm_id[i] = ids[0] if all(x >= 0 for x in ids) else -1
+    first = [ps[0] for ps in parts_of] or [""]
+    last = [ps[-1] for ps in parts_of] or [""]
+    return comp, lm_id, first, last
+
+
+def walk_components(walk_fn, states, comp_ids):
+    """Compose the LM walk over multiword components: walk_fn is
+    (states [..., K], word [...]) -> (next [..., K], score); comp_ids
+    is [..., Cmax] with -1 padding (identity)."""
+    st = states
+    sc = None
+    for c in range(comp_ids.shape[-1]):
+        wc = comp_ids[..., c]
+        ok = wc >= 0
+        nst, s = walk_fn(st, jnp.maximum(wc, 0))
+        st = jnp.where(ok[..., None], nst, st)
+        s = jnp.where(ok, s, 0.0)
+        sc = s if sc is None else sc + s
+    return st, sc
 
 
 def unigram_lookahead(tree: PrefixTree, lm: NGramFsa,
@@ -204,12 +263,15 @@ class BeamSearch:
             "dur_tab": jnp.asarray(
                 duration_table(model, config.max_dur,
                                config.duration_scale)),
-            # tree word id -> LM word id (LMHistory::Word::lm_id();
-            # words absent from the LM are pruned, TokenPassSearch.cc:846)
-            "lm_id": jnp.asarray(np.asarray(
-                [lm.word_index.get(w, -1) for w in lm_names]
-                or [-1], dtype=np.int32)),
         }
+        # tree word id -> LM word id (LMHistory::Word::lm_id(); words
+        # absent from the LM — or any missing multiword component —
+        # are pruned, TokenPassSearch.cc:846-862)
+        mw_comp, lm_id_arr, la_first, la_last = multiword_components(
+            lm_names, lm, config.split_multiwords)
+        self._mw_cmax = mw_comp.shape[1]
+        self.tables["lm_id"] = jnp.asarray(lm_id_arr)
+        self.tables["mw_comp"] = jnp.asarray(mw_comp)
         self._has_durations = bool(
             np.any(np.asarray(self.tables["dur_tab"]) != 0))
         # interpolated LMs walk every member and mix scores
@@ -262,6 +324,20 @@ class BeamSearch:
             "over_tgt": jnp.asarray(o_tgt),
             "over_lp": jnp.asarray(o_lp),
         })
+        # pdf-composed arc-target tables: obs at candidate targets is
+        # fetched as obs_t[pdfX] (shared-index gather — the batch rides
+        # the lane dimension) followed by a small per-token ROW gather,
+        # instead of one per-candidate scalar gather (~8 ns per gather
+        # index on TPU; was ~1/3 of the exact step)
+        pdf_np = np.asarray(tree.pdf, np.int32)
+        self.tables.update({
+            "pdf3": jnp.asarray(pdf_np[tgt3]),
+            "pdf_over": jnp.asarray(pdf_np[o_tgt]),
+            "pdf_root": jnp.asarray(
+                pdf_np[np.maximum(np.asarray(tree.root_pair_tgt), 0)]),
+            "pdf_arc": jnp.asarray(
+                pdf_np[np.maximum(np.asarray(tree.arc_tgt), 0)]),
+        })
         # fused (node, lm) sort key when the product space fits int32
         S_lm = int(getattr(lm, "num_states", 0) or 0)
         self._fused_sort_key = 0
@@ -279,10 +355,12 @@ class BeamSearch:
                     and (V + 1) * tree.num_nodes * 4 <= 512_000_000):
                 self._la_bigram = True
                 self.tables["la2"] = jnp.asarray(
-                    bigram_lookahead(tree, la_lm, lm_names))
-                # tree word id -> lookahead-LM row (V = no-context row)
+                    bigram_lookahead(tree, la_lm, la_first))
+                # tree word id -> lookahead-LM row (V = no-context
+                # row); multiword context = its LAST component
+                # (TokenPassSearch.cc:1872)
                 self.tables["la_wid"] = jnp.asarray(np.asarray(
-                    [la_lm.word_index.get(w, V) for w in lm_names]
+                    [la_lm.word_index.get(w, V) for w in la_last]
                     or [V], dtype=np.int32))
                 self._la_init_row = la_lm.word_index.get("<s>", V)
             else:
@@ -292,7 +370,54 @@ class BeamSearch:
                           "budget; falling back to unigram",
                           file=sys.stderr)
                 self.tables["la"] = jnp.asarray(unigram_lookahead(
-                    tree, la_lm, lm_names))
+                    tree, la_lm, la_first))
+        # ---- row-packed per-node step table: ONE contiguous row
+        # gather per token per step replaces ~6 separate per-token
+        # scalar gathers (TPU gather cost is ~5-8 ns per gather INDEX
+        # regardless of row width, so packed row fetches amortize; ints
+        # travel as f32 bit patterns, like the post-sort payload gather)
+        lm_id_np = np.asarray(self.tables["lm_id"])
+        we_word_np = np.asarray(tree.we_word, np.int32)
+        we_lmid = np.where(we_word_np >= 0,
+                           lm_id_np[np.maximum(we_word_np, 0)], -1)
+        _pk_cols: list = []
+        self._pk: dict = {}
+
+        def _pk_add(name, arr, bits=False):
+            a = np.asarray(arr)
+            if bits:
+                # int columns ride as exact f32 VALUES (all ids are
+                # < 2^24), not bit views: small-int bit patterns are
+                # f32 denormals, which TPU float paths may flush to 0
+                assert np.abs(a.astype(np.int64)).max() < 2**24, name
+            a = a.astype(np.float32)
+            if a.ndim == 1:
+                a = a[:, None]
+            self._pk[name] = (sum(c.shape[1] for c in _pk_cols),
+                              a.shape[1])
+            _pk_cols.append(a)
+
+        _pk_add("tgt3", tgt3, bits=True)
+        _pk_add("lp3", lp3)
+        _pk_add("over_map", over_map, bits=True)
+        _pk_add("we_pair", tree.we_pair, bits=True)
+        _pk_add("dur_state", tree.dur_state, bits=True)
+        _pk_add("we_word", we_word_np, bits=True)
+        _pk_add("we_exit", tree.we_exit_logp)
+        _pk_add("we_pron", tree.we_pron_logp)
+        _pk_add("we_skip", np.asarray(tree.we_skip_lm, np.int32),
+                bits=True)
+        _pk_add("we_lmid", we_lmid, bits=True)
+        if self._la_bigram:
+            la_wid_np = np.asarray(self.tables["la_wid"])
+            V_la = int(self.tables["la2"].shape[0]) - 1
+            _pk_add("we_law",
+                    np.where(we_word_np >= 0,
+                             la_wid_np[np.maximum(we_word_np, 0)],
+                             V_la), bits=True)
+        self._pk_width = sum(c.shape[1] for c in _pk_cols)
+        self.tables["step_pack"] = jnp.asarray(
+            np.concatenate(_pk_cols, axis=1))
         # device tables pass through jit as ARGUMENTS (closed-over
         # arrays embed as HLO constants; production-LM tables blow the
         # compile relay's program-size limit — same fix as the dense
@@ -322,14 +447,15 @@ class BeamSearch:
         self._decode_jit = jax.jit(_bound, static_argnames=())
 
     # -- candidate container: dict of parallel arrays ---------------------
-    def _dur_bonus(self, node, dur, t):
-        """Duration log-prob for leaving a state after dur+1 frames."""
+    def _dur_bonus(self, ds, dur, t):
+        """Duration log-prob for leaving a state after dur+1 frames;
+        ds = per-token duration-model state (from the packed gather)."""
         if not self._has_durations:
             # no duration model / scale 0: the table is all zeros, and
-            # the two [B, W]-sized gathers per step are pure overhead
-            return jnp.zeros(node.shape, jnp.float32)
+            # the [B, W]-sized gathers per step are pure overhead
+            return jnp.zeros(ds.shape, jnp.float32)
         d = jnp.clip(dur + 1, 1, self.config.max_dur)
-        return t["dur_tab"][t["dur_state"][node], d - 1]
+        return t["dur_tab"][ds, d - 1]
 
     def _walk(self, states, word, t, lm_tables):
         """(states [..., K], word [...]) -> (next [..., K], score)."""
@@ -340,25 +466,41 @@ class BeamSearch:
                                  self.lm.order, states[..., 0], word)
         return nxt[..., None], sc
 
-    def _step(self, tokens, obs_node, step_idx, t, lm_tables):
-        # obs_node is ALREADY per-node (obs_t[pdf] gathered by the
-        # caller): candidates then need ONE dynamic gather instead of
-        # the chained pdf[cand] -> obs[pdf] pair (each runs ~0.2
-        # elem/ns over [B, W*A] on TPU — together they were ~60% of
-        # the exact step)
+    def _step(self, tokens, obs_t, step_idx, t, lm_tables):
+        # obs_t is the raw [S] frame log-probs: candidate obs comes
+        # from pdf-composed shared-index gathers (obs_t[pdf3] etc. —
+        # batch rides the lanes) + small per-token ROW gathers.  A
+        # flat per-candidate gather costs ~8 ns per gather index on
+        # TPU and was ~1/3 of the whole step.
         cfg = self.config
         W = cfg.num_tokens
         E = cfg.num_records
         K = self._K
         node, lmst, am, lms, dur, rec, alive, law = tokens
 
+        # ---- 0. ONE packed row gather per token: the per-node step
+        # tables plus this frame's obs at the dense arc targets
+        obs3 = obs_t[t["pdf3"]]                    # [N, 3] shared-index
+        pkfull = jnp.concatenate([t["step_pack"], obs3], axis=1)
+        pk = pkfull[node]                          # [W, P+3] row gather
+
+        def pcol(name, ints=False):
+            s, w = self._pk[name]
+            v = jax.lax.slice_in_dim(pk, s, s + w, axis=1)
+            return v.astype(jnp.int32) if ints else v
+
+        P = self._pk_width
+        obs1 = jax.lax.slice_in_dim(pk, P, P + 3, axis=1)   # [W, 3]
+        ds = pcol("dur_state", True)[:, 0]
+        durb_tok = self._dur_bonus(ds, dur, t)     # [W], reused below
+
         # ---- 1. in-word expansion
-        def expand(sel_node, sel_tok, a_tgt, a_lp, allow_self):
+        def expand(sel_node, sel_tok, a_tgt, a_lp, allow_self, durb_s):
             """candidates from arc tables gathered per selected token:
             payloads broadcast from token index sel_tok."""
             shape = a_tgt.shape
             is_self = allow_self & (a_tgt == sel_node[:, None])
-            durb = self._dur_bonus(sel_node, dur[sel_tok], t)[:, None]
+            durb = durb_s[:, None]
             durp = jnp.where(is_self, 0.0, durb)
             c = {
                 "node": a_tgt,
@@ -381,35 +523,51 @@ class BeamSearch:
             # dense [W, 3] slots cover every node with fan <= 3; the
             # rare branch fan-out expands only for the top-O tokens
             # sitting at branch nodes (exact when O covers them all)
-            c1 = expand(node, all_tok, t["tgt3"][node],
-                        t["lp3"][node], True)
+            c1 = expand(node, all_tok, pcol("tgt3", True),
+                        pcol("lp3"), True, durb_tok)
+            c1["am"] = c1["am"] + obs1.reshape(-1)
             O = min(cfg.overflow_tokens, W)
-            orow = t["over_map"][node]                  # [W]
+            orow = pcol("over_map", True)[:, 0]         # [W]
             is_branch = alive & (orow < self._num_over_rows)
             rank = jnp.where(is_branch,
                              am + cfg.lm_scale * lms, -jnp.inf)
             _, sel_o = jax.lax.top_k(rank, O)
             o_row = orow[sel_o]
             c1b = expand(node[sel_o], sel_o, t["over_tgt"][o_row],
-                         t["over_lp"][o_row], False)
+                         t["over_lp"][o_row], False, durb_tok[sel_o])
+            c1b["am"] = c1b["am"] + \
+                obs_t[t["pdf_over"]][o_row].reshape(-1)
             c1b["alive"] = c1b["alive"] & jnp.repeat(
                 jnp.take(is_branch, sel_o), t["over_tgt"].shape[1])
             c1 = {k: jnp.concatenate([c1[k], c1b[k]]) for k in c1}
         else:
             c1 = expand(node, all_tok, t["arc_tgt"][node],
-                        t["arc_logp"][node], True)
+                        t["arc_logp"][node], True, durb_tok)
+            c1["am"] = c1["am"] + \
+                obs_t[t["pdf_arc"]][node].reshape(-1)
 
         # ---- 2. word ends [W, H] -> records [E] -> root arcs [E, R]
-        w_word = t["we_word"][node]                     # [W, H]
-        w_exit = t["we_exit"][node]
-        w_pron = t["we_pron"][node]
-        w_skip = t["we_skip"][node]
+        w_word = pcol("we_word", True)                  # [W, H]
+        w_exit = pcol("we_exit")
+        w_pron = pcol("we_pron")
+        w_skip = pcol("we_skip", True).astype(bool)
         w_alive = alive[:, None] & (w_exit > LOG_ZERO / 2)
-        w_lmid = t["lm_id"][jnp.maximum(w_word, 0)]     # [W, H]
+        w_lmid = pcol("we_lmid", True)                  # [W, H]
         lm_in = jnp.broadcast_to(
             lmst[:, None, :], w_word.shape + (K,)).reshape(-1, K)
-        word_in = jnp.maximum(w_lmid, 0).reshape(-1)
-        lm_next, lm_score = self._walk(lm_in, word_in, t, lm_tables)
+        if self._mw_cmax == 1:
+            word_in = jnp.maximum(w_lmid, 0).reshape(-1)
+            lm_next, lm_score = self._walk(lm_in, word_in, t,
+                                           lm_tables)
+        else:
+            # multiword split: walk each component in sequence
+            # (split_and_compute_ngram_score,
+            # TokenPassSearch.cc:1818-1843)
+            comp = t["mw_comp"][jnp.maximum(w_word, 0)].reshape(
+                -1, self._mw_cmax)
+            lm_next, lm_score = walk_components(
+                lambda st, wd: self._walk(st, wd, t, lm_tables),
+                lm_in, comp)
         lm_next = lm_next.reshape(w_word.shape + (K,))
         lm_score = lm_score.reshape(w_word.shape)
         skip = w_skip | (w_word < 0)
@@ -418,7 +576,7 @@ class BeamSearch:
         lm_next = jnp.where(skip[:, :, None], lmst[:, None, :], lm_next)
         lm_score = jnp.where(skip, 0.0, lm_score)
         we_am = (am[:, None] + cfg.transition_scale * w_exit
-                 + self._dur_bonus(node, dur, t)[:, None])
+                 + durb_tok[:, None])
         we_lms = (lms[:, None] + lm_score + w_pron
                   + jnp.where(skip, 0.0, cfg.insertion_penalty))
         we_alive = w_alive & (lm_score > LOG_ZERO / 2)
@@ -434,16 +592,17 @@ class BeamSearch:
         e_lm = jnp.take(lm_next.reshape(-1, K), order, axis=0)
         e_am = jnp.take(we_am.reshape(-1), order)
         e_lms = jnp.take(we_lms.reshape(-1), order)
-        w_pair = jnp.broadcast_to(t["we_pair"][node], w_word.shape)
+        w_pair = jnp.broadcast_to(pcol("we_pair", True), w_word.shape)
         e_pair = jnp.take(w_pair.reshape(-1), order)
         if self._la_bigram:
             # row for the next word's lookahead: the just-committed
-            # word, or the previous row across silences/OOLs
+            # word, or the previous row across silences/OOLs (packed
+            # we_law stores la_wid[word], with the V sentinel for
+            # silences and words outside the lookahead LM)
             w_law_prev = jnp.broadcast_to(law[:, None], w_word.shape)
-            wid = t["la_wid"][jnp.maximum(w_word, 0)]
+            wid = pcol("we_law", True)
             V = t["la2"].shape[0] - 1
-            w_law = jnp.where((w_word >= 0) & (wid < V), wid,
-                              w_law_prev)
+            w_law = jnp.where(wid < V, wid, w_law_prev)
             e_law = jnp.take(w_law.reshape(-1), order)
         else:
             e_law = jnp.zeros((E,), jnp.int32)
@@ -462,11 +621,12 @@ class BeamSearch:
         # (cross-word fan-in: silence/monophone trees have one row)
         r_tgt = t["root_tgt"][e_pair]                   # [E, R]
         r_lp = t["root_logp"][e_pair]
+        obs2 = obs_t[t["pdf_root"]][e_pair]             # [E, R]
         R = r_tgt.shape[1]
         c2 = {
             "node": r_tgt,
             "lm": jnp.broadcast_to(e_lm[:, None, :], (E, R, K)),
-            "am": e_am[:, None] + r_lp,
+            "am": e_am[:, None] + r_lp + obs2,
             "lms": jnp.broadcast_to(e_lms[:, None], (E, R)),
             "dur": jnp.zeros((E, R), jnp.int32),
             "rec": jnp.broadcast_to(new_rec[:, None], (E, R)),
@@ -479,9 +639,8 @@ class BeamSearch:
 
         cand = {k: jnp.concatenate([c1[k], c2[k]]) for k in c1}
 
-        # ---- 3. observation + beam + recombination + top-W
-        obs = obs_node[cand["node"]]
-        cand["am"] = cand["am"] + obs
+        # ---- 3. beam + recombination + top-W (obs already folded
+        # into each candidate group's am above)
         total = cand["am"] + cfg.lm_scale * cand["lms"]
         if self._la_bigram:
             total = total + cfg.lm_scale * t["la2"][cand["law"],
@@ -530,9 +689,14 @@ class BeamSearch:
             first = jnp.concatenate([jnp.asarray([True]), diff])
             s_alive = first & (s_node != INT_MAX)
 
-        score = jnp.where(s_alive, -s_negt, -jnp.inf)
-        vals, top = jax.lax.top_k(score, W)
-        sel = jnp.take(s_idx, top)          # original candidate rows
+        # top-W winners: ONE sort carrying the candidate index (a
+        # top_k + take(s_idx, top) pair costs an extra [B, W]-index
+        # gather ~10 ns/index; sorting (score, s_idx) and slicing the
+        # first W rows yields both for the price of the sort)
+        neg2 = jnp.where(s_alive, s_negt, jnp.inf)
+        o2 = jax.lax.sort((neg2, s_idx), num_keys=1)
+        vals = -jax.lax.slice_in_dim(o2[0], 0, W)
+        sel = jax.lax.slice_in_dim(o2[1], 0, W)   # original cand rows
         as_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         as_i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         packed = jnp.stack(
@@ -582,7 +746,7 @@ class BeamSearch:
 
         def step(tokens, xs):
             obs_t, v, i = xs
-            new_tokens, recs = self._step(tokens, obs_t[t["pdf"]], i,
+            new_tokens, recs = self._step(tokens, obs_t, i,
                                           t, lm_tables)
             out = tuple(jnp.where(v, n, o)
                         for n, o in zip(new_tokens, tokens))
@@ -857,7 +1021,7 @@ class StreamingDecoder:
                                 s, "_la_init_row", 0), jnp.int32))
         else:
             self._tokens, recs = self._step_jit(
-                self._tokens, obs_t[s.tables["pdf"]],
+                self._tokens, obs_t,
                 jnp.int32(self._frame - 1), s._dev_t, s._dev_lm)
             self._rec_words.append(np.asarray(recs[0]))
             self._rec_prevs.append(np.asarray(recs[1]))

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from aaltoasr_tpu.decoder.lexicon import PrefixTree, duration_table
 from aaltoasr_tpu.decoder.ngram import (
     InterNGramFsa, NGramFsa, lm_walk_device, lm_walk_device_multi)
-from aaltoasr_tpu.decoder.search import DecodeResult, SearchConfig
+from aaltoasr_tpu.decoder.search import (
+    DecodeResult, SearchConfig, multiword_components, walk_components)
 from aaltoasr_tpu.ops.logsemiring import LOG_ZERO
 
 
@@ -182,9 +183,11 @@ class DenseBeamSearch:
         # estimate (bo_weight[state] + uni_w) ranks word ends so the
         # exact FSA walk only runs on the top-E candidates (the walk's
         # per-element gathers dominate the step otherwise)
-        lm_ids = np.asarray(
-            [lm.word_index.get(w, -1) for w in lm_names] or [-1],
-            dtype=np.int32)
+        # multiword-aware ids: lm_ids[w] is -1 when any component is
+        # missing (pruned); slot_lmid ranks by the FIRST component
+        mw_comp, lm_ids, _, _ = multiword_components(
+            lm_names, lm, config.split_multiwords)
+        self._mw_cmax = mw_comp.shape[1]
         slot_lmid = lm_ids[np.maximum(tree.we_word[we_n, we_h], 0)]
         # interpolated LMs (InterTreeGram decode): every member walked,
         # scores mixed in the probability domain
@@ -236,9 +239,8 @@ class DenseBeamSearch:
             # per-node gamma params for gather-free duration bonuses:
             # log p(d) = (a-1) ln d - d/b + const (decoder/src/Hmm.cc)
             **_node_duration_params(tree, model, config.duration_scale),
-            "lm_id": jnp.asarray(np.asarray(
-                [lm.word_index.get(w, -1) for w in lm_names]
-                or [-1], dtype=np.int32)),
+            "lm_id": jnp.asarray(lm_ids),
+            "mw_comp": jnp.asarray(mw_comp),
         }
         self._has_durations = bool(
             np.any(np.asarray(self.tables["dur_tab"]) != 0))
@@ -446,8 +448,17 @@ class DenseBeamSearch:
         c_word = take_e(w_word)
         c_skip = jnp.any(oh_e & skip[None, :], axis=1)
         c_state = jnp.stack([take_e(lw) for lw in lm_wn], axis=-1)
-        lm_next, lm_score = self._walk(
-            c_state, jnp.maximum(take_e(w_lmid), 0), lm_tables)
+        if self._mw_cmax == 1:
+            lm_next, lm_score = self._walk(
+                c_state, jnp.maximum(take_e(w_lmid), 0), lm_tables)
+        else:
+            # multiword split: component-sequence walk
+            # (split_and_compute_ngram_score,
+            # TokenPassSearch.cc:1818-1843)
+            comp = t["mw_comp"][jnp.maximum(c_word, 0)]
+            lm_next, lm_score = walk_components(
+                lambda st, wd: self._walk(st, wd, lm_tables),
+                c_state, comp)
         lm_next = jnp.where(c_skip[:, None], c_state, lm_next)
         lm_score = jnp.where(c_skip, 0.0, lm_score)
         c_am = take_e(we_am)

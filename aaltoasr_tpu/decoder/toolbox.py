@@ -162,6 +162,14 @@ class Toolbox:
         self.config.overflow_tokens = int(n)
         self._search = None
 
+    def set_split_multiwords(self, value: bool):
+        """Score multiwords ("give_me") as their component-word
+        sequence in the LM (Toolbox.hh:223-232; useful when the LM has
+        no multiword units).  Words starting with '_' are silences and
+        never split."""
+        self.config.split_multiwords = bool(value)
+        self._search = None
+
     def set_word_boundary(self, word: str):
         self._word_boundary = word
 

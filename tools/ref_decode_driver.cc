@@ -29,6 +29,7 @@ int main(int argc, char **argv) {
   float beam = 280, lm_scale = 30, dur_scale = 3, trans_scale = 1;
   float insertion_penalty = 0;
   int token_limit = 100000;
+  bool split_multiwords = false;
   bool crossword = true;
   bool require_end = true;
   bool oss = true;
@@ -50,6 +51,7 @@ int main(int argc, char **argv) {
     else if (a == "--stateseg") stateseg = next();
     else if (a == "--wordgraph") wordgraph = next();
     else if (a == "--nbest") nbest = next();
+    else if (a == "--split-multiwords") split_multiwords = true;
     else if (a == "--no-crossword") crossword = false;
     else if (a == "--no-oss") oss = false;
     else if (a == "--no-require-end") require_end = false;
@@ -86,6 +88,7 @@ int main(int argc, char **argv) {
   }
   t.set_use_word_pair_approximation(true);
 
+  if (split_multiwords) t.set_split_multiwords(true);
   if (stateseg) t.set_keep_state_segmentation(1);
   if (wordgraph || nbest) t.set_generate_word_graph(true);
 
