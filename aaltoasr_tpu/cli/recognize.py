@@ -67,6 +67,13 @@ def main(argv=None) -> int:
                         "Toolbox.hh:261-265,334)")
     p.add_argument("--confidence", action="store_true",
                    help="print per-word confusion-network confidences")
+    p.add_argument("--lookahead", type=int, default=0,
+                   help="LM lookahead: 0 off, 1 unigram table, 2 "
+                        "bigram table, 3 context/trigram "
+                        "(TokenPassSearch.cc:2015/2084)")
+    p.add_argument("--lookahead-ngram", default=None,
+                   help="separate (smaller) ARPA for lookahead scores "
+                        "(Toolbox::read_lookahead_ngram)")
     p.add_argument("--split-multiwords", action="store_true",
                    help="score multiwords (give_me) as component-word "
                         "sequences in the LM (Toolbox.hh:223-232)")
@@ -148,6 +155,10 @@ def main(argv=None) -> int:
         t.set_overflow_tokens(args.overflow_tokens)
     if args.split_multiwords:
         t.set_split_multiwords(True)
+    if args.lookahead:
+        t.set_lm_lookahead(args.lookahead)
+    if args.lookahead_ngram:
+        t.read_lookahead_ngram(args.lookahead_ngram)
 
     need_lattice = bool(args.lattices or args.nbest or args.confidence)
 

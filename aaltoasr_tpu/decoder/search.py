@@ -54,8 +54,11 @@ class SearchConfig:
     transition_scale: float = 1.0
     duration_scale: float = 3.0     # rectool.py:547
     max_dur: int = 64
-    lm_lookahead: int = 0           # 0 off, 1 unigram, 2 bigram
-                                    # (TokenPassSearch m_lm_lookahead)
+    lm_lookahead: int = 0           # 0 off, 1 unigram table, 2 bigram
+                                    # table, 3 context (>= trigram;
+                                    # backoff-FSA state keyed — the
+                                    # reference's m_lm_lookahead 2,
+                                    # TokenPassSearch.cc:2084)
     require_sentence_end: bool = False  # add P(</s>|h) to final
                                     # hypotheses (TokenPassSearch.cc:
                                     # 2267 final-token LM update)
@@ -117,6 +120,131 @@ def multiword_components(lm_names, lm, split: bool):
     first = [ps[0] for ps in parts_of] or [""]
     last = [ps[-1] for ps in parts_of] or [""]
     return comp, lm_id, first, last
+
+
+def tree_dfs_intervals(tree):
+    """Preorder DFS intervals over the prefix tree: subtree(n) spans
+    positions [lo[n], hi[n]).  Children are explored in ascending node
+    id so HMM skip arcs nest (next-state before skip-target); arcs
+    that still violate containment (short-silence bridges, cross-word
+    fan-in) widen the source interval — an admissible overestimate.
+    """
+    N = tree.num_nodes
+    at = np.asarray(tree.arc_tgt)
+    alp = np.asarray(tree.arc_logp)
+    live = (alp > LOG_ZERO / 2) & (at != np.arange(N)[:, None])
+    children = [sorted(set(int(x) for x in at[n][live[n]]))
+                for n in range(N)]
+    roots = np.unique(np.asarray(tree.root_pair_tgt)[
+        np.asarray(tree.root_pair_logp) > LOG_ZERO / 2])
+    lo = np.full(N, -1, np.int32)
+    hi = np.zeros(N, np.int32)
+    counter = 0
+    for r in sorted(int(x) for x in roots):
+        if lo[r] >= 0:
+            continue
+        # iterative preorder DFS with post-visit hi assignment
+        stack = [(r, iter(children[r]))]
+        lo[r] = counter
+        counter += 1
+        while stack:
+            n, it = stack[-1]
+            for m in it:
+                if lo[m] < 0:
+                    lo[m] = counter
+                    counter += 1
+                    stack.append((m, iter(children[m])))
+                    break
+            else:
+                hi[n] = counter
+                stack.pop()
+    # unvisited nodes: empty intervals
+    unv = lo < 0
+    lo[unv] = 0
+    hi[unv] = 0
+    # widen to a containment fixpoint: non-nesting arcs (optional
+    # short-silence bridges back to the roots, cross-word fan-in
+    # sharing) grow the source interval over the target's.  Widening
+    # can only ADD words to a subtree claim, which loosens — never
+    # tightens — the lookahead bound, so it stays admissible.
+    srcs, slots = np.nonzero(live)
+    tgts = at[srcs, slots]
+    for _ in range(N):
+        need = (lo[srcs] > lo[tgts]) | (hi[tgts] > hi[srcs])
+        if not need.any():
+            break
+        np.minimum.at(lo, srcs[need], lo[tgts[need]])
+        np.maximum.at(hi, srcs[need], hi[tgts[need]])
+    return lo, hi
+
+
+def context_lookahead_tables(tree, lm, la_ids, budget=32_000_000):
+    """Per-LM-state lookahead lists for context (>= trigram) lookahead.
+
+    The token's backoff-FSA state IS its word history, so the
+    reference's (w1, w2)-keyed trigram lookahead
+    (`TokenPassSearch.cc:2084` get_lm_trigram_lookahead +
+    `TreeGram.cc:549` fetch_trigram_list) becomes, per state s and
+    node n:
+
+        la(s, n) = max over backoff levels l of
+                   bo(s..l) + max{ score of explicit successor w of
+                                   state_l : w ends inside subtree(n) }
+        floored by bo(s..unigram) + la1[n] (the unigram table).
+
+    Subtree membership is an interval test on DFS positions; each
+    state's explicit successors become padded (position, score) rows.
+    This upper-bounds the reference's exact per-word backoff max (a
+    word with an explicit higher-order arc also appears at lower
+    levels), which is admissible for pruning.
+
+    Returns None when the tree is not interval-representable or the
+    padded lists exceed the budget.
+    """
+    iv = tree_dfs_intervals(tree)
+    if iv is None:
+        return None
+    lo, hi = iv
+    # word-end DFS positions per tree word
+    we_w = np.asarray(tree.we_word)
+    valid = np.asarray(tree.we_exit_logp) > LOG_ZERO / 2
+    ends: dict = {}
+    for n, h in zip(*np.nonzero(valid)):
+        w = int(we_w[n, h])
+        if w >= 0:
+            ends.setdefault(w, []).append(int(lo[n]))
+    # LM word id -> tree end positions (via the lookahead word ids)
+    by_lm: dict = {}
+    for w_t, wid in enumerate(la_ids):
+        if wid >= 0:
+            by_lm.setdefault(int(wid), []).extend(ends.get(w_t, []))
+    S = lm.num_states
+    sf = lm.state_first
+    rows = []
+    amax = 1
+    for s in range(S):
+        if s == 0:
+            rows.append([])      # unigram level rides the la1 table
+            continue
+        entries = []
+        for i in range(int(sf[s]), int(sf[s + 1])):
+            for p in by_lm.get(int(lm.trans_word[i]), ()):
+                entries.append((p, float(lm.trans_prob[i])))
+        rows.append(entries)
+        amax = max(amax, len(entries))
+    if S * amax > budget:
+        return None
+    la_pos = np.full((S, amax), -1, np.int32)
+    la_sc = np.full((S, amax), LOG_ZERO, np.float32)
+    for s, entries in enumerate(rows):
+        for j, (p, sc) in enumerate(entries):
+            la_pos[s, j] = p
+            la_sc[s, j] = sc
+    bo = np.asarray(lm.bo_weight, np.float32).copy()
+    bo[0] = 0.0                  # stop accumulating at the unigram root
+    return {"la_pos": la_pos, "la_sc": la_sc, "la_bo": bo,
+            "la_bnext": np.asarray(lm.bo_next, np.int32),
+            "la_lo": lo, "la_hi": hi}
 
 
 def walk_components(walk_fn, states, comp_ids):
@@ -347,11 +475,47 @@ class BeamSearch:
         self._init_pair = int(tree.init_pair)
         self._la_on = bool(config.lm_lookahead)
         self._la_bigram = False
+        self._la_ctx = False
         if self._la_on:
             la_lm = lookahead_lm or (
                 lm.members[0] if isinstance(lm, InterNGramFsa) else lm)
             V = la_lm.num_words
-            if (config.lm_lookahead >= 2
+            if (config.lm_lookahead >= 3 and self._K == 1
+                    and (lookahead_lm is None or lookahead_lm is lm)):
+                # context (>= trigram) lookahead: the token's FSA state
+                # is its word history (get_lm_trigram_lookahead,
+                # TokenPassSearch.cc:2084); falls back to the bigram
+                # table for non-nesting trees / over-budget lists
+                la_ids = [lm.word_index.get(w, -1) for w in la_first]
+                ctx = context_lookahead_tables(tree, lm, la_ids)
+                if ctx is not None:
+                    self._la_ctx = True
+                    self._la_levels = max(lm.order - 1, 1)
+                    la1 = unigram_lookahead(tree, la_lm, la_first)
+                    self.tables["la"] = jnp.asarray(la1)
+                    for k in ("la_pos", "la_sc", "la_bo", "la_bnext"):
+                        self.tables[k] = jnp.asarray(ctx[k])
+                    lo, hi = ctx["la_lo"], ctx["la_hi"]
+                    rt = np.maximum(np.asarray(tree.root_pair_tgt), 0)
+                    at_c = np.maximum(np.asarray(tree.arc_tgt), 0)
+                    self.tables.update({
+                        "laov_lo": jnp.asarray(lo[o_tgt]),
+                        "laov_hi": jnp.asarray(hi[o_tgt]),
+                        "laov_1": jnp.asarray(la1[o_tgt]),
+                        "lart_lo": jnp.asarray(lo[rt]),
+                        "lart_hi": jnp.asarray(hi[rt]),
+                        "lart_1": jnp.asarray(la1[rt]),
+                        "laarc_lo": jnp.asarray(lo[at_c]),
+                        "laarc_hi": jnp.asarray(hi[at_c]),
+                        "laarc_1": jnp.asarray(la1[at_c]),
+                    })
+                    self._ctx_iv = (lo, hi, la1)
+                elif config.lm_lookahead >= 3:
+                    import sys
+                    print("BeamSearch: context lookahead unavailable "
+                          "for this tree/LM; falling back",
+                          file=sys.stderr)
+            if (not self._la_ctx and config.lm_lookahead >= 2
                     and (V + 1) * tree.num_nodes * 4 <= 512_000_000):
                 self._la_bigram = True
                 self.tables["la2"] = jnp.asarray(
@@ -363,7 +527,7 @@ class BeamSearch:
                     [la_lm.word_index.get(w, V) for w in la_last]
                     or [V], dtype=np.int32))
                 self._la_init_row = la_lm.word_index.get("<s>", V)
-            else:
+            elif not self._la_ctx:
                 if config.lm_lookahead >= 2:
                     import sys
                     print("BeamSearch: bigram lookahead table over "
@@ -415,6 +579,12 @@ class BeamSearch:
                     np.where(we_word_np >= 0,
                              la_wid_np[np.maximum(we_word_np, 0)],
                              V_la), bits=True)
+        if self._la_ctx:
+            # DFS intervals + unigram base at the dense arc targets
+            lo, hi, la1 = self._ctx_iv
+            _pk_add("la_lo3", lo[tgt3], bits=True)
+            _pk_add("la_hi3", hi[tgt3], bits=True)
+            _pk_add("la1_3", la1[tgt3])
         self._pk_width = sum(c.shape[1] for c in _pk_cols)
         self.tables["step_pack"] = jnp.asarray(
             np.concatenate(_pk_cols, axis=1))
@@ -494,6 +664,34 @@ class BeamSearch:
         ds = pcol("dur_state", True)[:, 0]
         durb_tok = self._dur_bonus(ds, dur, t)     # [W], reused below
 
+        # context lookahead (mode 3): per-token backoff-level lists,
+        # joined with target DFS intervals (see
+        # context_lookahead_tables).  Ranking/pruning only: stored
+        # am/lms stay pure, and la depends exactly on the (node, lm)
+        # recombination key, so within-key order is unchanged.
+        la_parts = []
+        if self._la_ctx:
+            lev_tok = []
+            acc = jnp.zeros((W,), jnp.float32)
+            cur = lmst[:, 0]
+            for _ in range(self._la_levels):
+                lev_tok.append((t["la_pos"][cur], t["la_sc"][cur],
+                                acc))
+                acc = acc + t["la_bo"][cur]
+                cur = t["la_bnext"][cur]
+            la_acc0 = acc
+
+            def ctx_la(lev, base_acc, lo_x, hi_x, la1_x):
+                best = base_acc[:, None] + la1_x
+                for pos, sc, a in lev:
+                    m = ((pos[:, None, :] >= lo_x[..., None])
+                         & (pos[:, None, :] < hi_x[..., None]))
+                    v = jnp.max(
+                        jnp.where(m, sc[:, None, :], -jnp.inf),
+                        axis=-1)
+                    best = jnp.maximum(best, a[:, None] + v)
+                return best
+
         # ---- 1. in-word expansion
         def expand(sel_node, sel_tok, a_tgt, a_lp, allow_self, durb_s):
             """candidates from arc tables gathered per selected token:
@@ -526,6 +724,10 @@ class BeamSearch:
             c1 = expand(node, all_tok, pcol("tgt3", True),
                         pcol("lp3"), True, durb_tok)
             c1["am"] = c1["am"] + obs1.reshape(-1)
+            if self._la_ctx:
+                la_parts.append(ctx_la(
+                    lev_tok, la_acc0, pcol("la_lo3", True),
+                    pcol("la_hi3", True), pcol("la1_3")).reshape(-1))
             O = min(cfg.overflow_tokens, W)
             orow = pcol("over_map", True)[:, 0]         # [W]
             is_branch = alive & (orow < self._num_over_rows)
@@ -539,12 +741,24 @@ class BeamSearch:
                 obs_t[t["pdf_over"]][o_row].reshape(-1)
             c1b["alive"] = c1b["alive"] & jnp.repeat(
                 jnp.take(is_branch, sel_o), t["over_tgt"].shape[1])
+            if self._la_ctx:
+                lev_o = [(p[sel_o], s[sel_o], a[sel_o])
+                         for p, s, a in lev_tok]
+                la_parts.append(ctx_la(
+                    lev_o, la_acc0[sel_o], t["laov_lo"][o_row],
+                    t["laov_hi"][o_row],
+                    t["laov_1"][o_row]).reshape(-1))
             c1 = {k: jnp.concatenate([c1[k], c1b[k]]) for k in c1}
         else:
             c1 = expand(node, all_tok, t["arc_tgt"][node],
                         t["arc_logp"][node], True, durb_tok)
             c1["am"] = c1["am"] + \
                 obs_t[t["pdf_arc"]][node].reshape(-1)
+            if self._la_ctx:
+                la_parts.append(ctx_la(
+                    lev_tok, la_acc0, t["laarc_lo"][node],
+                    t["laarc_hi"][node],
+                    t["laarc_1"][node]).reshape(-1))
 
         # ---- 2. word ends [W, H] -> records [E] -> root arcs [E, R]
         w_word = pcol("we_word", True)                  # [W, H]
@@ -636,13 +850,28 @@ class BeamSearch:
         }
         c2 = {k: (v.reshape(-1, K) if k == "lm" else v.reshape(-1))
               for k, v in c2.items()}
+        if self._la_ctx:
+            # re-entry candidates rank in the POST-commit context
+            lev_e = []
+            acc_e = jnp.zeros((E,), jnp.float32)
+            cur_e = e_lm[:, 0]
+            for _ in range(self._la_levels):
+                lev_e.append((t["la_pos"][cur_e], t["la_sc"][cur_e],
+                              acc_e))
+                acc_e = acc_e + t["la_bo"][cur_e]
+                cur_e = t["la_bnext"][cur_e]
+            la_parts.append(ctx_la(
+                lev_e, acc_e, t["lart_lo"][e_pair],
+                t["lart_hi"][e_pair], t["lart_1"][e_pair]).reshape(-1))
 
         cand = {k: jnp.concatenate([c1[k], c2[k]]) for k in c1}
 
         # ---- 3. beam + recombination + top-W (obs already folded
         # into each candidate group's am above)
         total = cand["am"] + cfg.lm_scale * cand["lms"]
-        if self._la_bigram:
+        if self._la_ctx:
+            total = total + cfg.lm_scale * jnp.concatenate(la_parts)
+        elif self._la_bigram:
             total = total + cfg.lm_scale * t["la2"][cand["law"],
                                                     cand["node"]]
         elif self._la_on:

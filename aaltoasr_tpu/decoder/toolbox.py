@@ -111,7 +111,9 @@ class Toolbox:
         self._search = None
 
     def set_lm_lookahead(self, mode: int) -> None:
-        """0 off, 1 unigram lookahead (lm_lookahead option)."""
+        """0 off, 1 unigram table, 2 bigram table, 3 context
+        (>= trigram) lookahead (the reference's lm_lookahead modes
+        1=bigram / 2=trigram, TokenPassSearch.cc:2015/2084)."""
         self.config.lm_lookahead = int(mode)
         self._search = None
 

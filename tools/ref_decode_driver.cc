@@ -29,6 +29,7 @@ int main(int argc, char **argv) {
   float beam = 280, lm_scale = 30, dur_scale = 3, trans_scale = 1;
   float insertion_penalty = 0;
   int token_limit = 100000;
+  int la_mode = 1;  // reference lm_lookahead: 1 bigram, 2 trigram
   bool split_multiwords = false;
   bool crossword = true;
   bool require_end = true;
@@ -51,6 +52,7 @@ int main(int argc, char **argv) {
     else if (a == "--stateseg") stateseg = next();
     else if (a == "--wordgraph") wordgraph = next();
     else if (a == "--nbest") nbest = next();
+    else if (a == "--la-mode") la_mode = atoi(next());
     else if (a == "--split-multiwords") split_multiwords = true;
     else if (a == "--no-crossword") crossword = false;
     else if (a == "--no-oss") oss = false;
@@ -78,7 +80,7 @@ int main(int argc, char **argv) {
   t.set_transition_scale(trans_scale);
   t.set_lm_scale(lm_scale);
   t.set_insertion_penalty(insertion_penalty);
-  t.set_lm_lookahead(lookahead != nullptr);
+  t.set_lm_lookahead(lookahead != nullptr ? la_mode : 0);
   t.lex_read(lex);
   t.set_sentence_boundary("<s>", "</s>");
   t.ngram_read(arpa, /*binary=*/false, /*quiet=*/true);
