@@ -67,6 +67,10 @@ def main(argv=None) -> int:
                         "Toolbox.hh:261-265,334)")
     p.add_argument("--confidence", action="store_true",
                    help="print per-word confusion-network confidences")
+    p.add_argument("--we-prewalk", type=int, default=0,
+                   help="exact engine: LM-walk only the top-N word-end "
+                        "candidates ranked by a static unigram "
+                        "estimate (0 = walk everything, exact)")
     p.add_argument("--lookahead", type=int, default=0,
                    help="LM lookahead: 0 off, 1 unigram table, 2 "
                         "bigram table, 3 context/trigram "
@@ -155,6 +159,8 @@ def main(argv=None) -> int:
         t.set_overflow_tokens(args.overflow_tokens)
     if args.split_multiwords:
         t.set_split_multiwords(True)
+    if args.we_prewalk:
+        t.set_we_prewalk(args.we_prewalk)
     if args.lookahead:
         t.set_lm_lookahead(args.lookahead)
     if args.lookahead_ngram:

@@ -77,6 +77,14 @@ class SearchConfig:
                                     # the default with branch expansion
                                     # pruned for the weakest tokens (a
                                     # beam-like knob).
+    we_prewalk: int = 0             # exact-mode word-end compaction:
+                                    # >0 ranks word-end candidates by
+                                    # a static unigram LM estimate and
+                                    # runs the exact FSA walk only on
+                                    # the top-N (the walk is ~1/3 of
+                                    # the step at W*H candidates; the
+                                    # dense engine's proven pattern).
+                                    # 0 = walk everything (exact).
     split_multiwords: bool = False  # score multiwords ("give_me") as
                                     # their component-word sequence in
                                     # the LM (Toolbox.hh:223-232,
@@ -400,6 +408,17 @@ class BeamSearch:
         self._mw_cmax = mw_comp.shape[1]
         self.tables["lm_id"] = jnp.asarray(lm_id_arr)
         self.tables["mw_comp"] = jnp.asarray(mw_comp)
+        # static per-word unigram estimate for we_prewalk ranking
+        # (the dense engine's uni_w pattern)
+        base_lm = lm.members[0] if isinstance(lm, InterNGramFsa) else lm
+        uni_row = np.full(base_lm.num_words + 1, -30.0, np.float32)
+        lo0, hi0 = (int(base_lm.state_first[0]),
+                    int(base_lm.state_first[1]))
+        uni_row[base_lm.trans_word[lo0:hi0]] = \
+            base_lm.trans_prob[lo0:hi0]
+        self._uni_est = np.where(
+            lm_id_arr >= 0, uni_row[np.maximum(lm_id_arr, 0)],
+            0.0).astype(np.float32)
         self._has_durations = bool(
             np.any(np.asarray(self.tables["dur_tab"]) != 0))
         # interpolated LMs walk every member and mix scores
@@ -466,6 +485,11 @@ class BeamSearch:
             "pdf_arc": jnp.asarray(
                 pdf_np[np.maximum(np.asarray(tree.arc_tgt), 0)]),
         })
+        # LM states must fit exact f32 values for the we_prewalk
+        # payload packing (they ride a packed f32 row gather)
+        ns = ([m.num_states for m in lm.members]
+              if isinstance(lm, InterNGramFsa) else [lm.num_states])
+        self._state_f32_ok = max(ns) < 2 ** 24
         # fused (node, lm) sort key when the product space fits int32
         S_lm = int(getattr(lm, "num_states", 0) or 0)
         self._fused_sort_key = 0
@@ -572,6 +596,9 @@ class BeamSearch:
         _pk_add("we_skip", np.asarray(tree.we_skip_lm, np.int32),
                 bits=True)
         _pk_add("we_lmid", we_lmid, bits=True)
+        _pk_add("we_uni", np.where(
+            we_word_np >= 0,
+            self._uni_est[np.maximum(we_word_np, 0)], 0.0))
         if self._la_bigram:
             la_wid_np = np.asarray(self.tables["la_wid"])
             V_la = int(self.tables["la2"].shape[0]) - 1
@@ -760,54 +787,21 @@ class BeamSearch:
                     t["laarc_hi"][node],
                     t["laarc_1"][node]).reshape(-1))
 
-        # ---- 2. word ends [W, H] -> records [E] -> root arcs [E, R]
+        # ---- 2. word ends [W, H] -> (prewalk top-E2) -> LM walk ->
+        #         records [E] -> root arcs [E, R]
         w_word = pcol("we_word", True)                  # [W, H]
         w_exit = pcol("we_exit")
         w_pron = pcol("we_pron")
         w_skip = pcol("we_skip", True).astype(bool)
         w_alive = alive[:, None] & (w_exit > LOG_ZERO / 2)
         w_lmid = pcol("we_lmid", True)                  # [W, H]
-        lm_in = jnp.broadcast_to(
-            lmst[:, None, :], w_word.shape + (K,)).reshape(-1, K)
-        if self._mw_cmax == 1:
-            word_in = jnp.maximum(w_lmid, 0).reshape(-1)
-            lm_next, lm_score = self._walk(lm_in, word_in, t,
-                                           lm_tables)
-        else:
-            # multiword split: walk each component in sequence
-            # (split_and_compute_ngram_score,
-            # TokenPassSearch.cc:1818-1843)
-            comp = t["mw_comp"][jnp.maximum(w_word, 0)].reshape(
-                -1, self._mw_cmax)
-            lm_next, lm_score = walk_components(
-                lambda st, wd: self._walk(st, wd, t, lm_tables),
-                lm_in, comp)
-        lm_next = lm_next.reshape(w_word.shape + (K,))
-        lm_score = lm_score.reshape(w_word.shape)
         skip = w_skip | (w_word < 0)
         # words missing from the LM are pruned (lm_id < 0)
         w_alive = w_alive & (skip | (w_lmid >= 0))
-        lm_next = jnp.where(skip[:, :, None], lmst[:, None, :], lm_next)
-        lm_score = jnp.where(skip, 0.0, lm_score)
         we_am = (am[:, None] + cfg.transition_scale * w_exit
                  + durb_tok[:, None])
-        we_lms = (lms[:, None] + lm_score + w_pron
-                  + jnp.where(skip, 0.0, cfg.insertion_penalty))
-        we_alive = w_alive & (lm_score > LOG_ZERO / 2)
-        we_total = we_am + cfg.lm_scale * we_lms
-
-        # compact word-end candidates into E record slots (best first)
-        flat_total = jnp.where(we_alive, we_total, -jnp.inf).reshape(-1)
-        _, order = jax.lax.top_k(flat_total, E)         # top-E word ends
-        e_alive = jnp.take(we_alive.reshape(-1), order)
-        e_word = jnp.take(w_word.reshape(-1), order)
-        e_prev = jnp.take(
-            jnp.broadcast_to(rec[:, None], w_word.shape).reshape(-1), order)
-        e_lm = jnp.take(lm_next.reshape(-1, K), order, axis=0)
-        e_am = jnp.take(we_am.reshape(-1), order)
-        e_lms = jnp.take(we_lms.reshape(-1), order)
-        w_pair = jnp.broadcast_to(pcol("we_pair", True), w_word.shape)
-        e_pair = jnp.take(w_pair.reshape(-1), order)
+        base_lms = (lms[:, None] + w_pron
+                    + jnp.where(skip, 0.0, cfg.insertion_penalty))
         if self._la_bigram:
             # row for the next word's lookahead: the just-committed
             # word, or the previous row across silences/OOLs (packed
@@ -815,11 +809,93 @@ class BeamSearch:
             # silences and words outside the lookahead LM)
             w_law_prev = jnp.broadcast_to(law[:, None], w_word.shape)
             wid = pcol("we_law", True)
-            V = t["la2"].shape[0] - 1
-            w_law = jnp.where(wid < V, wid, w_law_prev)
-            e_law = jnp.take(w_law.reshape(-1), order)
+            Vla = t["la2"].shape[0] - 1
+            w_law = jnp.where(wid < Vla, wid, w_law_prev)
         else:
-            e_law = jnp.zeros((E,), jnp.int32)
+            w_law = jnp.broadcast_to(law[:, None], w_word.shape)
+        H = w_word.shape[1]
+        WH = w_word.shape[0] * H
+        E2 = min(cfg.we_prewalk, WH) if cfg.we_prewalk else WH
+        E2 = max(E2, E)
+
+        def _mw_walk(states, words, lmids):
+            if self._mw_cmax == 1:
+                return self._walk(states, jnp.maximum(lmids, 0), t,
+                                  lm_tables)
+            # multiword split: walk each component in sequence
+            # (split_and_compute_ngram_score,
+            # TokenPassSearch.cc:1818-1843)
+            comp = t["mw_comp"][jnp.maximum(words, 0)]
+            return walk_components(
+                lambda st, wd: self._walk(st, wd, t, lm_tables),
+                states, comp)
+
+        if E2 < WH and self._state_f32_ok:
+            # rank word ends by a static unigram LM estimate and run
+            # the exact FSA walk only on the top-E2 (the walk at W*H
+            # is ~1/3 of the step); payload rides ONE packed row
+            # gather (exact f32 values, all ids < 2^24)
+            pre = we_am + cfg.lm_scale * (
+                base_lms + jnp.where(skip, 0.0, pcol("we_uni")))
+            flat_pre = jnp.where(w_alive, pre, -jnp.inf).reshape(-1)
+            _, ord2 = jax.lax.top_k(flat_pre, E2)
+            f32 = lambda x: x.astype(jnp.float32)
+            pay = jnp.stack(
+                [f32(w_word), we_am, base_lms, f32(skip), f32(w_alive),
+                 jnp.broadcast_to(f32(pcol("we_pair", True)),
+                                  w_word.shape),
+                 f32(w_law),
+                 jnp.broadcast_to(f32(rec[:, None]), w_word.shape),
+                 f32(w_lmid)]
+                + [jnp.broadcast_to(f32(lmst[:, None, k]),
+                                    w_word.shape) for k in range(K)],
+                axis=-1).reshape(WH, -1)
+            got2 = pay[ord2]                           # [E2, 9+K]
+            i32 = lambda x: x.astype(jnp.int32)
+            s_word = i32(got2[:, 0])
+            s_am = got2[:, 1]
+            s_base = got2[:, 2]
+            s_skip = got2[:, 3] > 0.5
+            s_alive = got2[:, 4] > 0.5
+            s_pair = i32(got2[:, 5])
+            s_law = i32(got2[:, 6])
+            s_prev = i32(got2[:, 7])
+            s_lmid = i32(got2[:, 8])
+            s_state = i32(got2[:, 9:9 + K])
+        else:
+            E2 = WH
+            s_word = w_word.reshape(-1)
+            s_am = we_am.reshape(-1)
+            s_base = base_lms.reshape(-1)
+            s_skip = skip.reshape(-1)
+            s_alive = w_alive.reshape(-1)
+            s_pair = jnp.broadcast_to(pcol("we_pair", True),
+                                      w_word.shape).reshape(-1)
+            s_law = w_law.reshape(-1)
+            s_prev = jnp.broadcast_to(rec[:, None],
+                                      w_word.shape).reshape(-1)
+            s_lmid = w_lmid.reshape(-1)
+            s_state = jnp.broadcast_to(
+                lmst[:, None, :], w_word.shape + (K,)).reshape(-1, K)
+
+        lm_next, lm_score = _mw_walk(s_state, s_word, s_lmid)
+        lm_next = jnp.where(s_skip[:, None], s_state, lm_next)
+        lm_score = jnp.where(s_skip, 0.0, lm_score)
+        we_lms2 = s_base + lm_score
+        we_alive2 = s_alive & (lm_score > LOG_ZERO / 2)
+        we_total2 = s_am + cfg.lm_scale * we_lms2
+
+        # compact word-end candidates into E record slots (best first)
+        flat_total = jnp.where(we_alive2, we_total2, -jnp.inf)
+        _, order = jax.lax.top_k(flat_total, E)         # top-E word ends
+        e_alive = jnp.take(we_alive2, order)
+        e_word = jnp.take(s_word, order)
+        e_prev = jnp.take(s_prev, order)
+        e_lm = jnp.take(lm_next, order, axis=0)
+        e_am = jnp.take(s_am, order)
+        e_lms = jnp.take(we_lms2, order)
+        e_pair = jnp.take(s_pair, order)
+        e_law = jnp.take(s_law, order)
         # records: silence (word<0) keeps its previous record pointer;
         # pointers are globally unique: step_idx * E + slot.  Cumulative
         # am/lm scores ride along for lattice (SLF) construction.

@@ -164,6 +164,13 @@ class Toolbox:
         self.config.overflow_tokens = int(n)
         self._search = None
 
+    def set_we_prewalk(self, n: int):
+        """Exact-engine word-end compaction (SearchConfig.we_prewalk):
+        walk the LM only for the top-n word-end candidates ranked by a
+        static unigram estimate; 0 = walk everything (exact)."""
+        self.config.we_prewalk = int(n)
+        self._search = None
+
     def set_split_multiwords(self, value: bool):
         """Score multiwords ("give_me") as their component-word
         sequence in the LM (Toolbox.hh:223-232; useful when the LM has

@@ -28,6 +28,7 @@ def main():
     p.add_argument("--tokens", type=int, default=1024)
     p.add_argument("--records", type=int, default=64)
     p.add_argument("--overflow", type=int, default=128)
+    p.add_argument("--prewalk", type=int, default=0)
     p.add_argument("--order", type=int, default=2)
     p.add_argument("--triphone", action="store_true")
     p.add_argument("--profile", action="store_true")
@@ -47,7 +48,7 @@ def main():
     cfg = SearchConfig(
         lm_scale=30.0, duration_scale=3.0 if args.triphone else 0.0,
         num_tokens=args.tokens, num_records=args.records,
-        overflow_tokens=args.overflow)
+        overflow_tokens=args.overflow, we_prewalk=args.prewalk)
     search = BeamSearch(tree, fsa, model, cfg)
 
     B, T = args.batch, args.frames
@@ -95,7 +96,7 @@ def main():
         "metric": "exact_decode_realtime_factor",
         "value": round(xrt, 2), "unit": "x realtime/chip",
         "batch": B, "tokens": args.tokens, "overflow": args.overflow,
-        "wall_sec": round(dt, 3)}))
+        "prewalk": args.prewalk, "wall_sec": round(dt, 3)}))
 
 
 if __name__ == "__main__":
