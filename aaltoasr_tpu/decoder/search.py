@@ -1328,10 +1328,13 @@ class StreamingDecoder:
             self._tokens, recs = self._step_jit(
                 self._tokens, obs_t,
                 jnp.int32(self._frame - 1), s._dev_t, s._dev_lm)
-            self._rec_words.append(np.asarray(recs[0]))
-            self._rec_prevs.append(np.asarray(recs[1]))
-            self._rec_ams.append(np.asarray(recs[2]))
-            self._rec_lmss.append(np.asarray(recs[3]))
+            # records stay ON DEVICE until result() asks: a per-frame
+            # device->host fetch costs a fixed ~100 ms through the
+            # tunneled transport and is pure latency
+            self._rec_words.append(recs[0])
+            self._rec_prevs.append(recs[1])
+            self._rec_ams.append(recs[2])
+            self._rec_lmss.append(recs[3])
         self._frame += 1
 
     @property
@@ -1344,8 +1347,10 @@ class StreamingDecoder:
             raise RuntimeError("no frames pushed")
         E = self.search.config.num_records
         if self._rec_words:
-            recs = (np.stack(self._rec_words), np.stack(self._rec_prevs),
-                    np.stack(self._rec_ams), np.stack(self._rec_lmss))
+            recs = tuple(
+                np.stack([np.asarray(x) for x in rs])
+                for rs in (self._rec_words, self._rec_prevs,
+                           self._rec_ams, self._rec_lmss))
         else:
             recs = (np.full((1, E), -1, np.int32),
                     np.full((1, E), -1, np.int32),

@@ -192,7 +192,13 @@ def synth_obs(model, info, B, T, seed=1, gain=8.0, noise=2.0):
                 states.extend(phone_map[lbl].states)
             start = t
             for s in states:
-                d = int(rng.integers(2, 6))
+                if getattr(model, "durations", None) is not None:
+                    # stay lengths from the model's own gamma so the
+                    # duration model (scale 3) rewards the true path
+                    a, bb = model.durations[s]
+                    d = int(np.clip(round(rng.gamma(a, bb)), 1, 12))
+                else:
+                    d = int(rng.integers(2, 6))
                 plan[b, t:t + d] = s
                 t += d
                 if t >= T:
