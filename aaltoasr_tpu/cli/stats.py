@@ -33,6 +33,9 @@ def main(argv=None) -> int:
                         "hmmnet graphs only)")
     p.add_argument("-H", "--hmmnet", action="store_true",
                    help="use hmmnet= training networks from the recipe")
+    p.add_argument("-O", "--ophn", action="store_true",
+                   help="train along the fixed state-segmented "
+                        "alignment= phns (stats.cc -O)")
     p.add_argument("--ml", action="store_true", default=True,
                    help="collect ML statistics (default)")
     p.add_argument("--mmi", action="store_true",
@@ -65,7 +68,9 @@ def main(argv=None) -> int:
     driver = EStepDriver(model, args.config, mode=args.mode,
                          full_stats=args.fullstats)
     recipe = Recipe.read(args.recipe, args.batch, args.bindex)
-    if (args.hmmnet or args.mmi or args.mpe or args.fullstats
+    if args.ophn:
+        stats = driver.run_recipe_aligned(recipe, info=args.info)
+    elif (args.hmmnet or args.mmi or args.mpe or args.fullstats
             or args.mode != "bw"):
         stats = driver.run_recipe(recipe, info=args.info,
                                   use_hmmnet=args.hmmnet, mmi=args.mmi,

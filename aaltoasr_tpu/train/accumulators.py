@@ -229,6 +229,7 @@ class HmmStats:
         with open(path, "w") as f:
             f.write(f"{len(self.mixture_sizes)}\n{self.mode}\n")
             for s, size in enumerate(self.mixture_sizes):
+                f.write(f"{s}\n")   # pdf index line (HmmSet.cc:594)
                 for b in sorted(self.buffers):
                     buf = self.buffers[b]
                     parts = [str(b), str(size)]
@@ -247,6 +248,7 @@ class HmmStats:
         S = int(next(it))
         int(next(it))  # mode
         for s in range(S):
+            assert int(next(it)) == s   # pdf index (HmmSet.cc:594)
             while True:
                 b = int(next(it))
                 if b < 0:
@@ -275,15 +277,16 @@ class HmmStats:
         n = int(lines[0])
         if n != len(self.trans_acc):
             raise ValueError("phs dump does not match model")
-        idx = 0
+        # the reference writer skips never-accumulated slots
+        # (HmmSet.cc:567 `if (m_accumulated[t])`): match lines to
+        # slots by (source, offset)
+        slot_of = {(int(s), int(o)): i
+                   for i, (s, o) in enumerate(zip(src_ref, off_ref))}
         for line in lines[1:]:
             if not line.strip():
                 continue
             src, off, occ = line.split()
-            assert int(src) == src_ref[idx]
-            assert int(off) == off_ref[idx]
-            self.trans_acc[idx] += float(occ)
-            idx += 1
+            self.trans_acc[slot_of[(int(src), int(off))]] += float(occ)
 
     def dump_lls(self, path) -> None:
         # same keys as the reference E-step worker (aku/stats.cc:778-797)

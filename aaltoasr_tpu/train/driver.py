@@ -25,7 +25,7 @@ from aaltoasr_tpu.models.hmm import (
 from aaltoasr_tpu.ops.gmm import GmmScorer
 from aaltoasr_tpu.train import estep
 from aaltoasr_tpu.train.accumulators import (
-    HmmStats, ML_BUF, PDF_ML_STATS)
+    HmmStats, ML_BUF, PDF_ML_FULL_STATS, PDF_ML_STATS)
 
 
 def device_stats_to_hmm_stats(model: HmmModel, table: TransitionTable,
@@ -283,6 +283,96 @@ class EStepDriver:
                         self.model, self.table,
                         jax.tree.map(lambda x: x[b], out))
                     total.add(utt)
+        return total
+
+    def run_recipe_aligned(self, recipe: Recipe,
+                           info: int = 0) -> HmmStats:
+        """stats -O: accumulate along FIXED state-segmented alignment
+        phns (the reference's PhnReader-as-Segmentator path,
+        `stats.cc:73-177` simple_train + `PhnReader.cc:220-280`):
+
+        * per frame, the aligned state's mixture accumulates with
+          gamma 1 (component split by within-mixture posteriors,
+          `Distributions.cc:2134-2160`),
+        * transitions: the frame that STARTS a segment counts the
+          previous state's first out arc; every other frame counts the
+          current state's self arc (so each frame counts exactly one),
+        * loglikelihood sums ln(state likelihood) + ln(transition
+          prob) per frame.
+        """
+        total = HmmStats.zeros(
+            self.model, self.table,
+            PDF_ML_STATS | (PDF_ML_FULL_STATS
+                            if self.full_stats else 0))
+        model = self.model
+        shift = int(round(self.fg.sample_rate / self.fg.frame_rate))
+        means = np.asarray(model.means, np.float64)
+        covars = np.asarray(model.covars, np.float64)
+        # reference Gaussians carry no (2*pi)^(-D/2) factor
+        # (DiagonalGaussian::set_constant, Distributions.cc:1274-1283)
+        logdet = np.sum(np.log(covars), axis=1)
+        # first out arc per state (PhnReader picks the first
+        # target_offset != 0 transition for state-labeled phns)
+        out_slot = {}
+        for i, (s, o) in enumerate(zip(self.table.source,
+                                       self.table.offset)):
+            s, o = int(s), int(o)
+            if o != 0 and s not in out_slot:
+                out_slot[s] = i
+        self_slot = {int(s): i for i, (s, o) in enumerate(
+            zip(self.table.source, self.table.offset))
+            if int(o) == 0}
+        tprob = np.asarray(self.table.prob, np.float64)
+        buf = total.buffers[ML_BUF]
+        for rinfo in recipe:
+            if info > 0:
+                import sys
+                print(f"Processing file: {rinfo.audio_path}",
+                      file=sys.stderr)
+            samples, _ = read_audio(rinfo.audio_path,
+                                    self.fg.sample_rate)
+            feats = np.asarray(self.fg.features(samples), np.float64)
+            entries = read_phn(rinfo.alignment_path
+                               or rinfo.transcript_path)
+            prev_state = None
+            for e in entries:
+                ph = model.phones[self._phone_id[e.label]]
+                st = int(ph.states[max(e.state, 0)])
+                comp, w = model.mixtures[st]
+                comp = np.asarray(comp)
+                w = np.asarray(w, np.float64)
+                f0, f1 = e.start // shift, e.end // shift
+                for t in range(f0, min(f1, feats.shape[0])):
+                    x = feats[t]
+                    d = x[None, :] - means[comp]
+                    logn = -0.5 * (
+                        np.sum(d * d / covars[comp], axis=1)
+                        + logdet[comp])
+                    like = w * np.exp(logn)
+                    tot = float(like.sum())
+                    buf.mix_ll[st] += np.log(max(tot, 1e-300))
+                    total.num_ll += np.log(max(tot, 1e-300))
+                    if tot > 0:
+                        g = like / tot
+                        buf.gamma[comp] += g
+                        buf.mean_acc[comp] += g[:, None] * x[None, :]
+                        buf.sec_acc[comp] += g[:, None] * (x * x)[None]
+                        buf.aux_gamma[comp] += np.abs(g)
+                        buf.feacount[comp] += 1
+                        buf.mix_gamma[st, :len(comp)] += g
+                        if self.full_stats:
+                            buf.ensure_full()
+                            buf.full_acc[comp] += (
+                                g[:, None, None]
+                                * np.outer(x, x)[None])
+                    if t == f0 and prev_state is not None:
+                        tr = out_slot[prev_state]
+                    else:
+                        tr = self_slot[st]
+                    total.trans_acc[tr] += 1.0
+                    total.num_ll += np.log(max(tprob[tr], 1e-300))
+                    total.num_frames += 1
+                prev_state = st
         return total
 
     def run_recipe(self, recipe: Recipe, info: int = 0,
