@@ -91,6 +91,35 @@ class SearchConfig:
                                     # TokenPassSearch.cc:1689-1734 +
                                     # split_and_compute_ngram_score
                                     # :1818-1843)
+    reentry_topk: int = 0           # exact-mode re-entry compaction:
+                                    # >0 keeps the top-K word-end
+                                    # records per ENTRY NODE instead of
+                                    # expanding every record through
+                                    # the full [E, R] fan-in row (R
+                                    # reaches ~500 on cross-word trees
+                                    # and the expansion dominates the
+                                    # recombination sort).  Entry
+                                    # log-probs are zero by builder
+                                    # invariant, so scores separate as
+                                    # record_total + obs[entry]: the
+                                    # per-node record ranking is the
+                                    # global ranking masked by pair
+                                    # membership, computed in compact
+                                    # [E, M] space (the dense engine's
+                                    # factored re-entry).  Exact unless
+                                    # >K re-entering histories at one
+                                    # node would survive the final
+                                    # top-W cut.  0 = full expansion.
+                                    # Measured (v5e, 37k-node crossword
+                                    # tree, R~500): full expansion is
+                                    # FASTER at E=64 (35x vs 27x RT) —
+                                    # the K-round argmax loop costs
+                                    # more than the [E,R] blow-up — but
+                                    # the [E*R] expansion crashes the
+                                    # TPU worker at E=256 where the
+                                    # compact path runs (22x).  Default
+                                    # off; use for large-records
+                                    # (rich-lattice) configs.
 
 
 def multiword_components(lm_names, lm, split: bool):
@@ -490,6 +519,47 @@ class BeamSearch:
         ns = ([m.num_states for m in lm.members]
               if isinstance(lm, InterNGramFsa) else [lm.num_states])
         self._state_f32_ok = max(ns) < 2 ** 24
+        # compact re-entry tables (reentry_topk): entry-node union +
+        # factored pair membership, exactly the dense engine's re-entry
+        # space (search_dense.DenseBeamSearch.__init__)
+        self._reentry_topk = 0
+        if config.reentry_topk and self._state_f32_ok:
+            pt = np.asarray(tree.root_pair_tgt)
+            plp = np.asarray(tree.root_pair_logp)
+            valid_rows = plp > LOG_ZERO / 2
+            ent = np.unique(pt[valid_rows])
+            NP = pt.shape[0]
+            NC, NR = tree.num_classes, tree.num_rcsets
+            usable = (NP == NC * NR and len(ent) > 0
+                      and not np.any(plp[valid_rows] != 0.0))
+            if usable:
+                M = len(ent)
+                node_to_entry = np.full(tree.num_nodes, M, np.int32)
+                node_to_entry[ent] = np.arange(M, dtype=np.int32)
+                member = np.zeros((NP, M), bool)
+                rp, rr = np.nonzero(valid_rows)
+                member[rp, node_to_entry[pt[rp, rr]]] = True
+                m3 = member.reshape(NC, NR, M)
+                left = m3.any(axis=1)
+                first = m3.any(axis=0)
+                usable = np.array_equal(
+                    left[:, None, :] & first[None, :, :], m3)
+            if usable:
+                self._reentry_topk = int(config.reentry_topk)
+                self._NCm, self._NRm = NC, NR
+                self._ent_nodes_np = ent
+                self.tables.update({
+                    "ent_node": jnp.asarray(ent.astype(np.int32)),
+                    "ent_pdf": jnp.asarray(pdf_np[ent]),
+                    "ent_left": jnp.asarray(left.astype(np.float32)),
+                    "ent_first": jnp.asarray(first.astype(np.float32)),
+                })
+            else:
+                import sys
+                print("BeamSearch: reentry_topk unavailable for this "
+                      "tree (non-factored or non-zero entry probs); "
+                      "using the full [E, R] expansion",
+                      file=sys.stderr)
         # fused (node, lm) sort key when the product space fits int32
         S_lm = int(getattr(lm, "num_states", 0) or 0)
         self._fused_sort_key = 0
@@ -533,6 +603,13 @@ class BeamSearch:
                         "laarc_hi": jnp.asarray(hi[at_c]),
                         "laarc_1": jnp.asarray(la1[at_c]),
                     })
+                    if self._reentry_topk:
+                        ent = self._ent_nodes_np
+                        self.tables.update({
+                            "laent_lo": jnp.asarray(lo[ent]),
+                            "laent_hi": jnp.asarray(hi[ent]),
+                            "laent_1": jnp.asarray(la1[ent]),
+                        })
                     self._ctx_iv = (lo, hi, la1)
                 elif config.lm_lookahead >= 3:
                     import sys
@@ -907,25 +984,6 @@ class BeamSearch:
         slot_ptr = step_idx * E + jnp.arange(E, dtype=jnp.int32)
         new_rec = jnp.where(is_word, slot_ptr, e_prev)
 
-        # re-entry through the word end's context row [E, R]
-        # (cross-word fan-in: silence/monophone trees have one row)
-        r_tgt = t["root_tgt"][e_pair]                   # [E, R]
-        r_lp = t["root_logp"][e_pair]
-        obs2 = obs_t[t["pdf_root"]][e_pair]             # [E, R]
-        R = r_tgt.shape[1]
-        c2 = {
-            "node": r_tgt,
-            "lm": jnp.broadcast_to(e_lm[:, None, :], (E, R, K)),
-            "am": e_am[:, None] + r_lp + obs2,
-            "lms": jnp.broadcast_to(e_lms[:, None], (E, R)),
-            "dur": jnp.zeros((E, R), jnp.int32),
-            "rec": jnp.broadcast_to(new_rec[:, None], (E, R)),
-            "alive": (jnp.broadcast_to(e_alive[:, None], (E, R))
-                      & (r_lp > LOG_ZERO / 2)),
-            "law": jnp.broadcast_to(e_law[:, None], (E, R)),
-        }
-        c2 = {k: (v.reshape(-1, K) if k == "lm" else v.reshape(-1))
-              for k, v in c2.items()}
         if self._la_ctx:
             # re-entry candidates rank in the POST-commit context
             lev_e = []
@@ -936,9 +994,91 @@ class BeamSearch:
                               acc_e))
                 acc_e = acc_e + t["la_bo"][cur_e]
                 cur_e = t["la_bnext"][cur_e]
-            la_parts.append(ctx_la(
-                lev_e, acc_e, t["lart_lo"][e_pair],
-                t["lart_hi"][e_pair], t["lart_1"][e_pair]).reshape(-1))
+
+        if self._reentry_topk:
+            # compact re-entry: entry log-probs are zero, so candidate
+            # score = record_total + obs[entry node] — per entry node
+            # the record ranking is the GLOBAL total ranking masked by
+            # pair membership.  Keep the top-K2 records per node,
+            # computed in [E, M] space; payloads follow each winner
+            # through one packed [M]-row gather (all values exact f32).
+            K2 = self._reentry_topk
+            Ment = t["ent_node"].shape[0]
+            e_total = jnp.where(e_alive,
+                                e_am + cfg.lm_scale * e_lms, -jnp.inf)
+            NRm = self._NRm
+            oh_cls = ((e_pair // NRm)[:, None] ==
+                      jnp.arange(self._NCm, dtype=jnp.int32)).astype(
+                          jnp.float32)                  # [E, NC]
+            oh_rc = ((e_pair % NRm)[:, None] ==
+                     jnp.arange(NRm, dtype=jnp.int32)).astype(
+                         jnp.float32)                   # [E, NR]
+            avail = ((oh_cls @ t["ent_left"])
+                     * (oh_rc @ t["ent_first"])) > 0.5  # [E, M]
+            obs_m = obs_t[t["ent_pdf"]]                 # [M] shared-idx
+            paypk = jnp.stack(
+                [e_am, e_lms, new_rec.astype(jnp.float32),
+                 e_law.astype(jnp.float32)]
+                + [e_lm[:, k].astype(jnp.float32) for k in range(K)],
+                axis=-1)                                # [E, 4+K]
+            c2_parts = []
+            la2_parts = []
+            for _j in range(K2):
+                enter = jnp.where(avail, e_total[:, None], -jnp.inf)
+                win = jnp.argmax(enter, axis=0)         # [M]
+                okm = jnp.max(enter, axis=0) > LOG_ZERO / 2
+                avail = avail & (jnp.arange(E, dtype=jnp.int32)[:, None]
+                                 != win[None, :])
+                got = jnp.take(paypk, win, axis=0)      # [M, 4+K]
+                c2_parts.append({
+                    "node": t["ent_node"],
+                    "lm": got[:, 4:4 + K].astype(jnp.int32),
+                    "am": got[:, 0] + obs_m,
+                    "lms": got[:, 1],
+                    "dur": jnp.zeros((Ment,), jnp.int32),
+                    "rec": got[:, 2].astype(jnp.int32),
+                    "alive": okm,
+                    "law": got[:, 3].astype(jnp.int32),
+                })
+                if self._la_ctx:
+                    lev_w = [(jnp.take(p, win, axis=0),
+                              jnp.take(s2, win, axis=0),
+                              jnp.take(a3, win))
+                             for p, s2, a3 in lev_e]
+                    la2_parts.append(ctx_la(
+                        lev_w, jnp.take(acc_e, win),
+                        t["laent_lo"][:, None], t["laent_hi"][:, None],
+                        t["laent_1"][:, None]).reshape(-1))
+            c2 = {k: jnp.concatenate([p[k] for p in c2_parts],
+                                     axis=0)
+                  for k in c2_parts[0]}
+            if self._la_ctx:
+                la_parts.append(jnp.concatenate(la2_parts))
+        else:
+            # full re-entry through the word end's context row [E, R]
+            # (cross-word fan-in: silence/monophone trees have one row)
+            r_tgt = t["root_tgt"][e_pair]               # [E, R]
+            r_lp = t["root_logp"][e_pair]
+            obs2 = obs_t[t["pdf_root"]][e_pair]         # [E, R]
+            R = r_tgt.shape[1]
+            c2 = {
+                "node": r_tgt,
+                "lm": jnp.broadcast_to(e_lm[:, None, :], (E, R, K)),
+                "am": e_am[:, None] + r_lp + obs2,
+                "lms": jnp.broadcast_to(e_lms[:, None], (E, R)),
+                "dur": jnp.zeros((E, R), jnp.int32),
+                "rec": jnp.broadcast_to(new_rec[:, None], (E, R)),
+                "alive": (jnp.broadcast_to(e_alive[:, None], (E, R))
+                          & (r_lp > LOG_ZERO / 2)),
+                "law": jnp.broadcast_to(e_law[:, None], (E, R)),
+            }
+            c2 = {k: (v.reshape(-1, K) if k == "lm" else v.reshape(-1))
+                  for k, v in c2.items()}
+            if self._la_ctx:
+                la_parts.append(ctx_la(
+                    lev_e, acc_e, t["lart_lo"][e_pair],
+                    t["lart_hi"][e_pair],
+                    t["lart_1"][e_pair]).reshape(-1))
 
         cand = {k: jnp.concatenate([c1[k], c2[k]]) for k in c1}
 

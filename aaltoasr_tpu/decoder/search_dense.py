@@ -307,12 +307,16 @@ class DenseBeamSearch:
 
     def _step(self, state, obs_t, step_idx, t, lm_tables):
         # obs_t is ALREADY per-node (gathered from [S] states outside)
+        # The carried score payload is TOTAL = am + lm_scale*lms (dead
+        # nodes pinned at LOG_ZERO): the relaxation's winning candidate
+        # score IS the winner's new total, so no separate am payload is
+        # picked/expanded — am is recovered as total - lm_scale*lms at
+        # word ends and finalization only.
         cfg = self.config
-        am, lms, lm, dur, rec, bo, alive = state
-        N = am.shape[0]
+        total, lms, lm, dur, rec, bo, alive = state
+        N = total.shape[0]
         E = cfg.num_records
         C = self.reentry_width
-        total = jnp.where(alive, am + cfg.lm_scale * lms, LOG_ZERO)
 
         # ---- 1. in-arc relaxation: shifts + grouped irregular arcs.
         # Node numbering makes nearly all arcs target-source deltas of
@@ -349,7 +353,6 @@ class DenseBeamSearch:
             return jnp.sum(jnp.where(m, vals, jnp.zeros_like(vals)),
                            axis=1)
 
-        g_am = g_pick((am + durb_all)[gsrc] + ts * glp)
         g_lms = g_pick(lms[gsrc])
         # lm member states live as K separate [N] arrays: a [N, K=1]
         # array would tile its trailing (N, 1) dims as (8, 128) on TPU
@@ -378,10 +381,6 @@ class DenseBeamSearch:
             m = take_irr.reshape((-1,) + (1,) * (v_self.ndim - 1))
             return jnp.where(m, expand(v_irr, fill), sel)
 
-        am_s = am + ts * t["self_logp"]
-        am_1 = sh(am + durb_all, 1, LOG_ZERO) + ts * t["prev_logp"]
-        am_2 = sh(am + durb_all, 2, LOG_ZERO) + ts * t["skip_logp"]
-        new_am = pick(am_s, am_1, am_2, g_am, LOG_ZERO)
         new_lms = pick(lms, sh(lms, 1, 0.0), sh(lms, 2, 0.0),
                        g_lms, 0.0)
         new_lm = tuple(
@@ -403,7 +402,7 @@ class DenseBeamSearch:
         w_word = t["we_word"]
         w_lmid = t["we_lmid"]
         skip = t["we_skip"] | (w_word < 0)
-        am_wn = am[wn]
+        tot_wn = total[wn]
         lms_wn = lms[wn]
         lm_wn = [l[wn] for l in lm]
         d_we = jnp.clip(dur[wn] + 1, 1,
@@ -411,19 +410,22 @@ class DenseBeamSearch:
         we_durb = t["we_dur_valid"] * (
             t["we_dur_lncoef"] * jnp.log(d_we)
             - d_we * t["we_dur_invb"] + t["we_dur_const"])
-        we_am = am_wn + cfg.transition_scale * t["we_exit"] + we_durb
+        we_am = (tot_wn - cfg.lm_scale * lms_wn
+                 + cfg.transition_scale * t["we_exit"] + we_durb)
         base_lms = lms_wn + t["we_pron"]
         # the rank estimate's backoff term is the CARRIED bo payload
         # (updated whenever a node's LM state changes) — a static [Nw]
         # gather instead of a dynamic one through bo_weight
         appr_lm = jnp.where(
             skip, 0.0, bo[wn] + t["we_uni"] + cfg.insertion_penalty)
-        # dead nodes hold am == LOG_ZERO (invariant set after the beam)
-        slot_ok = ((am_wn > LOG_ZERO / 2)
+        # dead nodes hold total == LOG_ZERO (invariant set post-beam)
+        slot_ok = ((tot_wn > LOG_ZERO / 2)
                    & (t["we_exit"] > LOG_ZERO / 2)
                    & (skip | (w_lmid >= 0)))
         rank0 = jnp.where(slot_ok,
-                          we_am + cfg.lm_scale * (base_lms + appr_lm),
+                          tot_wn + cfg.transition_scale * t["we_exit"]
+                          + we_durb
+                          + cfg.lm_scale * (t["we_pron"] + appr_lm),
                           -jnp.inf)
 
         k = min(E, int(Nw))
@@ -493,7 +495,6 @@ class DenseBeamSearch:
                                      jnp.zeros_like(vals[None])),
                            axis=1)
 
-        r_am = take_c(c_am)
         r_lms = take_c(c_lms)
         r_lm = take_c(lm_next)
         r_rec = take_c(e_rec)
@@ -515,7 +516,8 @@ class DenseBeamSearch:
                      jnp.float32)                          # [C, NR]
         maskC = ((oh_cls @ t["left_mem"])
                  * (oh_rc @ t["first_mem"])) > 0.5         # [C, M]
-        r_total = jnp.where(r_alive, r_am + cfg.lm_scale * r_lms,
+        r_total = jnp.where(r_alive,
+                            jnp.maximum(take_c(c_total), LOG_ZERO),
                             LOG_ZERO)
         enter = jnp.where(maskC & r_alive[:, None],
                           r_total[:, None], LOG_ZERO)      # [C, M]
@@ -534,7 +536,6 @@ class DenseBeamSearch:
             pad = jnp.full((1,) + out.shape[1:], fill, out.dtype)
             return jnp.concatenate([out, pad])
 
-        e_am = c_pay(r_am)
         e_lms = c_pay(r_lms)
         e_lm = c_pay(r_lm)                                 # [M+1, K]
         e_rec2 = c_pay(r_rec)
@@ -546,7 +547,6 @@ class DenseBeamSearch:
         cur = jnp.where(new_alive, best, LOG_ZERO)
         sc_full = e_sc1[inv]
         take_tgt = sc_full > cur                           # [N]
-        new_am = jnp.where(take_tgt, e_am[inv], new_am)
         new_lms = jnp.where(take_tgt, e_lms[inv], new_lms)
         new_lm = tuple(
             jnp.where(take_tgt, e_lm[:, k][inv], l)
@@ -556,19 +556,27 @@ class DenseBeamSearch:
         new_bo = jnp.where(take_tgt, e_bo[inv], new_bo)
         new_alive = new_alive | take_tgt
 
-        # ---- 4. observation + beam
-        new_am = new_am + obs_t
-        new_total = jnp.where(new_alive,
-                              new_am + cfg.lm_scale * new_lms, LOG_ZERO)
+        # ---- 4. observation + beam (the winner's candidate score IS
+        # its new total, so total follows the merge with no extra pick)
+        new_total = jnp.where(take_tgt, sc_full, cur) + obs_t
         mx = jnp.max(new_total)
         new_alive = new_alive & (new_total >= mx - cfg.beam)
         # dead nodes pinned at LOG_ZERO (the word-end ranking and
-        # `_result` read aliveness off am directly)
-        new_am = jnp.where(new_alive, new_am, LOG_ZERO)
+        # `_result` read aliveness off total directly)
+        new_total = jnp.where(new_alive, new_total, LOG_ZERO)
+        # per-frame best snapshot: argmax node's rec and lms fetched
+        # with two single-index gathers (a masked-max would re-read the
+        # full [N] rec/lms arrays every frame); am recovered as
+        # mx - lm_scale*lms
+        bestn = jnp.argmax(new_total)
+        best_rec = new_rec[bestn]
+        best_lms = new_lms[bestn]
+        fin = jnp.stack([best_rec.astype(jnp.float32), mx,
+                         mx - cfg.lm_scale * best_lms, best_lms])
 
-        return ((new_am, new_lms, new_lm, new_dur, new_rec, new_bo,
+        return ((new_total, new_lms, new_lm, new_dur, new_rec, new_bo,
                  new_alive),
-                (rec_word, rec_prev, rec_am, rec_lms))
+                (rec_word, rec_prev, rec_am, rec_lms), fin)
 
     def _decode(self, obs, n_frames, lm_init, t, lm_tables,
                 lattice=True):
@@ -600,30 +608,29 @@ class DenseBeamSearch:
         # scalars, so instead of freezing the whole [N] carry with
         # jnp.where(v, new, old) per payload (7 full-array read+writes
         # per step), snapshot the best (rec, total, am, lms) each frame
-        # and let the state evolve garbage past n_frames.
+        # (computed inside _step, fused with the beam pass) and let the
+        # state evolve garbage past n_frames.
         snap = not cfg.require_sentence_end
 
         def fin_of(s):
-            am_, lms_, _lm, _dur, rec_, _bo, alive_ = s
-            total = jnp.where(alive_, am_ + cfg.lm_scale * lms_,
-                              -jnp.inf)
+            tot_, lms_, _lm, _dur, rec_, _bo, alive_ = s
+            total = jnp.where(alive_, tot_, -jnp.inf)
             mx = jnp.max(total)
             isb = total == mx
             best_rec = jnp.max(jnp.where(isb, rec_, jnp.int32(-2**31)))
-            best_am = jnp.max(jnp.where(isb, am_, -jnp.inf))
             best_lms = jnp.max(jnp.where(isb, lms_, -jnp.inf))
             return jnp.stack([best_rec.astype(jnp.float32), mx,
-                              best_am, best_lms])
+                              mx - cfg.lm_scale * best_lms, best_lms])
 
         def step(carry, xs):
             state, fin = carry
             obs_t, v, i = xs
             # per-step [N] <- [S] static gather: cheaper than a [T, N]
             # precompute (which also capped the batch via its HBM cost)
-            new_state, recs = self._step(state, obs_t[t["pdf"]], i,
-                                         t, lm_tables)
+            new_state, recs, new_fin = self._step(
+                state, obs_t[t["pdf"]], i, t, lm_tables)
             if snap:
-                fin = jnp.where(v, fin_of(new_state), fin)
+                fin = jnp.where(v, new_fin, fin)
                 out = new_state
             else:
                 out = jax.tree.map(lambda n, o: jnp.where(v, n, o),
@@ -643,18 +650,20 @@ class DenseBeamSearch:
             finals = fin
             rec_best = fin[0].astype(jnp.int32)
         else:
-            am, lms, lm, dur, rec, bo, alive = state
+            tot, lms, lm, dur, rec, bo, alive = state
             end_id = self.lm.word_index.get(cfg.sentence_end)
             if end_id is not None:
                 _, end_sc = self._walk(
                     jnp.stack(lm, axis=-1),
                     jnp.full((N,), end_id, jnp.int32), lm_tables)
                 lms = lms + jnp.where(alive, end_sc, 0.0)
-            total = jnp.where(alive, am + cfg.lm_scale * lms, -jnp.inf)
+                tot = tot + jnp.where(alive,
+                                      cfg.lm_scale * end_sc, 0.0)
+            total = jnp.where(alive, tot, -jnp.inf)
             bestn = jnp.argmax(total)
             finals = jnp.stack([
                 rec[bestn].astype(jnp.float32), total[bestn],
-                am[bestn], lms[bestn]])
+                total[bestn] - cfg.lm_scale * lms[bestn], lms[bestn]])
             rec_best = rec[bestn]
         if not lattice:
             # 1-best traceback ON DEVICE: the full record stacks are

@@ -29,6 +29,8 @@ def main():
     p.add_argument("--records", type=int, default=64)
     p.add_argument("--overflow", type=int, default=128)
     p.add_argument("--prewalk", type=int, default=0)
+    p.add_argument("--reentry", type=int, default=0,
+                   help="top-K records per entry node (0 = full [E,R])")
     p.add_argument("--order", type=int, default=2)
     p.add_argument("--triphone", action="store_true")
     p.add_argument("--profile", action="store_true")
@@ -48,16 +50,22 @@ def main():
     cfg = SearchConfig(
         lm_scale=30.0, duration_scale=3.0 if args.triphone else 0.0,
         num_tokens=args.tokens, num_records=args.records,
-        overflow_tokens=args.overflow, we_prewalk=args.prewalk)
+        overflow_tokens=args.overflow, we_prewalk=args.prewalk,
+        reentry_topk=args.reentry)
     search = BeamSearch(tree, fsa, model, cfg)
 
     B, T = args.batch, args.frames
-    obs_fn, _ = synth_obs(model, info, B, T)
+    obs_fn, true_words = synth_obs(model, info, B, T)
     obs = jax.jit(obs_fn)(jax.random.PRNGKey(1))
     n = np.full(B, T, np.int32)
 
     res = search.decode_batch(obs, n, lattice=False)    # compile+warm
-    print("sample:", res[0].words[:6], file=sys.stderr)
+    agree = tot = 0
+    for b in range(8):
+        ref = [f"w{i}" for i in true_words[b]]
+        agree += sum(h == r for h, r in zip(res[b].words, ref))
+        tot += len(ref)
+    print(f"planted-word check {agree}/{tot}", file=sys.stderr)
     if args.profile:
         tdir = "/tmp/jaxtrace_exact"
         with jax.profiler.trace(tdir):
