@@ -101,6 +101,11 @@ class PrefixTree:
     # small matmuls instead of materializing [P, R] one-hots
     num_classes: int = 1
     num_rcsets: int = 1
+    # per-node fan flags (bit0 = fan-in network, bit1 = fan-out;
+    # single-phone words carry both — TPLexPrefixTree NODE_FAN_IN /
+    # NODE_FAN_OUT, TPLexPrefixTree.hh:55-60).  None on monophone
+    # trees (no fan network; the fan beams are inert).
+    fan_flags: np.ndarray | None = None
 
     def __post_init__(self):
         if self.root_pair_tgt is None:
@@ -544,6 +549,18 @@ def _build_crossword_tree(model: HmmModel, entries: list,
 
     # ---- pack to SoA
     N = len(pdf)
+    # fan flags: bit0 = fan-in (word-initial context variants), bit1 =
+    # fan-out (word-final variants); single-phone words are both
+    fan_flags = np.zeros(N, dtype=np.int32)
+    for d in fanin.values():
+        for v in d.values():
+            fan_flags[v.inst.nodes] |= 1
+    for d in fanout.values():
+        for v in d.values():
+            fan_flags[v.inst.nodes] |= 2
+    for d in single.values():
+        for v in d.values():
+            fan_flags[v.inst.nodes] |= 3
     A = max((len(a) for a in arcs), default=1)
     H = max((len(h) for h in we), default=1)
     R = max((len(r) for r in rows_tgt), default=1)
@@ -583,7 +600,7 @@ def _build_crossword_tree(model: HmmModel, entries: list,
         root_logp=np.zeros(len(union), dtype=np.float32),
         we_pair=we_pair, root_pair_tgt=root_pair_tgt,
         root_pair_logp=root_pair_logp, init_pair=init_pair,
-        num_classes=NC, num_rcsets=NR)
+        num_classes=NC, num_rcsets=NR, fan_flags=fan_flags)
 
 
 def duration_table(model: HmmModel, max_dur: int = 64,

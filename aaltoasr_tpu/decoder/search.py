@@ -120,6 +120,42 @@ class SearchConfig:
                                     # compact path runs (22x).  Default
                                     # off; use for large-records
                                     # (rich-lattice) configs.
+    word_end_beam: float = 0.0      # prune word-end candidates vs the
+                                    # frame's best word end
+                                    # (Toolbox.hh:205 set_word_end_beam,
+                                    # TokenPassSearch.cc:1076-1081
+                                    # NODE_USE_WORD_END_BEAM).  0 = off
+                                    # (reference default 1e10).
+    reentry_records: int = 0        # only the top-K record slots seed
+                                    # cross-word re-entry (records are
+                                    # compacted best-first, so this is
+                                    # a slice): the [E, R~500] fan-in
+                                    # expansion is ~90% of the
+                                    # recombination sort's candidate
+                                    # space at E=64.  The reference's
+                                    # word-end beam plays the same
+                                    # hypothesis-limiting role; all E
+                                    # records are still WRITTEN for the
+                                    # lattice.  0 = all E re-enter.
+    # ---- pruning extensions (Toolbox.hh:182-221; compile-time
+    # #ifdef PRUNING_EXTENSIONS / EQ_*_PRUNING / FAN_*_PRUNING /
+    # STATE_PRUNING blocks in TokenPassSearch.cc:1083-1127).  The
+    # reference prunes against PREVIOUS-frame bucket maxima (frame-
+    # start active-list scan, cc:320-360); a batched step sees the
+    # whole candidate set at once, so the maxima here are same-frame —
+    # strictly tighter, never looser.  All default off (0), matching
+    # the reference's 1e10 defaults.
+    eq_depth_beam: float = 0.0      # vs best candidate at the same
+                                    # tree depth (depth/2 buckets,
+                                    # regular in-word nodes only)
+    eq_word_count_beam: float = 0.0  # vs best candidate with the same
+                                    # committed-word count (non-fan
+                                    # nodes only)
+    fan_in_beam: float = 0.0        # vs best fan-in-network candidate
+    fan_out_beam: float = 0.0       # vs best fan-out candidate
+    tp_state_beam: float = 0.0      # at fan nodes: vs the best
+                                    # candidate at the SAME node
+                                    # (STATE_PRUNING, cc:1116-1127)
 
 
 def multiword_components(lm_names, lm, split: bool):
@@ -560,6 +596,39 @@ class BeamSearch:
                       "tree (non-factored or non-zero entry probs); "
                       "using the full [E, R] expansion",
                       file=sys.stderr)
+        # pruning-extension tables (built only when a beam is on)
+        self._WCB = 200                 # MAX_WC_COUNT buckets
+        if config.eq_depth_beam:
+            # node depth = BFS distance (in HMM states) from the word-
+            # entry nodes over in-word arcs; depth/2 buckets like the
+            # reference's m_depth_llh (TokenPassSearch.cc:1092)
+            from collections import deque
+            at = np.asarray(tree.arc_tgt)
+            alp = np.asarray(tree.arc_logp)
+            depth = np.full(tree.num_nodes, -1, np.int64)
+            q = deque()
+            for n0 in np.unique(np.asarray(tree.root_pair_tgt)[
+                    np.asarray(tree.root_pair_logp) > LOG_ZERO / 2]):
+                depth[n0] = 0
+                q.append(int(n0))
+            while q:
+                u = q.popleft()
+                for a in range(at.shape[1]):
+                    v = int(at[u, a])
+                    if alp[u, a] > LOG_ZERO / 2 and v != u \
+                            and depth[v] < 0:
+                        depth[v] = depth[u] + 1
+                        q.append(v)
+            depth[depth < 0] = 0
+            d2 = (depth // 2).astype(np.int32)
+            self._DB = int(d2.max()) + 1
+            self.tables["depth2"] = jnp.asarray(d2)
+        if ((config.fan_in_beam or config.fan_out_beam
+             or config.tp_state_beam or config.eq_depth_beam
+             or config.eq_word_count_beam)
+                and tree.fan_flags is not None):
+            self.tables["fanflag"] = jnp.asarray(
+                np.asarray(tree.fan_flags, np.int32))
         # fused (node, lm) sort key when the product space fits int32
         S_lm = int(getattr(lm, "num_states", 0) or 0)
         self._fused_sort_key = 0
@@ -750,21 +819,26 @@ class BeamSearch:
         W = cfg.num_tokens
         E = cfg.num_records
         K = self._K
-        node, lmst, am, lms, dur, rec, alive, law = tokens
+        node, lmst, am, lms, dur, rec, alive, law, wc = tokens
 
-        # ---- 0. ONE packed row gather per token: the per-node step
-        # tables plus this frame's obs at the dense arc targets
+        # ---- 0. packed row gathers per token: ONE static [N, P] row
+        # gather for the per-node step tables, plus this frame's obs
+        # at the dense arc targets through [N, 3] pdf-composed
+        # shared-index gathers.  Fetching obs via a SEPARATE row
+        # gather from [B, N, 3] beats concatenating it into the pack:
+        # the concat materializes a [B, N, P+3] array every frame
+        # (~2 ms HBM traffic at N=37k) and the combined gather then
+        # reads from the 340 MB batched source instead of the 2 MB
+        # static table (measured 5.8 ms -> ~2 ms for the pair).
         obs3 = obs_t[t["pdf3"]]                    # [N, 3] shared-index
-        pkfull = jnp.concatenate([t["step_pack"], obs3], axis=1)
-        pk = pkfull[node]                          # [W, P+3] row gather
+        pk = t["step_pack"][node]                  # [W, P] static rows
 
         def pcol(name, ints=False):
             s, w = self._pk[name]
             v = jax.lax.slice_in_dim(pk, s, s + w, axis=1)
             return v.astype(jnp.int32) if ints else v
 
-        P = self._pk_width
-        obs1 = jax.lax.slice_in_dim(pk, P, P + 3, axis=1)   # [W, 3]
+        obs1 = obs3[node]                          # [W, 3] row gather
         ds = pcol("dur_state", True)[:, 0]
         durb_tok = self._dur_bonus(ds, dur, t)     # [W], reused below
 
@@ -816,6 +890,7 @@ class BeamSearch:
                 "alive": (alive[sel_tok][:, None]
                           & (a_lp > LOG_ZERO / 2)),
                 "law": jnp.broadcast_to(law[sel_tok][:, None], shape),
+                "wc": jnp.broadcast_to(wc[sel_tok][:, None], shape),
             }
             return {k: (v.reshape(-1, K) if k == "lm"
                         else v.reshape(-1)) for k, v in c.items()}
@@ -923,11 +998,12 @@ class BeamSearch:
                                   w_word.shape),
                  f32(w_law),
                  jnp.broadcast_to(f32(rec[:, None]), w_word.shape),
-                 f32(w_lmid)]
+                 f32(w_lmid),
+                 jnp.broadcast_to(f32(wc[:, None]), w_word.shape)]
                 + [jnp.broadcast_to(f32(lmst[:, None, k]),
                                     w_word.shape) for k in range(K)],
                 axis=-1).reshape(WH, -1)
-            got2 = pay[ord2]                           # [E2, 9+K]
+            got2 = pay[ord2]                           # [E2, 10+K]
             i32 = lambda x: x.astype(jnp.int32)
             s_word = i32(got2[:, 0])
             s_am = got2[:, 1]
@@ -938,7 +1014,8 @@ class BeamSearch:
             s_law = i32(got2[:, 6])
             s_prev = i32(got2[:, 7])
             s_lmid = i32(got2[:, 8])
-            s_state = i32(got2[:, 9:9 + K])
+            s_wc = i32(got2[:, 9])
+            s_state = i32(got2[:, 10:10 + K])
         else:
             E2 = WH
             s_word = w_word.reshape(-1)
@@ -952,6 +1029,8 @@ class BeamSearch:
             s_prev = jnp.broadcast_to(rec[:, None],
                                       w_word.shape).reshape(-1)
             s_lmid = w_lmid.reshape(-1)
+            s_wc = jnp.broadcast_to(wc[:, None],
+                                    w_word.shape).reshape(-1)
             s_state = jnp.broadcast_to(
                 lmst[:, None, :], w_word.shape + (K,)).reshape(-1, K)
 
@@ -961,6 +1040,14 @@ class BeamSearch:
         we_lms2 = s_base + lm_score
         we_alive2 = s_alive & (lm_score > LOG_ZERO / 2)
         we_total2 = s_am + cfg.lm_scale * we_lms2
+
+        if cfg.word_end_beam:
+            # word-end beam: prune vs the frame's best word end
+            # (TokenPassSearch.cc:1076-1081 NODE_USE_WORD_END_BEAM)
+            we_best = jnp.max(jnp.where(we_alive2, we_total2,
+                                        -jnp.inf))
+            we_alive2 = we_alive2 & (
+                we_total2 >= we_best - cfg.word_end_beam)
 
         # compact word-end candidates into E record slots (best first)
         flat_total = jnp.where(we_alive2, we_total2, -jnp.inf)
@@ -973,6 +1060,7 @@ class BeamSearch:
         e_lms = jnp.take(we_lms2, order)
         e_pair = jnp.take(s_pair, order)
         e_law = jnp.take(s_law, order)
+        e_wc = jnp.take(s_wc, order)
         # records: silence (word<0) keeps its previous record pointer;
         # pointers are globally unique: step_idx * E + slot.  Cumulative
         # am/lm scores ride along for lattice (SLF) construction.
@@ -984,10 +1072,27 @@ class BeamSearch:
         slot_ptr = step_idx * E + jnp.arange(E, dtype=jnp.int32)
         new_rec = jnp.where(is_word, slot_ptr, e_prev)
 
+        # re-entry record set: records are compacted best-first, so
+        # the reference's word-end hypothesis limit is a slice
+        # (reentry_records); all E records above were already written
+        Er = (min(cfg.reentry_records, E) if cfg.reentry_records
+              else E)
+        # committed-word count for re-entering hypotheses (silence and
+        # OOL word ends do not increment, TokenPassSearch word_count)
+        e_wc2 = e_wc + (e_word >= 0).astype(jnp.int32)
+        if Er < E:
+            _sl = lambda x: jax.lax.slice_in_dim(x, 0, Er, axis=0)
+            e_alive, e_lm, e_am, e_lms, e_pair, e_law, e_wc2 = (
+                _sl(e_alive), _sl(e_lm), _sl(e_am), _sl(e_lms),
+                _sl(e_pair), _sl(e_law), _sl(e_wc2))
+            re_rec = _sl(new_rec)
+        else:
+            re_rec = new_rec
+
         if self._la_ctx:
             # re-entry candidates rank in the POST-commit context
             lev_e = []
-            acc_e = jnp.zeros((E,), jnp.float32)
+            acc_e = jnp.zeros((Er,), jnp.float32)
             cur_e = e_lm[:, 0]
             for _ in range(self._la_levels):
                 lev_e.append((t["la_pos"][cur_e], t["la_sc"][cur_e],
@@ -1017,19 +1122,21 @@ class BeamSearch:
                      * (oh_rc @ t["ent_first"])) > 0.5  # [E, M]
             obs_m = obs_t[t["ent_pdf"]]                 # [M] shared-idx
             paypk = jnp.stack(
-                [e_am, e_lms, new_rec.astype(jnp.float32),
+                [e_am, e_lms, re_rec.astype(jnp.float32),
                  e_law.astype(jnp.float32)]
-                + [e_lm[:, k].astype(jnp.float32) for k in range(K)],
-                axis=-1)                                # [E, 4+K]
+                + [e_lm[:, k].astype(jnp.float32) for k in range(K)]
+                + [e_wc2.astype(jnp.float32)],
+                axis=-1)                                # [Er, 5+K]
             c2_parts = []
             la2_parts = []
             for _j in range(K2):
                 enter = jnp.where(avail, e_total[:, None], -jnp.inf)
                 win = jnp.argmax(enter, axis=0)         # [M]
                 okm = jnp.max(enter, axis=0) > LOG_ZERO / 2
-                avail = avail & (jnp.arange(E, dtype=jnp.int32)[:, None]
+                avail = avail & (jnp.arange(Er,
+                                            dtype=jnp.int32)[:, None]
                                  != win[None, :])
-                got = jnp.take(paypk, win, axis=0)      # [M, 4+K]
+                got = jnp.take(paypk, win, axis=0)      # [M, 5+K]
                 c2_parts.append({
                     "node": t["ent_node"],
                     "lm": got[:, 4:4 + K].astype(jnp.int32),
@@ -1039,6 +1146,7 @@ class BeamSearch:
                     "rec": got[:, 2].astype(jnp.int32),
                     "alive": okm,
                     "law": got[:, 3].astype(jnp.int32),
+                    "wc": got[:, 4 + K].astype(jnp.int32),
                 })
                 if self._la_ctx:
                     lev_w = [(jnp.take(p, win, axis=0),
@@ -1057,20 +1165,21 @@ class BeamSearch:
         else:
             # full re-entry through the word end's context row [E, R]
             # (cross-word fan-in: silence/monophone trees have one row)
-            r_tgt = t["root_tgt"][e_pair]               # [E, R]
+            r_tgt = t["root_tgt"][e_pair]               # [Er, R]
             r_lp = t["root_logp"][e_pair]
-            obs2 = obs_t[t["pdf_root"]][e_pair]         # [E, R]
+            obs2 = obs_t[t["pdf_root"]][e_pair]         # [Er, R]
             R = r_tgt.shape[1]
             c2 = {
                 "node": r_tgt,
-                "lm": jnp.broadcast_to(e_lm[:, None, :], (E, R, K)),
+                "lm": jnp.broadcast_to(e_lm[:, None, :], (Er, R, K)),
                 "am": e_am[:, None] + r_lp + obs2,
-                "lms": jnp.broadcast_to(e_lms[:, None], (E, R)),
-                "dur": jnp.zeros((E, R), jnp.int32),
-                "rec": jnp.broadcast_to(new_rec[:, None], (E, R)),
-                "alive": (jnp.broadcast_to(e_alive[:, None], (E, R))
+                "lms": jnp.broadcast_to(e_lms[:, None], (Er, R)),
+                "dur": jnp.zeros((Er, R), jnp.int32),
+                "rec": jnp.broadcast_to(re_rec[:, None], (Er, R)),
+                "alive": (jnp.broadcast_to(e_alive[:, None], (Er, R))
                           & (r_lp > LOG_ZERO / 2)),
-                "law": jnp.broadcast_to(e_law[:, None], (E, R)),
+                "law": jnp.broadcast_to(e_law[:, None], (Er, R)),
+                "wc": jnp.broadcast_to(e_wc2[:, None], (Er, R)),
             }
             c2 = {k: (v.reshape(-1, K) if k == "lm" else v.reshape(-1))
                   for k, v in c2.items()}
@@ -1099,6 +1208,49 @@ class BeamSearch:
         total = jnp.where(cand["alive"], total, -jnp.inf)
         best = jnp.max(total)
         cand["alive"] = cand["alive"] & (total >= best - cfg.beam)
+
+        # ---- pruning extensions (TokenPassSearch.cc:1083-1127):
+        # bucket maxima computed over this frame's candidate set (the
+        # reference uses previous-frame active-list maxima, cc:320-360
+        # — a sequential-propagation necessity; same-frame maxima are
+        # strictly tighter).  All off by default.
+        pe_on = (cfg.eq_depth_beam or cfg.eq_word_count_beam
+                 or cfg.fan_in_beam or cfg.fan_out_beam
+                 or cfg.tp_state_beam)
+        if pe_on:
+            atot = jnp.where(cand["alive"], total, -jnp.inf)
+            ff = (t["fanflag"][cand["node"]] if "fanflag" in t
+                  else jnp.zeros_like(cand["node"]))
+            is_fan = ff > 0
+        if cfg.eq_depth_beam and "depth2" in t:
+            db = t["depth2"][cand["node"]]
+            dmax = jnp.full((self._DB,), -jnp.inf).at[db].max(atot)
+            keep = (total >= dmax[db] - cfg.eq_depth_beam) | is_fan
+            cand["alive"] = cand["alive"] & keep
+        if cfg.eq_word_count_beam:
+            wcb = jnp.clip(cand["wc"], 0, self._WCB - 1)
+            wmax = jnp.full((self._WCB,), -jnp.inf).at[wcb].max(atot)
+            keep = ((total >= wmax[wcb] - cfg.eq_word_count_beam)
+                    | is_fan)
+            cand["alive"] = cand["alive"] & keep
+        if cfg.fan_in_beam and "fanflag" in t:
+            fi = (ff & 1) > 0
+            fimax = jnp.max(jnp.where(fi, atot, -jnp.inf))
+            cand["alive"] = cand["alive"] & jnp.where(
+                fi, total >= fimax - cfg.fan_in_beam, True)
+        if cfg.fan_out_beam and "fanflag" in t:
+            fo = (ff & 2) > 0
+            fomax = jnp.max(jnp.where(fo, atot, -jnp.inf))
+            cand["alive"] = cand["alive"] & jnp.where(
+                fo, total >= fomax - cfg.fan_out_beam, True)
+        if cfg.tp_state_beam and "fanflag" in t:
+            # at fan nodes: vs the best candidate at the SAME node
+            # (STATE_PRUNING keeps per-node token lists comparable)
+            nmax = jnp.full((self.tree.num_nodes,), -jnp.inf).at[
+                cand["node"]].max(atot)
+            cand["alive"] = cand["alive"] & jnp.where(
+                is_fan, total >= nmax[cand["node"]]
+                - cfg.tp_state_beam, True)
 
         # recombine: one sort by (node, lm, -total) carrying only the
         # candidate index as payload; first per key wins.  Then top-W via
@@ -1146,18 +1298,20 @@ class BeamSearch:
         as_i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         packed = jnp.stack(
             [as_f(cand["node"]), cand["am"], cand["lms"],
-             as_f(cand["dur"]), as_f(cand["rec"]), as_f(cand["law"])]
+             as_f(cand["dur"]), as_f(cand["rec"]), as_f(cand["law"]),
+             as_f(cand["wc"])]
             + [as_f(cand["lm"][:, k]) for k in range(K)], axis=-1)
-        got = jnp.take(packed, sel, axis=0)           # [W, 6+K]
+        got = jnp.take(packed, sel, axis=0)           # [W, 7+K]
         new_tokens = (
             as_i(got[:, 0]),
-            jnp.stack([as_i(got[:, 6 + k]) for k in range(K)], axis=-1),
+            jnp.stack([as_i(got[:, 7 + k]) for k in range(K)], axis=-1),
             got[:, 1],
             got[:, 2],
             as_i(got[:, 3]),
             as_i(got[:, 4]),
             vals > -jnp.inf,                # alive == selected real key
             as_i(got[:, 5]),
+            as_i(got[:, 6]),
         )
         return new_tokens, (rec_word, rec_prev, rec_am, rec_lms)
 
@@ -1183,7 +1337,8 @@ class BeamSearch:
                   jnp.broadcast_to(lm_init[None, :],
                                    (W, self._K)).astype(jnp.int32), am0,
                   jnp.zeros((W,), jnp.float32), jnp.zeros((W,), jnp.int32),
-                  jnp.full((W,), -1, jnp.int32), alive0, law0)
+                  jnp.full((W,), -1, jnp.int32), alive0, law0,
+                  jnp.zeros((W,), jnp.int32))
 
         T = obs.shape[0]
         valid = jnp.arange(1, T) < n_frames
@@ -1205,7 +1360,7 @@ class BeamSearch:
         if not lattice:
             # finalize + 1-best traceback ON DEVICE (the relay moves
             # ~10 MB/s; the record stacks never leave the chip)
-            node, lmst, am, lms, dur, rec, alive, law = tokens
+            node, lmst, am, lms, dur, rec, alive, law, _wc = tokens
             if cfg.require_sentence_end:
                 end_id = self.lm.word_index.get(cfg.sentence_end)
                 if end_id is not None:
@@ -1463,7 +1618,8 @@ class StreamingDecoder:
                             jnp.zeros((W,), jnp.int32),
                             jnp.full((W,), -1, jnp.int32), alive0,
                             jnp.full((W,), getattr(
-                                s, "_la_init_row", 0), jnp.int32))
+                                s, "_la_init_row", 0), jnp.int32),
+                            jnp.zeros((W,), jnp.int32))
         else:
             self._tokens, recs = self._step_jit(
                 self._tokens, obs_t,

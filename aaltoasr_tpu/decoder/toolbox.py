@@ -171,6 +171,50 @@ class Toolbox:
         self.config.we_prewalk = int(n)
         self._search = None
 
+    def set_word_end_beam(self, b: float):
+        """Prune word-end candidates vs the frame's best word end
+        (Toolbox.hh:205, TokenPassSearch.cc:1076-1081); 0 = off."""
+        self.config.word_end_beam = float(b)
+        self._search = None
+
+    def set_reentry_records(self, n: int):
+        """Only the top-n record slots seed cross-word re-entry (the
+        records are compacted best-first); all records are still
+        written for the lattice.  0 = all re-enter."""
+        self.config.reentry_records = int(n)
+        self._search = None
+
+    def set_eq_depth_beam(self, b: float):
+        """Prune vs the best same-tree-depth candidate (pruning
+        extension EQ_DEPTH_PRUNING, TokenPassSearch.cc:1083-1096);
+        0 = off."""
+        self.config.eq_depth_beam = float(b)
+        self._search = None
+
+    def set_eq_word_count_beam(self, b: float):
+        """Prune vs the best candidate with the same committed-word
+        count (EQ_WC_PRUNING, TokenPassSearch.cc:1097-1106); 0 = off."""
+        self.config.eq_word_count_beam = float(b)
+        self._search = None
+
+    def set_fan_in_beam(self, b: float):
+        """Prune fan-in-network candidates vs the best fan-in
+        candidate (FAN_IN_PRUNING, Toolbox.hh:209); 0 = off."""
+        self.config.fan_in_beam = float(b)
+        self._search = None
+
+    def set_fan_out_beam(self, b: float):
+        """Prune fan-out candidates vs the best fan-out candidate
+        (FAN_OUT_PRUNING, Toolbox.hh:213); 0 = off."""
+        self.config.fan_out_beam = float(b)
+        self._search = None
+
+    def set_tp_state_beam(self, b: float):
+        """At fan nodes: prune vs the best candidate at the SAME node
+        (STATE_PRUNING, TokenPassSearch.cc:1116-1127); 0 = off."""
+        self.config.tp_state_beam = float(b)
+        self._search = None
+
     def set_split_multiwords(self, value: bool):
         """Score multiwords ("give_me") as their component-word
         sequence in the LM (Toolbox.hh:223-232; useful when the LM has

@@ -145,8 +145,17 @@ def synth_task(num_words=1000, num_phones=25, seed=0, order=2,
     from aaltoasr_tpu.decoder.lexicon import read_lexicon
     tree = build_prefix_tree(model, read_lexicon("\n".join(lex_lines)))
     fsa = NGramFsa.from_arpa(lm)
+    # bigram successor lists (indices into `words`): synth_obs plants
+    # sequences that FOLLOW the LM's own bigrams — with a random LM, a
+    # random word sequence pays backoff+unigram at every boundary and
+    # alternate segmentations with fewer word ends legitimately win
+    follow: dict = {}
+    for (a, b) in bi:
+        if a >= 2 and b >= 2:
+            follow.setdefault(a - 2, []).append(b - 2)
     synth_task.last_info = {"prons": prons, "words": words,
-                            "phones": phones, "triphone": triphone}
+                            "phones": phones, "triphone": triphone,
+                            "follow": follow}
     return model, tree, fsa
 
 
@@ -168,19 +177,28 @@ def synth_obs(model, info, B, T, seed=1, gain=8.0, noise=2.0):
     rng = np.random.default_rng(seed)
     phone_map = {p.label: p for p in model.phones}
     prons, words = info["prons"], info["words"]
+    follow = info.get("follow", {})
     plan = np.zeros((B, T), np.int32)
     true_words = []
     for b in range(B):
         t = 0
         seq = []
         prev_last = "_"
-        order = rng.permutation(len(words))
-        i = 0
+
+        def next_word(prev):
+            # ride the LM's bigram mass when the previous word has
+            # successors (the planted path must be LM-plausible, not
+            # just acoustically favored)
+            nx = follow.get(prev)
+            if nx:
+                return int(nx[int(rng.integers(len(nx)))])
+            return int(rng.integers(len(words)))
+
+        w = next_word(-1)
         while t < T:
-            w = int(order[i % len(order)])
-            i += 1
             p = prons[w]
-            nxt = prons[int(order[i % len(order)])][0]
+            w_next = next_word(w)
+            nxt = prons[w_next][0]
             states = []
             for j, c in enumerate(p):
                 l = p[j - 1] if j > 0 else prev_last
@@ -206,6 +224,7 @@ def synth_obs(model, info, B, T, seed=1, gain=8.0, noise=2.0):
             if t < T:          # word fully planted
                 seq.append(w)
             prev_last = p[-1]
+            w = w_next
         true_words.append(seq)
     plan_dev = jnp.asarray(plan)
     S = model.num_states

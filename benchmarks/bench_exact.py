@@ -31,6 +31,9 @@ def main():
     p.add_argument("--prewalk", type=int, default=0)
     p.add_argument("--reentry", type=int, default=0,
                    help="top-K records per entry node (0 = full [E,R])")
+    p.add_argument("--reentry-records", type=int, default=0,
+                   help="only top-K record slots re-enter (0 = all)")
+    p.add_argument("--we-beam", type=float, default=0.0)
     p.add_argument("--order", type=int, default=2)
     p.add_argument("--triphone", action="store_true")
     p.add_argument("--profile", action="store_true")
@@ -51,7 +54,9 @@ def main():
         lm_scale=30.0, duration_scale=3.0 if args.triphone else 0.0,
         num_tokens=args.tokens, num_records=args.records,
         overflow_tokens=args.overflow, we_prewalk=args.prewalk,
-        reentry_topk=args.reentry)
+        reentry_topk=args.reentry,
+        reentry_records=args.reentry_records,
+        word_end_beam=args.we_beam)
     search = BeamSearch(tree, fsa, model, cfg)
 
     B, T = args.batch, args.frames

@@ -29,11 +29,18 @@ def main():
     p.add_argument("--words", type=int, default=1000)
     p.add_argument("--triphone", action="store_true")
     p.add_argument("--order", type=int, default=2)
+    p.add_argument("--engine", choices=["dense", "exact"],
+                   default="dense")
+    p.add_argument("--tokens", type=int, default=1024)
+    p.add_argument("--overflow", type=int, default=128)
+    p.add_argument("--prewalk", type=int, default=256)
+    p.add_argument("--reentry", type=int, default=0)
+    p.add_argument("--reentry-records", type=int, default=0)
     a = p.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from aaltoasr_tpu.decoder.search import SearchConfig
+    from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
     from aaltoasr_tpu.decoder.search_dense import DenseBeamSearch
 
     np.asarray(jnp.zeros((128, 128)))
@@ -43,10 +50,20 @@ def main():
                                   durations=a.triphone)
     info = synth_task.last_info
     print(f"nodes {tree.num_nodes} lm {fsa.num_states}", flush=True)
-    cfg = SearchConfig(lm_scale=30.0,
-                       duration_scale=3.0 if a.triphone else 0.0,
-                       num_records=32, records_half=True)
-    search = DenseBeamSearch(tree, fsa, model, cfg)
+    if a.engine == "exact":
+        cfg = SearchConfig(lm_scale=30.0,
+                           duration_scale=3.0 if a.triphone else 0.0,
+                           num_tokens=a.tokens, num_records=64,
+                           overflow_tokens=a.overflow,
+                           we_prewalk=a.prewalk,
+                           reentry_topk=a.reentry,
+                           reentry_records=a.reentry_records)
+        search = BeamSearch(tree, fsa, model, cfg)
+    else:
+        cfg = SearchConfig(lm_scale=30.0,
+                           duration_scale=3.0 if a.triphone else 0.0,
+                           num_records=32, records_half=True)
+        search = DenseBeamSearch(tree, fsa, model, cfg)
     B, T = a.batch, a.frames
     obs_fn, _ = synth_obs(model, info, B, T)
     obs = jax.jit(obs_fn)(jax.random.PRNGKey(1))
