@@ -126,6 +126,20 @@ class SearchConfig:
                                     # TokenPassSearch.cc:1076-1081
                                     # NODE_USE_WORD_END_BEAM).  0 = off
                                     # (reference default 1e10).
+    reentry_prewalk: int = 0        # cross-word re-entry compaction:
+                                    # each re-entering record keeps
+                                    # only its top-K entry nodes of
+                                    # the [E, R] fan-in row, ranked by
+                                    # root arc + entry obs (exact
+                                    # within-row ranking — the row
+                                    # constant cancels).  The fan-in
+                                    # expansion dominates the
+                                    # recombination sort space on
+                                    # cross-word trees; this bounds it
+                                    # the way the reference's word-end
+                                    # beam bounds hypotheses
+                                    # (TokenPassSearch.cc:1076-1081).
+                                    # 0 = keep all (exact).
     reentry_records: int = 0        # only the top-K record slots seed
                                     # cross-word re-entry (records are
                                     # compacted best-first, so this is
@@ -1169,25 +1183,86 @@ class BeamSearch:
             r_lp = t["root_logp"][e_pair]
             obs2 = obs_t[t["pdf_root"]][e_pair]         # [Er, R]
             R = r_tgt.shape[1]
-            c2 = {
-                "node": r_tgt,
-                "lm": jnp.broadcast_to(e_lm[:, None, :], (Er, R, K)),
-                "am": e_am[:, None] + r_lp + obs2,
-                "lms": jnp.broadcast_to(e_lms[:, None], (Er, R)),
-                "dur": jnp.zeros((Er, R), jnp.int32),
-                "rec": jnp.broadcast_to(re_rec[:, None], (Er, R)),
-                "alive": (jnp.broadcast_to(e_alive[:, None], (Er, R))
-                          & (r_lp > LOG_ZERO / 2)),
-                "law": jnp.broadcast_to(e_law[:, None], (Er, R)),
-                "wc": jnp.broadcast_to(e_wc2[:, None], (Er, R)),
-            }
-            c2 = {k: (v.reshape(-1, K) if k == "lm" else v.reshape(-1))
-                  for k, v in c2.items()}
+            la_c2 = None
             if self._la_ctx:
-                la_parts.append(ctx_la(
+                la_c2 = ctx_la(
                     lev_e, acc_e, t["lart_lo"][e_pair],
                     t["lart_hi"][e_pair],
-                    t["lart_1"][e_pair]).reshape(-1))
+                    t["lart_1"][e_pair]).reshape(-1)
+            RK = (min(cfg.reentry_prewalk, R)
+                  if cfg.reentry_prewalk else 0)
+            if RK and RK < R:
+                # cross-word re-entry compaction: the [Er, R] fan-in
+                # expansion is ~90% of the recombination sort's
+                # candidate space on cross-word trees (R ~ 500).  A
+                # re-entry candidate's score is row_total + r_lp +
+                # obs2, and the row constant cancels WITHIN a row — so
+                # each record's best RK entry nodes are found by a
+                # cheap per-row top_k over (r_lp + obs2), ranked
+                # exactly.  Same hypothesis-limiting role as the
+                # reference's word-end beam
+                # (TokenPassSearch.cc:1076-1081), but count-bounded
+                # (shape-shrinking).  A flattened global top-K was
+                # measured and rejected: its [Er*R] sort costs what
+                # the recombination sorts save (44x vs 77x RT at the
+                # crossword bench point).  Payloads stay row-
+                # broadcast; only node/arc/obs ride take_along_axis
+                # ([Er, RK] indices).
+                rank2 = r_lp + obs2                     # [Er, R]
+                if self._la_on and not (self._la_bigram
+                                        or self._la_ctx):
+                    # fold the node lookahead estimate into the
+                    # RANKING only (bigram/context la rank without it:
+                    # their tables key on (history, node) and the
+                    # gather would dwarf the sort savings)
+                    rank2 = rank2 + cfg.lm_scale * t["la"][r_tgt]
+                rank2 = jnp.where(r_lp > LOG_ZERO / 2, rank2, -jnp.inf)
+                _, idxr = jax.lax.top_k(rank2, RK)      # [Er, RK]
+                tal = lambda v: jnp.take_along_axis(v, idxr, axis=1)
+                r_tgt2 = tal(r_tgt)
+                r_lp2 = tal(r_lp)
+                obs22 = tal(obs2)
+                c2 = {
+                    "node": r_tgt2,
+                    "lm": jnp.broadcast_to(e_lm[:, None, :],
+                                           (Er, RK, K)),
+                    "am": e_am[:, None] + r_lp2 + obs22,
+                    "lms": jnp.broadcast_to(e_lms[:, None], (Er, RK)),
+                    "dur": jnp.zeros((Er, RK), jnp.int32),
+                    "rec": jnp.broadcast_to(re_rec[:, None],
+                                            (Er, RK)),
+                    "alive": (jnp.broadcast_to(e_alive[:, None],
+                                               (Er, RK))
+                              & (r_lp2 > LOG_ZERO / 2)),
+                    "law": jnp.broadcast_to(e_law[:, None], (Er, RK)),
+                    "wc": jnp.broadcast_to(e_wc2[:, None], (Er, RK)),
+                }
+                c2 = {k: (v.reshape(-1, K) if k == "lm"
+                          else v.reshape(-1))
+                      for k, v in c2.items()}
+                if la_c2 is not None:
+                    la_parts.append(tal(
+                        la_c2.reshape(Er, R)).reshape(-1))
+            else:
+                c2 = {
+                    "node": r_tgt,
+                    "lm": jnp.broadcast_to(e_lm[:, None, :],
+                                           (Er, R, K)),
+                    "am": e_am[:, None] + r_lp + obs2,
+                    "lms": jnp.broadcast_to(e_lms[:, None], (Er, R)),
+                    "dur": jnp.zeros((Er, R), jnp.int32),
+                    "rec": jnp.broadcast_to(re_rec[:, None], (Er, R)),
+                    "alive": (jnp.broadcast_to(e_alive[:, None],
+                                               (Er, R))
+                              & (r_lp > LOG_ZERO / 2)),
+                    "law": jnp.broadcast_to(e_law[:, None], (Er, R)),
+                    "wc": jnp.broadcast_to(e_wc2[:, None], (Er, R)),
+                }
+                c2 = {k: (v.reshape(-1, K) if k == "lm"
+                          else v.reshape(-1))
+                      for k, v in c2.items()}
+                if la_c2 is not None:
+                    la_parts.append(la_c2)
 
         cand = {k: jnp.concatenate([c1[k], c2[k]]) for k in c1}
 

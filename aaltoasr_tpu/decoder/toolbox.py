@@ -177,6 +177,13 @@ class Toolbox:
         self.config.word_end_beam = float(b)
         self._search = None
 
+    def set_reentry_prewalk(self, n: int):
+        """Each re-entering word end keeps only its top-n cross-word
+        entry nodes, ranked by root arc + entry obs (count-bounded
+        analog of the reference's word-end beam); 0 = all (exact)."""
+        self.config.reentry_prewalk = int(n)
+        self._search = None
+
     def set_reentry_records(self, n: int):
         """Only the top-n record slots seed cross-word re-entry (the
         records are compacted best-first); all records are still

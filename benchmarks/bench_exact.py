@@ -33,6 +33,9 @@ def main():
                    help="top-K records per entry node (0 = full [E,R])")
     p.add_argument("--reentry-records", type=int, default=0,
                    help="only top-K record slots re-enter (0 = all)")
+    p.add_argument("--reentry-prewalk", type=int, default=0,
+                   help="top-K flattened [E,R] re-entry candidates "
+                        "(0 = all)")
     p.add_argument("--we-beam", type=float, default=0.0)
     p.add_argument("--order", type=int, default=2)
     p.add_argument("--triphone", action="store_true")
@@ -56,6 +59,7 @@ def main():
         overflow_tokens=args.overflow, we_prewalk=args.prewalk,
         reentry_topk=args.reentry,
         reentry_records=args.reentry_records,
+        reentry_prewalk=args.reentry_prewalk,
         word_end_beam=args.we_beam)
     search = BeamSearch(tree, fsa, model, cfg)
 

@@ -114,6 +114,40 @@ class TestPruningKnobs:
         _, sl = _decode(t, lp, reentry_records=16)
         assert sl.words == full.words
 
+    def test_reentry_prewalk_identity_and_slice(self, task):
+        tmp, model, words, label_id, t = task
+        lna = synth_crossword_lna(tmp, model, words, label_id,
+                                  ["ab", "ba", "a"], seed=43,
+                                  name="rp.lna")
+        lp, _ = read_lna(lna)
+        s, full = _decode(t, lp)
+        R = int(t.tree.root_pair_tgt.shape[1])
+        # RK >= R keeps everything (full path)
+        _, same = _decode(t, lp, reentry_prewalk=R)
+        assert same.words == full.words
+        assert same.log_prob == pytest.approx(full.log_prob, rel=1e-5)
+        # a generous per-record entry budget keeps the 1-best (the
+        # score may dip slightly: a pruned entry can contribute to
+        # the winning path's mass on noisy frames)
+        _, sl = _decode(t, lp, reentry_prewalk=max(4, R // 2))
+        assert sl.words == full.words
+        # composes with the record slice
+        _, both = _decode(t, lp, reentry_prewalk=max(4, R // 2),
+                          reentry_records=16)
+        assert both.words == full.words
+
+    def test_reentry_prewalk_with_lookahead(self, task):
+        tmp, model, words, label_id, t = task
+        lna = synth_crossword_lna(tmp, model, words, label_id,
+                                  ["ca", "ab"], seed=44,
+                                  name="rpl.lna")
+        lp, _ = read_lna(lna)
+        _, full = _decode(t, lp, lm_lookahead=1)
+        R = int(t.tree.root_pair_tgt.shape[1])
+        _, sl = _decode(t, lp, lm_lookahead=1,
+                        reentry_prewalk=max(4, R // 2))
+        assert sl.words == full.words
+
     def test_monophone_tree_ignores_fan_beams(self):
         from tests.test_decoder import make_decode_task, synth_obs
         model, tree, fsa = make_decode_task()
