@@ -14,6 +14,8 @@ SearchConfig).  Contract tested here:
 - monophone trees (fan_flags is None) ignore the fan beams.
 """
 
+import subprocess
+
 import numpy as np
 import pytest
 
@@ -22,6 +24,7 @@ from aaltoasr_tpu.formats.lna import read_lna
 
 from tests.test_golden_crossword import (
     make_triphone_task, synth_crossword_lna)
+from tests.test_golden_decode import ref_driver  # noqa: F401 (fixture)
 
 
 @pytest.fixture(scope="module")
@@ -84,6 +87,18 @@ class TestPruningKnobs:
         # decode must still complete and produce words
         _, tight = _decode(t, lp, word_end_beam=5.0)
         assert len(tight.words) >= 1
+        # non-vacuity: the beam visibly prunes word-end records while
+        # the moderate setting keeps the 1-best
+        def live(web):
+            cfg = SearchConfig(lm_scale=8.0, num_tokens=256,
+                               num_records=32, word_end_beam=web)
+            s = BeamSearch(t.tree, t.lm, t.model, cfg)
+            r = s.decode(lp, lattice=True)
+            return int(np.sum(np.asarray(r.rec_words) >= 0)), r.words
+        n_off, _ = live(0.0)
+        n_25, w_25 = live(25.0)
+        assert n_25 < n_off // 2
+        assert w_25 == off.words
 
     def test_tight_beams_still_decode(self, task):
         tmp, model, words, label_id, t = task
@@ -163,6 +178,36 @@ class TestPruningKnobs:
         s0 = BeamSearch(tree, fsa, model, cfg0)
         r0 = s0.decode(obs)
         assert r.words == r0.words
+
+    def test_word_end_beam_golden_parity(self, task, ref_driver):
+        """1-best parity vs the REFERENCE decoder with the word-end
+        beam matched on both sides (`--we-beam` plumbs straight to
+        `Toolbox::set_word_end_beam`, Toolbox.hh:205).  Ours prunes
+        against the same-frame best word end (strictly tighter than
+        the reference's previous-frame maxima), so agreement at a
+        beam that actually prunes is the semantic check."""
+        tmp, model, words, label_id, t = task
+        for i, (seq, web) in enumerate([(["ab", "ba"], 40.0),
+                                        (["ca", "bc", "a"], 40.0),
+                                        (["a", "ab"], 25.0)]):
+            lna = synth_crossword_lna(tmp, model, words, label_id,
+                                      seq, seed=50 + i,
+                                      name=f"web{i}.lna")
+            out = subprocess.run(
+                [ref_driver, "--ph", str(tmp / "m.ph"),
+                 "--lex", str(tmp / "ref_lex.dict"),
+                 "--arpa", str(tmp / "lm.arpa"), "--lna", lna,
+                 "--beam", "500", "--we-beam", str(web),
+                 "--token-limit", "200000", "--lm-scale", "8",
+                 "--dur-scale", "0", "--trans-scale", "1",
+                 "--no-oss"],
+                check=True, capture_output=True, text=True,
+                timeout=180)
+            ref = [w for w in out.stdout.split()
+                   if w not in ("<s>", "</s>", "*")]
+            lp, _ = read_lna(lna)
+            _, ours = _decode(t, lp, word_end_beam=web)
+            assert ours.words == ref, (seq, web)
 
     def test_toolbox_knob_setters(self, task):
         tmp, model, words, label_id, t = task

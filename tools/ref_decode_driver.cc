@@ -27,6 +27,7 @@ int main(int argc, char **argv) {
   const char *stateseg = nullptr, *wordgraph = nullptr;
   const char *nbest = nullptr;
   float beam = 280, lm_scale = 30, dur_scale = 3, trans_scale = 1;
+  float we_beam = -1;  // default: 2*beam/3 (rectool.py-style)
   float insertion_penalty = 0;
   int token_limit = 100000;
   int la_mode = 1;  // reference lm_lookahead: 1 bigram, 2 trigram
@@ -44,6 +45,7 @@ int main(int argc, char **argv) {
     else if (a == "--lna") lna = next();
     else if (a == "--lookahead") lookahead = next();
     else if (a == "--beam") beam = atof(next());
+    else if (a == "--we-beam") we_beam = atof(next());
     else if (a == "--token-limit") token_limit = atoi(next());
     else if (a == "--lm-scale") lm_scale = atof(next());
     else if (a == "--dur-scale") dur_scale = atof(next());
@@ -73,7 +75,7 @@ int main(int argc, char **argv) {
   t.set_print_text_result(0);
   t.set_print_probs(0);
   t.set_global_beam(beam);
-  t.set_word_end_beam(2 * beam / 3);
+  t.set_word_end_beam(we_beam >= 0 ? we_beam : 2 * beam / 3);
   t.set_token_limit(token_limit);
   t.set_prune_similar(3);
   t.set_duration_scale(dur_scale);
