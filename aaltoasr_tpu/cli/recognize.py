@@ -71,6 +71,17 @@ def main(argv=None) -> int:
                    help="exact engine: LM-walk only the top-N word-end "
                         "candidates ranked by a static unigram "
                         "estimate (0 = walk everything, exact)")
+    p.add_argument("--word-end-beam", type=float, default=0.0,
+                   help="prune word ends vs the frame's best word end "
+                        "(Toolbox.hh:205; rectool uses 2/3 of the "
+                        "global beam); 0 = off")
+    p.add_argument("--reentry-records", type=int, default=0,
+                   help="exact engine: only the top-N best-first "
+                        "record slots seed cross-word re-entry (all "
+                        "records still written for lattices); 0 = all")
+    p.add_argument("--reentry-prewalk", type=int, default=0,
+                   help="exact engine: each re-entering record keeps "
+                        "its top-N cross-word entry nodes; 0 = all")
     p.add_argument("--lookahead", type=int, default=0,
                    help="LM lookahead: 0 off, 1 unigram table, 2 "
                         "bigram table, 3 context/trigram "
@@ -161,6 +172,12 @@ def main(argv=None) -> int:
         t.set_split_multiwords(True)
     if args.we_prewalk:
         t.set_we_prewalk(args.we_prewalk)
+    if args.word_end_beam:
+        t.set_word_end_beam(args.word_end_beam)
+    if args.reentry_records:
+        t.set_reentry_records(args.reentry_records)
+    if args.reentry_prewalk:
+        t.set_reentry_prewalk(args.reentry_prewalk)
     if args.lookahead:
         t.set_lm_lookahead(args.lookahead)
     if args.lookahead_ngram:
