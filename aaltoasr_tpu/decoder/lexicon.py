@@ -24,6 +24,8 @@ for full cross-word context modeling.
 
 from __future__ import annotations
 
+LN10 = 2.302585092994046
+
 import math
 from dataclasses import dataclass, field
 
@@ -180,7 +182,8 @@ def build_prefix_tree(model: HmmModel, entries: list,
     if cross_word is None:
         cross_word = use_context_phones
     if use_context_phones and cross_word:
-        return _build_crossword_tree(model, entries, phone_map, boundary)
+        return _build_crossword_tree(model, entries, phone_map,
+                                     boundary, silence_is_word)
     if use_context_phones:
         entries = [
             LexiconEntry(word=e.word,
@@ -273,7 +276,10 @@ def build_prefix_tree(model: HmmModel, entries: list,
                           and e.word.startswith("_")))
         w = -1 if is_silence else wid(e.word)
         for (n, lp) in inst.exits:
-            we[n].append((w, lp, log(e.prob), is_silence))
+            # pron prob: the reference scales safe_log(prob) (NATURAL,
+            # TPLexPrefixTree.cc:921) by lm_scale; our engines multiply
+            # the lm side by lm_scale/ln10, so pre-multiply by ln10
+            we[n].append((w, lp, LN10 * log(e.prob), is_silence))
 
     root_tgt = [c.nodes[0] for c in root_children.values()]
     root_logp = [0.0] * len(root_tgt)
@@ -328,7 +334,9 @@ def build_prefix_tree(model: HmmModel, entries: list,
 
 
 def _build_crossword_tree(model: HmmModel, entries: list,
-                          phone_map: dict, boundary: str) -> PrefixTree:
+                          phone_map: dict, boundary: str,
+                          silence_is_word: bool = True
+                          ) -> PrefixTree:
     """Cross-word triphone tree: boundary phones expand into context
     variants (fan-in per preceding class, fan-out per following class);
     interiors stay a shared trie keyed by the resolved label chain.
@@ -350,8 +358,20 @@ def _build_crossword_tree(model: HmmModel, entries: list,
 
     words = [e for e in entries if e.phones]
 
-    classes = sorted({e.phones[0] for e in words}
-                     | {e.phones[-1] for e in words} | {boundary})
+    def _is_sil(e):
+        # TPNowayLexReader.cc:153-160 silence semantics, as in the
+        # monophone builder: '_' always, '_'-initial words when
+        # silence_is_word is off
+        return (e.word == "_"
+                or (not silence_is_word and e.word.startswith("_")))
+
+    # context classes come from REAL words only: silences carry the
+    # boundary context on both sides (the reference wires its silence
+    # copies with '_' contexts, TPLexPrefixTree.cc:700-720,1131), so a
+    # silence phone is never a triphone context class itself
+    classes = sorted({e.phones[0] for e in words if not _is_sil(e)}
+                     | {e.phones[-1] for e in words if not _is_sil(e)}
+                     | {boundary})
     cid = {c: i for i, c in enumerate(classes)}
     NC = len(classes)
 
@@ -397,6 +417,7 @@ def _build_crossword_tree(model: HmmModel, entries: list,
     class Variant:
         def __init__(self, label):
             self.inst = Inst(label)
+            self.exit_inst = self.inst   # last Inst (chains: silences)
             self.left: set = set()       # allowed preceding classes
             self.rset: set = set()       # assumed following classes
             self.first_class = -1        # monophone class of phone 1
@@ -406,6 +427,7 @@ def _build_crossword_tree(model: HmmModel, entries: list,
     fanin: dict = {}         # (p1, p2) -> {label: Variant}
     fanout: dict = {}        # tuple(word phones) -> {label: Variant}
     single: dict = {}        # p1 -> {label: Variant}
+    silences: dict = {}      # label chain -> Variant (boundary ctx)
     edges: set = set()       # (src Inst id, tgt node) wired once
 
     def wire(src: Inst, dst: Inst):
@@ -419,8 +441,47 @@ def _build_crossword_tree(model: HmmModel, entries: list,
     for e in words:
         p = e.phones
         k = len(p)
-        is_sil = e.word == "_"
+        is_sil = _is_sil(e)
         w = -1 if is_sil else wid(e.word)
+        if is_sil:
+            # silences are context-transparent: one un-fanned chain,
+            # enterable after ANY word end (left = all classes) and
+            # followed by anything (rset = all); its committed context
+            # pair is (boundary, all) so the next word re-enters with
+            # a '_' left context — the reference's silence wiring
+            # (TPLexPrefixTree.cc:700-720, fan-out silence :1131).
+            # Word ends are skip (no LM walk, no output), as in the
+            # monophone builder.
+            lbls = []
+            for i in range(k):
+                left = p[i - 1] if i else boundary
+                right = p[i + 1] if i + 1 < k else boundary
+                lbl = _resolve_context(phone_map, left, p[i], right)
+                if lbl is None:
+                    lbls = None
+                    break
+                lbls.append(lbl)
+            if lbls is None:
+                print(f"build_prefix_tree: unknown hmm in silence "
+                      f"'{e.word}'", file=sys.stderr)
+                continue
+            key = tuple(lbls)
+            v = silences.get(key)
+            if v is None:
+                v = silences[key] = Variant(lbls[0])
+                v.chain = [v.inst]
+                cur = v.inst
+                for lbl in lbls[1:]:
+                    nxt = Inst(lbl)
+                    wire(cur, nxt)
+                    cur = nxt
+                    v.chain.append(nxt)
+                v.exit_inst = cur
+                v.first_class = cid[boundary]
+                v.left = set(range(NC))
+                v.rset = set(range(NC))
+            v.ends.append((w, LN10 * log(e.prob), True, cid[boundary]))
+            continue
         if k == 1:
             vd = single.setdefault(p[0], {})
             variants = {}
@@ -442,7 +503,7 @@ def _build_crossword_tree(model: HmmModel, entries: list,
                       f"word '{e.word}'", file=sys.stderr)
                 continue
             for v in variants.values():
-                v.ends.append((w, log(e.prob), is_sil, cid[p[0]]))
+                v.ends.append((w, LN10 * log(e.prob), is_sil, cid[p[0]]))
             continue
 
         # resolve everything before touching shared state
@@ -503,13 +564,15 @@ def _build_crossword_tree(model: HmmModel, entries: list,
         for v in last_vars.values():
             for src in prev_insts:
                 wire(src, v.inst)
-            v.ends.append((w, log(e.prob), is_sil, cid[p[k - 1]]))
+            v.ends.append((w, LN10 * log(e.prob), is_sil, cid[p[k - 1]]))
 
     # ---- pair table: (last class, rc set) -> root row
     all_variants = ([v for d in fanin.values() for v in d.values()]
-                    + [v for d in single.values() for v in d.values()])
+                    + [v for d in single.values() for v in d.values()]
+                    + list(silences.values()))
     end_variants = ([v for d in fanout.values() for v in d.values()]
-                    + [v for d in single.values() for v in d.values()])
+                    + [v for d in single.values() for v in d.values()]
+                    + list(silences.values()))
     rcsets: dict = {}
 
     def rcset_id(fs):
@@ -541,7 +604,7 @@ def _build_crossword_tree(model: HmmModel, entries: list,
     for v in end_variants:
         for (w, pron, skip, last_cls) in v.ends:
             pair = last_cls * NR + v.rcid
-            for (n, lp) in v.inst.exits:
+            for (n, lp) in v.exit_inst.exits:
                 we[n].append((w, lp, pron, skip, pair))
 
     init_pair = cid.get(boundary, 0) * NR + full_set
@@ -561,6 +624,11 @@ def _build_crossword_tree(model: HmmModel, entries: list,
     for d in single.values():
         for v in d.values():
             fan_flags[v.inst.nodes] |= 3
+    for v in silences.values():
+        # silence copies live in the fan network (NODE_FAN_OUT on the
+        # reference's fan-out silence, TPLexPrefixTree.cc:1131)
+        for inst in v.chain:
+            fan_flags[inst.nodes] |= 2
     A = max((len(a) for a in arcs), default=1)
     H = max((len(h) for h in we), default=1)
     R = max((len(r) for r in rows_tgt), default=1)

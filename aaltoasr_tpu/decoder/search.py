@@ -22,6 +22,23 @@ Scores follow the reference exactly: total = am + lm_scale * lm with
 am += transition + duration and lm += ngram + pron + insertion_penalty
 (`TokenPassSearch.hh:539-542` get_token_log_prob).
 
+Log bases: the reference inherits noway's mixed bases — LNA acoustics
+and the gamma duration model are NATURAL log (`LnaReaderCircular.cc:183`
+bytes/-1820, `Hmm.cc:36` logf), but HMM transition probabilities are
+LOG10 (`NowayHmmReader.cc:52` log10(prob)) and so are the ARPA/TreeGram
+LM scores.  Our tables keep everything in natural log; to make
+``lm_scale`` and ``transition_scale`` mean exactly what the reference's
+flags mean (rectool.py defaults were tuned under log10 semantics), the
+engines multiply by ``cfg.lm_scale_eff = lm_scale / ln10`` and
+``transition_scale_eff = transition_scale / ln10``.  Pronunciation
+probabilities are the one reference quirk in the other direction: they
+enter its log10 LM accumulator as NATURAL logs
+(`TPNowayLexReader.cc:113` safe_log), so our builder stores them
+pre-multiplied by ln10 (lexicon.py) and the same lm_scale_eff
+reproduces the reference contribution.  Insertion penalty likewise
+(a log10-domain constant in the reference): ``insertion_penalty_eff =
+insertion_penalty * ln10``.
+
 Word traceback uses per-frame record buffers (word id + previous record
 pointer) instead of ref-counted LMHistory chains; the host unwinds the
 winning chain after the scan.
@@ -42,6 +59,7 @@ from aaltoasr_tpu.decoder.ngram import (
 from aaltoasr_tpu.ops.logsemiring import LOG_ZERO
 
 INT_MAX = np.iinfo(np.int32).max
+LN10 = 2.302585092994046
 
 
 @dataclass
@@ -170,6 +188,25 @@ class SearchConfig:
     tp_state_beam: float = 0.0      # at fan nodes: vs the best
                                     # candidate at the SAME node
                                     # (STATE_PRUNING, cc:1116-1127)
+
+    # ---- effective scales (see the module docstring "Log bases"):
+    # the reference multiplies lm_scale/transition_scale into LOG10
+    # values (TreeGram ARPA scores, NowayHmmReader.cc:52 transitions);
+    # our tables are natural log, so the engines use flag/ln10 to make
+    # the flags mean exactly what the reference's flags mean.
+    @property
+    def lm_scale_eff(self) -> float:
+        return self.lm_scale / LN10
+
+    @property
+    def transition_scale_eff(self) -> float:
+        return self.transition_scale / LN10
+
+    @property
+    def insertion_penalty_eff(self) -> float:
+        # a log10-domain additive constant inside the reference's lm
+        # accumulator; our lm accumulator is natural
+        return self.insertion_penalty * LN10
 
 
 def multiword_components(lm_names, lm, split: bool):
@@ -897,7 +934,7 @@ class BeamSearch:
                 "lm": jnp.broadcast_to(lmst[sel_tok][:, None, :],
                                        shape + (K,)),
                 "am": (am[sel_tok][:, None]
-                       + cfg.transition_scale * a_lp + durp),
+                       + cfg.transition_scale_eff * a_lp + durp),
                 "lms": jnp.broadcast_to(lms[sel_tok][:, None], shape),
                 "dur": jnp.where(is_self, dur[sel_tok][:, None] + 1, 0),
                 "rec": jnp.broadcast_to(rec[sel_tok][:, None], shape),
@@ -925,7 +962,7 @@ class BeamSearch:
             orow = pcol("over_map", True)[:, 0]         # [W]
             is_branch = alive & (orow < self._num_over_rows)
             rank = jnp.where(is_branch,
-                             am + cfg.lm_scale * lms, -jnp.inf)
+                             am + cfg.lm_scale_eff * lms, -jnp.inf)
             _, sel_o = jax.lax.top_k(rank, O)
             o_row = orow[sel_o]
             c1b = expand(node[sel_o], sel_o, t["over_tgt"][o_row],
@@ -964,10 +1001,10 @@ class BeamSearch:
         skip = w_skip | (w_word < 0)
         # words missing from the LM are pruned (lm_id < 0)
         w_alive = w_alive & (skip | (w_lmid >= 0))
-        we_am = (am[:, None] + cfg.transition_scale * w_exit
+        we_am = (am[:, None] + cfg.transition_scale_eff * w_exit
                  + durb_tok[:, None])
         base_lms = (lms[:, None] + w_pron
-                    + jnp.where(skip, 0.0, cfg.insertion_penalty))
+                    + jnp.where(skip, 0.0, cfg.insertion_penalty_eff))
         if self._la_bigram:
             # row for the next word's lookahead: the just-committed
             # word, or the previous row across silences/OOLs (packed
@@ -1001,7 +1038,7 @@ class BeamSearch:
             # the exact FSA walk only on the top-E2 (the walk at W*H
             # is ~1/3 of the step); payload rides ONE packed row
             # gather (exact f32 values, all ids < 2^24)
-            pre = we_am + cfg.lm_scale * (
+            pre = we_am + cfg.lm_scale_eff * (
                 base_lms + jnp.where(skip, 0.0, pcol("we_uni")))
             flat_pre = jnp.where(w_alive, pre, -jnp.inf).reshape(-1)
             _, ord2 = jax.lax.top_k(flat_pre, E2)
@@ -1053,7 +1090,7 @@ class BeamSearch:
         lm_score = jnp.where(s_skip, 0.0, lm_score)
         we_lms2 = s_base + lm_score
         we_alive2 = s_alive & (lm_score > LOG_ZERO / 2)
-        we_total2 = s_am + cfg.lm_scale * we_lms2
+        we_total2 = s_am + cfg.lm_scale_eff * we_lms2
 
         if cfg.word_end_beam:
             # word-end beam: prune vs the frame's best word end
@@ -1124,7 +1161,7 @@ class BeamSearch:
             K2 = self._reentry_topk
             Ment = t["ent_node"].shape[0]
             e_total = jnp.where(e_alive,
-                                e_am + cfg.lm_scale * e_lms, -jnp.inf)
+                                e_am + cfg.lm_scale_eff * e_lms, -jnp.inf)
             NRm = self._NRm
             oh_cls = ((e_pair // NRm)[:, None] ==
                       jnp.arange(self._NCm, dtype=jnp.int32)).astype(
@@ -1215,7 +1252,7 @@ class BeamSearch:
                     # RANKING only (bigram/context la rank without it:
                     # their tables key on (history, node) and the
                     # gather would dwarf the sort savings)
-                    rank2 = rank2 + cfg.lm_scale * t["la"][r_tgt]
+                    rank2 = rank2 + cfg.lm_scale_eff * t["la"][r_tgt]
                 rank2 = jnp.where(r_lp > LOG_ZERO / 2, rank2, -jnp.inf)
                 _, idxr = jax.lax.top_k(rank2, RK)      # [Er, RK]
                 tal = lambda v: jnp.take_along_axis(v, idxr, axis=1)
@@ -1268,18 +1305,18 @@ class BeamSearch:
 
         # ---- 3. beam + recombination + top-W (obs already folded
         # into each candidate group's am above)
-        total = cand["am"] + cfg.lm_scale * cand["lms"]
+        total = cand["am"] + cfg.lm_scale_eff * cand["lms"]
         if self._la_ctx:
-            total = total + cfg.lm_scale * jnp.concatenate(la_parts)
+            total = total + cfg.lm_scale_eff * jnp.concatenate(la_parts)
         elif self._la_bigram:
-            total = total + cfg.lm_scale * t["la2"][cand["law"],
+            total = total + cfg.lm_scale_eff * t["la2"][cand["law"],
                                                     cand["node"]]
         elif self._la_on:
             # pruning/ranking only: stored am/lms stay pure, and the
             # recombination key (node, lm) shares one la value, so
             # within-key order is unchanged (TokenPassSearch.hh:543
             # get_token_log_prob + lookahead)
-            total = total + cfg.lm_scale * t["la"][cand["node"]]
+            total = total + cfg.lm_scale_eff * t["la"][cand["node"]]
         total = jnp.where(cand["alive"], total, -jnp.inf)
         best = jnp.max(total)
         cand["alive"] = cand["alive"] & (total >= best - cfg.beam)
@@ -1443,7 +1480,7 @@ class BeamSearch:
                         lmst, jnp.full(lmst.shape[:1], end_id,
                                        jnp.int32), t, lm_tables)
                     lms = lms + jnp.where(alive, end_sc, 0.0)
-            total = jnp.where(alive, am + cfg.lm_scale * lms, -jnp.inf)
+            total = jnp.where(alive, am + cfg.lm_scale_eff * lms, -jnp.inf)
             best = jnp.argmax(total)
             finals = jnp.stack([
                 rec[best].astype(jnp.float32), total[best],
@@ -1566,7 +1603,9 @@ class BeamSearch:
                          else 0.0
                          for st, a in zip(lmst, alive)], np.float32)
                 lms = lms + ends
-        total = np.where(alive, am + self.config.lm_scale * lms, -np.inf)
+        total = np.where(alive,
+                         am + self.config.lm_scale_eff * lms,
+                         -np.inf)
         best = int(np.argmax(total))
         return DecodeResult(
             search=self, final_ptr=int(rec[best]),

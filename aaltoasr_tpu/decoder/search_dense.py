@@ -323,7 +323,7 @@ class DenseBeamSearch:
         # 0/1/2, so relaxation is elementwise over shifted arrays; the
         # irregular leftovers relax in a compact [Mi, F] by-target table
         # (static gathers + small argmax; no [B, N] scatters).
-        ts = cfg.transition_scale
+        ts = cfg.transition_scale_eff
         if self._has_durations:
             durb_all = self._dur_bonus_dense(dur, t)
         else:
@@ -410,22 +410,22 @@ class DenseBeamSearch:
         we_durb = t["we_dur_valid"] * (
             t["we_dur_lncoef"] * jnp.log(d_we)
             - d_we * t["we_dur_invb"] + t["we_dur_const"])
-        we_am = (tot_wn - cfg.lm_scale * lms_wn
-                 + cfg.transition_scale * t["we_exit"] + we_durb)
+        we_am = (tot_wn - cfg.lm_scale_eff * lms_wn
+                 + cfg.transition_scale_eff * t["we_exit"] + we_durb)
         base_lms = lms_wn + t["we_pron"]
         # the rank estimate's backoff term is the CARRIED bo payload
         # (updated whenever a node's LM state changes) — a static [Nw]
         # gather instead of a dynamic one through bo_weight
         appr_lm = jnp.where(
-            skip, 0.0, bo[wn] + t["we_uni"] + cfg.insertion_penalty)
+            skip, 0.0, bo[wn] + t["we_uni"] + cfg.insertion_penalty_eff)
         # dead nodes hold total == LOG_ZERO (invariant set post-beam)
         slot_ok = ((tot_wn > LOG_ZERO / 2)
                    & (t["we_exit"] > LOG_ZERO / 2)
                    & (skip | (w_lmid >= 0)))
         rank0 = jnp.where(slot_ok,
-                          tot_wn + cfg.transition_scale * t["we_exit"]
+                          tot_wn + cfg.transition_scale_eff * t["we_exit"]
                           + we_durb
-                          + cfg.lm_scale * (t["we_pron"] + appr_lm),
+                          + cfg.lm_scale_eff * (t["we_pron"] + appr_lm),
                           -jnp.inf)
 
         k = min(E, int(Nw))
@@ -465,9 +465,9 @@ class DenseBeamSearch:
         lm_score = jnp.where(c_skip, 0.0, lm_score)
         c_am = take_e(we_am)
         c_lms = (take_e(base_lms) + lm_score
-                 + jnp.where(c_skip, 0.0, cfg.insertion_penalty))
+                 + jnp.where(c_skip, 0.0, cfg.insertion_penalty_eff))
         c_alive = c_ok & (lm_score > LOG_ZERO / 2)
-        c_total = jnp.where(c_alive, c_am + cfg.lm_scale * c_lms,
+        c_total = jnp.where(c_alive, c_am + cfg.lm_scale_eff * c_lms,
                             -jnp.inf)
 
         # records: the E candidates with exact scores
@@ -572,7 +572,7 @@ class DenseBeamSearch:
         best_rec = new_rec[bestn]
         best_lms = new_lms[bestn]
         fin = jnp.stack([best_rec.astype(jnp.float32), mx,
-                         mx - cfg.lm_scale * best_lms, best_lms])
+                         mx - cfg.lm_scale_eff * best_lms, best_lms])
 
         return ((new_total, new_lms, new_lm, new_dur, new_rec, new_bo,
                  new_alive),
@@ -620,7 +620,7 @@ class DenseBeamSearch:
             best_rec = jnp.max(jnp.where(isb, rec_, jnp.int32(-2**31)))
             best_lms = jnp.max(jnp.where(isb, lms_, -jnp.inf))
             return jnp.stack([best_rec.astype(jnp.float32), mx,
-                              mx - cfg.lm_scale * best_lms, best_lms])
+                              mx - cfg.lm_scale_eff * best_lms, best_lms])
 
         def step(carry, xs):
             state, fin = carry
@@ -658,12 +658,12 @@ class DenseBeamSearch:
                     jnp.full((N,), end_id, jnp.int32), lm_tables)
                 lms = lms + jnp.where(alive, end_sc, 0.0)
                 tot = tot + jnp.where(alive,
-                                      cfg.lm_scale * end_sc, 0.0)
+                                      cfg.lm_scale_eff * end_sc, 0.0)
             total = jnp.where(alive, tot, -jnp.inf)
             bestn = jnp.argmax(total)
             finals = jnp.stack([
                 rec[bestn].astype(jnp.float32), total[bestn],
-                total[bestn] - cfg.lm_scale * lms[bestn], lms[bestn]])
+                total[bestn] - cfg.lm_scale_eff * lms[bestn], lms[bestn]])
             rec_best = rec[bestn]
         if not lattice:
             # 1-best traceback ON DEVICE: the full record stacks are

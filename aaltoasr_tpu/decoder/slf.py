@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from aaltoasr_tpu.formats.arpa import ArpaLM
+from aaltoasr_tpu.formats.arpa import LN10, ArpaLM
 
 
 @dataclass
@@ -131,7 +131,10 @@ class SlfLattice:
                     wid = lm.word_index.get(w)
                     if wid is None:
                         continue  # word unknown to the LM: prune
-                    lm_score = lm.log_prob(ctx, wid)
+                    # ArpaLM.log_prob is natural; SLF's base=10
+                    # header (and the reference's rescored lattices,
+                    # TreeGram log10 scores) want log10
+                    lm_score = lm.log_prob(ctx, wid) / LN10
                     new_ctx = (ctx + (wid,))[-(order - 1):] \
                         if order > 1 else ()
                 tgt_key = (a["E"], new_ctx)

@@ -19,6 +19,10 @@ from __future__ import annotations
 import heapq
 from dataclasses import dataclass, field
 
+LN10 = 2.302585092994046
+
+LN10 = 2.302585092994046
+
 
 @dataclass
 class WGNode:
@@ -83,7 +87,11 @@ class WordGraph:
                 else:
                     pam = plms = 0.0
                 am = float(rec_ams[f, slot]) - pam
-                lm = (float(rec_lmss[f, slot]) - plms
+                # the engine's lm accumulator is natural log; SLF's
+                # base=10 convention (and the reference's TreeGram
+                # scores) are log10 — convert, then remove the
+                # word-insertion penalty (a log10 constant)
+                lm = ((float(rec_lmss[f, slot]) - plms) / LN10
                       - config.insertion_penalty)
                 word = vocab[w] if 0 <= w < len(vocab) else "!NULL"
                 if word in ("<s>", "</s>"):
@@ -100,7 +108,8 @@ class WordGraph:
         else:
             pam = plms = 0.0
         g.arcs.append(WGArc(node_for(final_ptr), end.index, "!NULL",
-                            final_am - pam, final_lms - plms))
+                            final_am - pam,
+                            (final_lms - plms) / LN10))
         return g
 
     # -- SLF --------------------------------------------------------------

@@ -123,11 +123,22 @@ def make_decode_task(seed=0):
     return model, tree, fsa
 
 
-def exact_decode(tree, fsa, obs, lm_scale, ins_pen=0.0):
+def exact_decode(tree, fsa, obs, lm_scale, ins_pen=0.0,
+                 trans_scale=1.0):
     """Exact DP over (node, lm_state) replicating the search semantics
-    (no beams, dict-based, duration model off)."""
+    (no beams, dict-based, duration model off).
+
+    Log bases follow the reference semantics (see search.py "Log
+    bases"): lm_scale and trans_scale multiply LOG10 values, while the
+    tables (transitions, FSA walk, insertion penalty) are natural —
+    so the effective natural-domain multipliers are flag/ln10.
+    """
     from collections import defaultdict
     NEG = -np.inf
+    LN10 = 2.302585092994046
+    lm_scale = lm_scale / LN10
+    ts = trans_scale / LN10
+    ins_pen = ins_pen * LN10
     lm0 = fsa.initial_state()
 
     # init: root expansion at frame 0
@@ -156,7 +167,8 @@ def exact_decode(tree, fsa, obs, lm_scale, ins_pen=0.0):
                 lp = float(tree.arc_logp[n, a])
                 if lp <= LOG_ZERO / 2:
                     continue
-                offer((tgt, lmst), am + lp + obs[t][tree.pdf[tgt]],
+                offer((tgt, lmst), am + ts * lp
+                      + obs[t][tree.pdf[tgt]],
                       lms, words)
             # word ends -> root arcs
             for h in range(tree.we_word.shape[1]):
@@ -180,7 +192,7 @@ def exact_decode(tree, fsa, obs, lm_scale, ins_pen=0.0):
                 for r, fn_ in enumerate(tree.root_tgt):
                     fn_ = int(fn_)
                     offer((fn_, lm2),
-                          am + we + float(tree.root_logp[r])
+                          am + ts * we + float(tree.root_logp[r])
                           + obs[t][tree.pdf[fn_]],
                           lms + wsc + pron + pen, new_words)
         cur = nxt
@@ -583,11 +595,11 @@ ngram 2=1
         for t, s_ in enumerate(seq):
             obs[t, s_] = 0.0
         # unigram lookahead: kolme (-0.3) beats kaksi (-1.2) by
-        # 0.9*ln10*3 = 6.2 -> the b-branch dies under beam 4; bigram
-        # after yksi: kaksi -0.1 vs kolme bo(-0.4)+(-0.3) = -0.7 ->
-        # kaksi wins and survives
+        # 0.9 (log10) * lm_scale 7 = 6.3 -> the b-branch dies under
+        # beam 4; bigram after yksi: kaksi -0.1 vs kolme
+        # bo(-0.4)+(-0.3) = -0.7 -> kaksi wins and survives
         base = dict(num_tokens=64, num_records=8, beam=4.0,
-                    lm_scale=3.0, duration_scale=0.0)
+                    lm_scale=7.0, duration_scale=0.0)
         uni = BeamSearch(tree, fsa, model,
                          SearchConfig(**base, lm_lookahead=1))
         bi = BeamSearch(tree, fsa, model,

@@ -50,11 +50,11 @@ class TestSlf:
         lines = boosted.replace("ngram 2=6", "ngram 2=7")
         lm = read_arpa(lines)
         out = lat.rescore(lm)
-        # the yksi->kaksi arc now carries the heavily penalized LM score
+        # the yksi->kaksi arc now carries the heavily penalized LM
+        # score (SLF l fields are log10, base=10 header)
         penalized = [a for a in out.arcs if a["W"] == "kaksi"]
         assert penalized
-        import math
-        assert min(a["l"] for a in penalized) <= -9.0 * math.log(10) + 1
+        assert min(a["l"] for a in penalized) <= -9.0 + 0.5
 
 
 class TestLatticeGrammar:

@@ -34,6 +34,7 @@ int main(int argc, char **argv) {
   bool split_multiwords = false;
   bool crossword = true;
   bool require_end = true;
+  bool print_scores = false;
   bool oss = true;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
@@ -59,6 +60,7 @@ int main(int argc, char **argv) {
     else if (a == "--no-crossword") crossword = false;
     else if (a == "--no-oss") oss = false;
     else if (a == "--no-require-end") require_end = false;
+    else if (a == "--print-scores") print_scores = true;
     else { fprintf(stderr, "unknown arg %s\n", a.c_str()); return 2; }
   }
   if (!ph || !lex || !arpa || !lna) {
@@ -105,6 +107,14 @@ int main(int argc, char **argv) {
   if (stateseg) t.write_state_segmentation(stateseg);
   if (wordgraph) t.write_word_graph(wordgraph);
   if (nbest) t.write_word_history(nbest);
+  if (print_scores) {
+    // score breakdown of the winning token (total includes the
+    // sentence-end update when require_end is on)
+    const Token &best =
+      t.tp_search().get_best_final_token();
+    fprintf(stderr, "scores total=%.4f am=%.4f lm=%.4f\n",
+            best.total_log_prob, best.am_log_prob, best.lm_log_prob);
+  }
   fprintf(stderr, "frames=%d\n", frames);
   return 0;
 }

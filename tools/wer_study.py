@@ -1,0 +1,196 @@
+"""WER study: quantify the dense engine's node-level Viterbi
+approximation against the exact token-passing engine (and the built
+reference C++ decoder) across noise levels.
+
+The dense engine (`decoder/search_dense.py`) recombines hypotheses with
+different LM histories per tree node — a deliberate speed/accuracy
+trade the reference does not make (`TokenPassSearch.cc:695-1400` keeps
+one token per (node, LM history)).  This study puts a number on that
+trade: planted-truth WER for each engine and pairwise 1-best agreement
+on the ~1000-word golden battery task (tests/test_golden_lattice.py),
+sweeping the acoustic noise level.
+
+Run: python tools/wer_study.py [--utts 50] [--words 1000]
+     [--noise 0.25,0.35,0.5,0.7] [--no-reference] [--out docs/ACCURACY.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "tests"))
+
+
+def wer_counts(refs: list, hyps: list) -> tuple:
+    """Total (errors, ref_words) over paired word lists."""
+    from aaltoasr_tpu.cli.wer import align_counts
+    err = n = 0
+    for r, h in zip(refs, hyps):
+        s, d, i = align_counts(r, h)
+        err += s + d + i
+        n += len(r)
+    return err, n
+
+
+def decode_battery(tmp, lnas, engine: str, token_limit=2048):
+    """Batched 1-best decode of the battery with one engine."""
+    from aaltoasr_tpu.decoder.toolbox import Toolbox
+    from aaltoasr_tpu.formats.lna import read_lna
+
+    t = Toolbox(str(tmp / "m.ph"))
+    t.set_lm_scale(10.0)
+    t.set_global_beam(140.0)
+    t.set_token_limit(token_limit)
+    t.set_duration_scale(0.0)
+    t.set_transition_scale(1.0)
+    t.set_require_sentence_end(True)
+    t.set_silence_is_word(False)
+    t.set_optional_short_silence(True)
+    t.set_lm_lookahead(1)
+    t.lex_read(str(tmp / "lex.dict"))
+    t.set_sentence_boundary("<s>", "</s>")
+    t.ngram_read(str(tmp / "lm.arpa"))
+
+    lps = [read_lna(p)[0] for p in lnas]
+    T = max(lp.shape[0] for lp in lps)
+    obs = np.stack([np.pad(lp, ((0, T - lp.shape[0]), (0, 0)))
+                    for lp in lps])
+    n = np.asarray([lp.shape[0] for lp in lps], np.int32)
+    if engine == "dense":
+        from aaltoasr_tpu.decoder.search_dense import DenseBeamSearch
+        search = DenseBeamSearch(t.tree, t.lm, t.model, t.config)
+        results = search.decode_batch(obs, n, lattice=False)
+    else:
+        results = t.decode_batch(obs, n, lattice=False)
+    return [[w for w in r.words if w not in ("<s>", "</s>")]
+            for r in results]
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(prog="wer_study")
+    p.add_argument("--words", type=int, default=1000)
+    p.add_argument("--utts", type=int, default=50)
+    p.add_argument("--noise", default="0.25,0.35,0.5,0.7")
+    p.add_argument("--token-limit", type=int, default=2048)
+    p.add_argument("--no-reference", action="store_true",
+                   help="skip the reference C++ driver rows")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the env var is "
+                        "overridden by sitecustomize; see "
+                        "tests/conftest.py)")
+    p.add_argument("--out", default=None,
+                   help="write/refresh a markdown report here")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from test_golden_decode import DRIVER, synth_lna
+    from test_golden_lattice import make_battery_task, ref_decode_wg
+
+    use_ref = (not args.no_reference) and os.path.exists(DRIVER)
+    if not args.no_reference and not use_ref:
+        print("reference driver not built; continuing without it",
+              file=sys.stderr)
+
+    noise_levels = [float(x) for x in args.noise.split(",")]
+    rows = []
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        model, lex, wi = make_battery_task(tmp, num_words=args.words)
+        words = sorted(lex)
+        for noise in noise_levels:
+            rng = np.random.default_rng(int(1000 * noise) + 7)
+            lnas, truths = [], []
+            for i in range(args.utts):
+                seq = [words[int(rng.integers(len(words)))]
+                       for _ in range(int(rng.integers(3, 7)))]
+                lnas.append(synth_lna(
+                    tmp, model, lex, seq, seed=5000 + i,
+                    noise=noise, frames_per_state=2,
+                    name=f"n{int(100 * noise)}_{i}.lna"))
+                truths.append(seq)
+
+            hyp = {"exact": decode_battery(tmp, lnas, "exact",
+                                           args.token_limit),
+                   "dense": decode_battery(tmp, lnas, "dense",
+                                           args.token_limit)}
+            if use_ref:
+                hyp["reference"] = [
+                    ref_decode_wg(DRIVER, tmp, l,
+                                  str(tmp / "wg_scratch.slf"))
+                    for l in lnas]
+
+            row = {"noise": noise}
+            for name, hs in hyp.items():
+                err, n = wer_counts(truths, hs)
+                row[f"wer_{name}"] = 100.0 * err / max(n, 1)
+            derr, dn = wer_counts(hyp["exact"], hyp["dense"])
+            row["dense_vs_exact_wer"] = 100.0 * derr / max(dn, 1)
+            row["dense_exact_agree"] = sum(
+                a == b for a, b in zip(hyp["exact"], hyp["dense"]))
+            if use_ref:
+                row["exact_ref_agree"] = sum(
+                    a == b for a, b in
+                    zip(hyp["exact"], hyp["reference"]))
+            rows.append(row)
+            print(f"noise={noise}: " + "  ".join(
+                f"{k}={v:.2f}" if isinstance(v, float) and k != "noise"
+                else f"{k}={v}" for k, v in row.items()), flush=True)
+
+    hdr = ["noise", "WER exact %", "WER dense %"]
+    if use_ref:
+        hdr.append("WER reference %")
+    hdr += ["dense-vs-exact WER %", f"dense==exact (of {args.utts})"]
+    if use_ref:
+        hdr.append(f"exact==reference (of {args.utts})")
+    lines = ["| " + " | ".join(hdr) + " |",
+             "|" + "---|" * len(hdr)]
+    for r in rows:
+        cells = [f"{r['noise']:.2f}", f"{r['wer_exact']:.2f}",
+                 f"{r['wer_dense']:.2f}"]
+        if use_ref:
+            cells.append(f"{r['wer_reference']:.2f}")
+        cells += [f"{r['dense_vs_exact_wer']:.2f}",
+                  str(r["dense_exact_agree"])]
+        if use_ref:
+            cells.append(str(r["exact_ref_agree"]))
+        lines.append("| " + " | ".join(cells) + " |")
+    table = "\n".join(lines)
+    print("\n" + table)
+
+    if args.out:
+        doc = (
+            "# Accuracy: dense-engine approximation, measured\n\n"
+            "The dense serving engine recombines hypotheses with "
+            "different LM histories at each tree node "
+            "(`decoder/search_dense.py`), where the exact engine — "
+            "like the reference `TokenPassSearch` — keeps one token "
+            "per (node, LM history).  This table quantifies that "
+            "approximation on the ~1000-word golden battery task "
+            "(`tests/test_golden_lattice.py`): planted-truth WER per "
+            "engine, the dense engine's WER measured against the "
+            "exact engine's output, and utterance-level 1-best "
+            "agreement, as acoustic noise rises.\n\n"
+            f"Task: {args.words}-word lexicon, bigram LM, LM lookahead "
+            f"on, beam 140, token limit {args.token_limit}, "
+            f"{args.utts} utterances per noise level "
+            "(`tools/wer_study.py`).\n\n" + table + "\n\n"
+            "Generated by `python tools/wer_study.py --out "
+            "docs/ACCURACY.md`.\n")
+        Path(args.out).write_text(doc)
+        print(f"\nwrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
