@@ -94,8 +94,25 @@ def main() -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    import subprocess
+
     from test_golden_decode import DRIVER, synth_lna
-    from test_golden_lattice import make_battery_task, ref_decode_wg
+    from test_golden_lattice import make_battery_task
+
+    def ref_decode(tmp_path, lna):
+        # 1-best only: --wordgraph makes the reference decoder several
+        # times slower and the study needs hundreds of decodes
+        out = subprocess.run(
+            [DRIVER, "--ph", str(tmp_path / "m.ph"),
+             "--lex", str(tmp_path / "lex.dict"),
+             "--arpa", str(tmp_path / "lm.arpa"), "--lna", lna,
+             "--beam", "140", "--token-limit", "30000",
+             "--lm-scale", "10", "--dur-scale", "0",
+             "--trans-scale", "1", "--no-crossword",
+             "--lookahead", str(tmp_path / "lm.arpa")],
+            check=True, capture_output=True, text=True, timeout=600)
+        return [w for w in out.stdout.split()
+                if w not in ("<s>", "</s>", "*")]
 
     use_ref = (not args.no_reference) and os.path.exists(DRIVER)
     if not args.no_reference and not use_ref:
@@ -125,10 +142,7 @@ def main() -> int:
                    "dense": decode_battery(tmp, lnas, "dense",
                                            args.token_limit)}
             if use_ref:
-                hyp["reference"] = [
-                    ref_decode_wg(DRIVER, tmp, l,
-                                  str(tmp / "wg_scratch.slf"))
-                    for l in lnas]
+                hyp["reference"] = [ref_decode(tmp, l) for l in lnas]
 
             row = {"noise": noise}
             for name, hs in hyp.items():
