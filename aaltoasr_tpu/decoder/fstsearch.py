@@ -9,6 +9,16 @@ Here the FST compiles through the same arc-synchronous machinery as
 training hmmnets (`models/hmmnet.compile_hmmnet`) and decodes with the
 dense masked Viterbi scan — no beams needed; the best path's arc
 sequence yields the output words.
+
+Weight base: transition scores come from the acoustic model's
+transition table (natural log), the convention of the aku training
+pipeline whose hmmnet FSTs this shares.  FSTs produced by the
+reference's `hmm2fsm` instead EMBED log10 transition weights in the
+arc score field (`decoder/src/hmm2fsm.cc:70`, values from
+`NowayHmmReader.cc:52`); feeding such a file here scores transitions
+ln10 weaker relative to acoustics than the reference's FstSearch
+would.  Our `aalto-hmm2fsm` writes transition-index arcs with zero
+embedded scores, so round-trips within this framework are exact.
 """
 
 from __future__ import annotations

@@ -15,6 +15,7 @@ TokenPassSearch over the TPLexPrefixTree fan-in/fan-out network,
 import subprocess
 
 import numpy as np
+import pytest
 
 from aaltoasr_tpu.formats import model_io
 from aaltoasr_tpu.formats.arpa import ArpaLM, write_arpa
@@ -135,10 +136,14 @@ def run_ref(driver, tmp_path, lna, lm_scale=10.0, beam=220.0):
          "--arpa", str(tmp_path / "lm.arpa"), "--lna", lna,
          "--beam", str(beam), "--token-limit", "60000",
          "--lm-scale", str(lm_scale), "--dur-scale", "3",
-         "--trans-scale", "1", "--no-oss"],
+         "--trans-scale", "1", "--no-oss", "--print-scores"],
         check=True, capture_output=True, text=True, timeout=300)
-    return [w for w in out.stdout.split()
-            if w not in ("<s>", "</s>", "*")]
+    total = None
+    for line in out.stderr.splitlines():
+        if line.startswith("scores total="):
+            total = float(line.split()[1].split("=")[1])
+    return ([w for w in out.stdout.split()
+             if w not in ("<s>", "</s>", "*")], total)
 
 
 class TestGoldenCrosswordBattery:
@@ -147,13 +152,15 @@ class TestGoldenCrosswordBattery:
         names = sorted(words)
         rng = np.random.default_rng(77)
         n_utt = 12
-        lnas, refs = [], []
+        lnas, refs, ref_totals = [], [], []
         for i in range(n_utt):
             seq = [names[int(rng.integers(len(names)))]
                    for _ in range(int(rng.integers(2, 5)))]
             lna = synth_lna(tmp_path, model, words, seq,
                             seed=700 + i, name=f"cb{i}.lna")
-            refs.append(run_ref(ref_driver, tmp_path, lna))
+            r, tot = run_ref(ref_driver, tmp_path, lna)
+            refs.append(r)
+            ref_totals.append(tot)
             lnas.append(lna)
 
         from aaltoasr_tpu.decoder.toolbox import Toolbox
@@ -183,6 +190,14 @@ class TestGoldenCrosswordBattery:
             ours = [w for w in res.words if w not in ("<s>", "</s>")]
             if ours == refs[i]:
                 agree += 1
+                # token-total parity: both sides accumulate
+                # LNA(natural) + trans_scale*log10(trans) +
+                # dur_scale*ln(gamma) + lm_scale*log10(LM) — identical
+                # arithmetic, so the winning totals must match up to
+                # f32 accumulation order and the 2-byte LNA quantizer
+                assert res.log_prob == pytest.approx(
+                    ref_totals[i], abs=0.15), \
+                    (i, res.log_prob, ref_totals[i])
             else:
                 mismatches.append((i, refs[i], ours))
         assert agree >= int(0.9 * n_utt), \
