@@ -173,7 +173,9 @@ def build_prefix_tree(model: HmmModel, entries: list,
     cross_word: build fan-in/fan-out variants for the word-boundary
     phones so triphone contexts hold ACROSS words (TPLexPrefixTree
     fan-in/fan-out, `decoder/src/TPLexPrefixTree.hh:172-240`); defaults
-    to use_context_phones.
+    to use_context_phones.  Cross-word trees support
+    optional_short_silence too: per word-end-pair looping '_' nodes
+    between fan-out and re-entry (TPLexPrefixTree.cc:822-832).
     """
     phone_map = {p.label: p for p in model.phones}
     if use_context_phones is None:
@@ -183,7 +185,8 @@ def build_prefix_tree(model: HmmModel, entries: list,
         cross_word = use_context_phones
     if use_context_phones and cross_word:
         return _build_crossword_tree(model, entries, phone_map,
-                                     boundary, silence_is_word)
+                                     boundary, silence_is_word,
+                                     optional_short_silence)
     if use_context_phones:
         entries = [
             LexiconEntry(word=e.word,
@@ -335,7 +338,8 @@ def build_prefix_tree(model: HmmModel, entries: list,
 
 def _build_crossword_tree(model: HmmModel, entries: list,
                           phone_map: dict, boundary: str,
-                          silence_is_word: bool = True
+                          silence_is_word: bool = True,
+                          optional_short_silence: bool = False
                           ) -> PrefixTree:
     """Cross-word triphone tree: boundary phones expand into context
     variants (fan-in per preceding class, fan-out per following class);
@@ -423,6 +427,7 @@ def _build_crossword_tree(model: HmmModel, entries: list,
             self.first_class = -1        # monophone class of phone 1
             self.ends: list = []         # (word, pron, skip, last_cls)
 
+    short_sil_phone = None   # set by a 1-state '_' entry under oss
     interior: dict = {}      # tuple(monophones incl right ctx) -> Inst
     fanin: dict = {}         # (p1, p2) -> {label: Variant}
     fanout: dict = {}        # tuple(word phones) -> {label: Variant}
@@ -443,6 +448,14 @@ def _build_crossword_tree(model: HmmModel, entries: list,
         k = len(p)
         is_sil = _is_sil(e)
         w = -1 if is_sil else wid(e.word)
+        if (optional_short_silence and e.word == "_" and k == 1
+                and len(phone_map[p[0]].states) == 1):
+            # 1-state '_' = the optional short-silence model woven
+            # between word end and re-entry (TPLexPrefixTree.cc:
+            # 132-141, link_fan_out_node_to_fan_in :822-832), not a
+            # word path
+            short_sil_phone = phone_map[p[0]]
+            continue
         if is_sil:
             # silences are context-transparent: one un-fanned chain,
             # enterable after ANY word end (left = all classes) and
@@ -584,14 +597,36 @@ def _build_crossword_tree(model: HmmModel, entries: list,
     full_set = rcset_id(frozenset(range(NC)))
     for v in end_variants:
         v.rcid = rcset_id(v.rset)
-    NR = len(rcsets)
+
+    # optional short silence between word end and cross-word re-entry
+    # (TPLexPrefixTree.cc:822-832): one looping 1-state '_' node per
+    # word-end pair (the pair id carries the cross-word context the
+    # reference preserves by wiring a silence copy per fan-out link).
+    # The silence's own exit re-enters a CONTENT-DUPLICATE rc-set id
+    # whose row lacks the silence node, so silence cannot chain into
+    # itself through the word-end machinery (the reference's silence
+    # arcs lead only to fan-in nodes).  Both row families stay products
+    # of (left-class) x (rc-set membership) — the dense engine's
+    # factored-merge invariant.
+    rcset_list = [None] * len(rcsets)
+    for fs, i in rcsets.items():
+        rcset_list[i] = fs
+    used_pairs: set = set()
+    nosil_rc: dict = {}
+    if short_sil_phone is not None:
+        for v in end_variants:
+            for (w2, pron2, skip2, last_cls2) in v.ends:
+                if not skip2:
+                    used_pairs.add((last_cls2, v.rcid))
+        for (_c, rc) in sorted(used_pairs):
+            if rc not in nosil_rc:
+                nosil_rc[rc] = len(rcset_list)
+                rcset_list.append(rcset_list[rc])
+    NR = len(rcset_list)
     P = NC * NR
 
     rows_tgt: list = [[] for _ in range(P)]
     rows_lp: list = [[] for _ in range(P)]
-    rcset_list = [None] * NR
-    for fs, i in rcsets.items():
-        rcset_list[i] = fs
     for pair in range(P):
         c_id, rc_i = divmod(pair, NR)
         rc = rcset_list[rc_i]
@@ -599,6 +634,24 @@ def _build_crossword_tree(model: HmmModel, entries: list,
             if c_id in v.left and v.first_class in rc:
                 rows_tgt[pair].append(v.inst.nodes[0])
                 rows_lp[pair].append(0.0)
+
+    ss_nodes = []
+    if short_sil_phone is not None:
+        s0 = short_sil_phone.states[0]
+        self_lp = exit_lp = LOG_ZERO
+        for off, prob in model.transitions.get(s0, []):
+            if off == 0:
+                self_lp = log(prob)
+            elif off == 1:
+                exit_lp = log(prob)
+        for (c, rc) in sorted(used_pairs):
+            n_ss = new_node(s0)
+            arcs[n_ss].append((n_ss, self_lp))
+            we[n_ss].append((-1, exit_lp, 0.0, True,
+                             c * NR + nosil_rc[rc]))
+            rows_tgt[c * NR + rc].append(n_ss)
+            rows_lp[c * NR + rc].append(0.0)
+            ss_nodes.append(n_ss)
 
     # word ends on the exit states, tagged with the pair id
     for v in end_variants:
@@ -629,6 +682,8 @@ def _build_crossword_tree(model: HmmModel, entries: list,
         # reference's fan-out silence, TPLexPrefixTree.cc:1131)
         for inst in v.chain:
             fan_flags[inst.nodes] |= 2
+    for n_ss in ss_nodes:
+        fan_flags[n_ss] |= 2
     A = max((len(a) for a in arcs), default=1)
     H = max((len(h) for h in we), default=1)
     R = max((len(r) for r in rows_tgt), default=1)

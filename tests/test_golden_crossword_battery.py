@@ -128,7 +128,8 @@ def synth_lna(tmp_path, model, words, word_seq, seed, noise=1.0,
     return str(tmp_path / name)
 
 
-def run_ref(driver, tmp_path, lna, lm_scale=10.0, beam=220.0):
+def run_ref(driver, tmp_path, lna, lm_scale=10.0, beam=220.0,
+            oss=False):
     out = subprocess.run(
         [driver, "--ph", str(tmp_path / "m.ph"),
          "--dur", str(tmp_path / "m.dur"),
@@ -136,7 +137,8 @@ def run_ref(driver, tmp_path, lna, lm_scale=10.0, beam=220.0):
          "--arpa", str(tmp_path / "lm.arpa"), "--lna", lna,
          "--beam", str(beam), "--token-limit", "60000",
          "--lm-scale", str(lm_scale), "--dur-scale", "3",
-         "--trans-scale", "1", "--no-oss", "--print-scores"],
+         "--trans-scale", "1", "--print-scores"]
+        + ([] if oss else ["--no-oss"]),
         check=True, capture_output=True, text=True, timeout=300)
     total = None
     for line in out.stderr.splitlines():
@@ -202,3 +204,44 @@ class TestGoldenCrosswordBattery:
                 mismatches.append((i, refs[i], ours))
         assert agree >= int(0.9 * n_utt), \
             f"{agree}/{n_utt} identical; mismatches: {mismatches[:4]}"
+
+
+    def test_optional_short_silence_parity(self, ref_driver, tmp_path):
+        """Cross-word decode with the reference's DEFAULT optional
+        short silence ON (TPLexPrefixTree.cc:822-832 weaves a looping
+        1-state '_' between fan-out word ends and fan-in re-entry):
+        1-best AND token totals must match."""
+        model, words = make_battery(tmp_path)
+        names = sorted(words)
+        rng = np.random.default_rng(55)
+
+        from aaltoasr_tpu.decoder.toolbox import Toolbox
+        t = Toolbox(str(tmp_path / "m.ph"), str(tmp_path / "m.dur"))
+        t.set_lm_scale(10.0)
+        t.set_global_beam(220.0)
+        t.set_token_limit(4096)
+        t.set_duration_scale(3.0)
+        t.set_transition_scale(1.0)
+        t.set_require_sentence_end(True)
+        t.set_silence_is_word(False)
+        t.set_optional_short_silence(True)
+        t.lex_read(str(tmp_path / "our_lex.dict"))
+        t.set_sentence_boundary("<s>", "</s>")
+        t.ngram_read(str(tmp_path / "lm.arpa"))
+
+        agree = 0
+        n_utt = 6
+        for i in range(n_utt):
+            seq = [names[int(rng.integers(len(names)))]
+                   for _ in range(int(rng.integers(2, 5)))]
+            lna = synth_lna(tmp_path, model, words, seq,
+                            seed=1300 + i, name=f"oss{i}.lna")
+            ref, ref_total = run_ref(ref_driver, tmp_path, lna,
+                                     oss=True)
+            res = t.lna_decode(lna, lattice=False)
+            ours = [w for w in res.words if w not in ("<s>", "</s>")]
+            if ours == ref:
+                agree += 1
+                assert res.log_prob == pytest.approx(ref_total,
+                                                     abs=0.15)
+        assert agree >= n_utt - 1, f"{agree}/{n_utt}"
