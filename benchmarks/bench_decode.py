@@ -45,7 +45,12 @@ def synth_task(num_words=1000, num_phones=25, seed=0, order=2,
     phones = [f"p{i}" for i in range(num_phones)] + ["_"]
     D = 39
 
-    lex_lines = ["_ _"]
+    # silence entries: the triphone (cross-word) task mirrors the
+    # reference's default inventory — a 1-emitting-state '_' (the
+    # optional short silence woven into the fan network) plus a
+    # 3-state long silence '__'; the monophone task keeps one 3-state
+    # '_'
+    lex_lines = ["_ _", "__ __"] if triphone else ["_ _"]
     words = []
     prons = []
     for w in range(num_words):
@@ -88,12 +93,13 @@ def synth_task(num_words=1000, num_phones=25, seed=0, order=2,
             for c in classes:              # cross-word fan-in/fan-out
                 add_tri(c, p[0], p[1])
                 add_tri(p[-2], p[-1], c)
-        # silence: monophone, own 3 states
-        sil_states = [len(state_key) + i for i in range(3)]
-        S = len(state_key) + 3
+        # silences: 1-state '_' (short, oss) + 3-state '__' (long)
+        sil0 = len(state_key)
+        S = sil0 + 4
         model_phones = (
             [model_io.HmmPhone(lbl, sts) for lbl, sts in labels.items()]
-            + [model_io.HmmPhone("_", sil_states)])
+            + [model_io.HmmPhone("_", [sil0]),
+               model_io.HmmPhone("__", [sil0 + 1, sil0 + 2, sil0 + 3])])
         means = rng.normal(0, 2, (S, D))
         model = model_io.HmmModel(
             dim=D, cov_type="diagonal_cov", means=means,
@@ -143,7 +149,8 @@ def synth_task(num_words=1000, num_phones=25, seed=0, order=2,
                 ngrams=grams)
 
     from aaltoasr_tpu.decoder.lexicon import read_lexicon
-    tree = build_prefix_tree(model, read_lexicon("\n".join(lex_lines)))
+    tree = build_prefix_tree(model, read_lexicon("\n".join(lex_lines)),
+                             optional_short_silence=triphone)
     fsa = NGramFsa.from_arpa(lm)
     # bigram successor lists (indices into `words`): synth_obs plants
     # sequences that FOLLOW the LM's own bigrams — with a random LM, a
