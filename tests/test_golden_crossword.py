@@ -4,8 +4,9 @@ The reference consumes a triphone-label lexicon (boundary contexts '_')
 and rebuilds boundary phones through its fan-in/fan-out network; our
 builder consumes the monophone lexicon and builds the equivalent
 cross-word network itself — both must produce the same 1-best.
-Optional short silence is off (our cross-word builder does not weave it
-into the fan network yet).
+This suite keeps optional short silence off on both sides; the
+oss-on cross-word operating point (the reference default) is covered
+by tests/test_golden_crossword_battery.py.
 """
 
 import subprocess
