@@ -158,7 +158,8 @@ def build_prefix_tree(model: HmmModel, entries: list,
                       use_context_phones: bool | None = None,
                       cross_word: bool | None = None,
                       boundary: str = "_",
-                      optional_short_silence: bool = False) -> PrefixTree:
+                      optional_short_silence: bool = False,
+                      word_boundary: str = "") -> PrefixTree:
     """Compile lexicon entries against the acoustic model's phones.
 
     use_context_phones: expand lexicon monophone strings to the model's
@@ -186,7 +187,8 @@ def build_prefix_tree(model: HmmModel, entries: list,
     if use_context_phones and cross_word:
         return _build_crossword_tree(model, entries, phone_map,
                                      boundary, silence_is_word,
-                                     optional_short_silence)
+                                     optional_short_silence,
+                                     word_boundary)
     if use_context_phones:
         entries = [
             LexiconEntry(word=e.word,
@@ -252,11 +254,14 @@ def build_prefix_tree(model: HmmModel, entries: list,
             print(f"build_prefix_tree: unknown hmm {missing} in word "
                   f"'{e.word}'", file=sys.stderr)
             continue
-        if (optional_short_silence and e.word == "_"
-                and len(e.phones) == 1
-                and len(phone_map[e.phones[0]].states) == 1):
-            # 1-state '_' = the optional short silence model, not a
-            # word path (TPLexPrefixTree.cc:132-141)
+        if (optional_short_silence and e.phones == ["_"]
+                and len(phone_map[e.phones[0]].states) == 1
+                and e.word in ("_", word_boundary)):
+            # a word whose pronunciation is the 1-state '_' model = the
+            # optional short silence, not a word path
+            # (TPLexPrefixTree.cc:132-141 keys on the pron; in morph
+            # lexicons the entry is named after the word boundary,
+            # e.g. '<w> _')
             short_sil_phone = phone_map[e.phones[0]]
             continue
         level = root_children
@@ -300,8 +305,14 @@ def build_prefix_tree(model: HmmModel, entries: list,
             elif off == 1:
                 exit_lp = log(prob)
         arcs[n_ss].append((n_ss, self_lp))
-        for tgt in root_tgt:
-            arcs[n_ss].append((tgt, exit_lp))
+        if word_boundary:
+            # morph mode: leaving the short silence COMMITS the word
+            # boundary (LM-scored, printed); re-entry then runs
+            # through the ordinary word-end machinery
+            we[n_ss].append((wid(word_boundary), exit_lp, 0.0, False))
+        else:
+            for tgt in root_tgt:
+                arcs[n_ss].append((tgt, exit_lp))
         root_tgt.append(n_ss)
         root_logp.append(0.0)
 
@@ -339,7 +350,8 @@ def build_prefix_tree(model: HmmModel, entries: list,
 def _build_crossword_tree(model: HmmModel, entries: list,
                           phone_map: dict, boundary: str,
                           silence_is_word: bool = True,
-                          optional_short_silence: bool = False
+                          optional_short_silence: bool = False,
+                          word_boundary: str = ""
                           ) -> PrefixTree:
     """Cross-word triphone tree: boundary phones expand into context
     variants (fan-in per preceding class, fan-out per following class);
@@ -369,12 +381,19 @@ def _build_crossword_tree(model: HmmModel, entries: list,
         return (e.word == "_"
                 or (not silence_is_word and e.word.startswith("_")))
 
+    def _sil_chain(e):
+        # routed through the context-transparent silence chain below:
+        # silence-named entries and silence-pronounced words ('</s>'
+        # mapped to '__' in morph lexicons)
+        return (_is_sil(e)
+                or (len(e.phones) == 1 and e.phones[0] in ("_", "__")))
+
     # context classes come from REAL words only: silences carry the
     # boundary context on both sides (the reference wires its silence
     # copies with '_' contexts, TPLexPrefixTree.cc:700-720,1131), so a
     # silence phone is never a triphone context class itself
-    classes = sorted({e.phones[0] for e in words if not _is_sil(e)}
-                     | {e.phones[-1] for e in words if not _is_sil(e)}
+    classes = sorted({e.phones[0] for e in words if not _sil_chain(e)}
+                     | {e.phones[-1] for e in words if not _sil_chain(e)}
                      | {boundary})
     cid = {c: i for i, c in enumerate(classes)}
     NC = len(classes)
@@ -448,23 +467,27 @@ def _build_crossword_tree(model: HmmModel, entries: list,
         k = len(p)
         is_sil = _is_sil(e)
         w = -1 if is_sil else wid(e.word)
-        if (optional_short_silence and e.word == "_" and k == 1
-                and len(phone_map[p[0]].states) == 1):
+        if (optional_short_silence and p == ["_"]
+                and len(phone_map[p[0]].states) == 1
+                and e.word in ("_", word_boundary)):
             # 1-state '_' = the optional short-silence model woven
             # between word end and re-entry (TPLexPrefixTree.cc:
             # 132-141, link_fan_out_node_to_fan_in :822-832), not a
             # word path
             short_sil_phone = phone_map[p[0]]
             continue
-        if is_sil:
+        if _sil_chain(e):
             # silences are context-transparent: one un-fanned chain,
             # enterable after ANY word end (left = all classes) and
             # followed by anything (rset = all); its committed context
             # pair is (boundary, all) so the next word re-enters with
             # a '_' left context — the reference's silence wiring
             # (TPLexPrefixTree.cc:700-720, fan-out silence :1131).
-            # Word ends are skip (no LM walk, no output), as in the
-            # monophone builder.
+            # Silence-NAMED entries end as skip (no LM walk, no
+            # output); a silence-PRONOUNCED word (morph lexicons map
+            # '</s>' to the long silence '__', TPLexPrefixTree.cc:143
+            # keys the silence path on the hmm label) commits its word
+            # id like the reference's m_silence_node word.
             lbls = []
             for i in range(k):
                 left = p[i - 1] if i else boundary
@@ -493,7 +516,8 @@ def _build_crossword_tree(model: HmmModel, entries: list,
                 v.first_class = cid[boundary]
                 v.left = set(range(NC))
                 v.rset = set(range(NC))
-            v.ends.append((w, LN10 * log(e.prob), True, cid[boundary]))
+            v.ends.append((w, LN10 * log(e.prob), w < 0,
+                           cid[boundary]))
             continue
         if k == 1:
             vd = single.setdefault(p[0], {})
@@ -644,10 +668,11 @@ def _build_crossword_tree(model: HmmModel, entries: list,
                 self_lp = log(prob)
             elif off == 1:
                 exit_lp = log(prob)
+        wb_w = wid(word_boundary) if word_boundary else -1
         for (c, rc) in sorted(used_pairs):
             n_ss = new_node(s0)
             arcs[n_ss].append((n_ss, self_lp))
-            we[n_ss].append((-1, exit_lp, 0.0, True,
+            we[n_ss].append((wb_w, exit_lp, 0.0, wb_w < 0,
                              c * NR + nosil_rc[rc]))
             rows_tgt[c * NR + rc].append(n_ss)
             rows_lp[c * NR + rc].append(0.0)

@@ -116,6 +116,23 @@ class NGramFsa:
             state_first=state_first,
             bo_weight=bo_weight, bo_next=bo_next, num_words=V)
 
+    def states_ending_with(self, word_id: int) -> np.ndarray:
+        """[num_states] bool: the state's context ends with word_id.
+
+        Used for the word-boundary double-commit prune
+        (TokenPassSearch.cc:869-873 "Prune two subsequent word
+        boundaries"): a hypothesis's last committed word is word_id
+        iff its LM state context ends with it (states are identified
+        by context, so only a word_id walk reaches such a state; the
+        one blind spot is the empty-context state 0, reached when the
+        LM has no context carrying word_id — not the case for any LM
+        that actually models the boundary word)."""
+        out = np.zeros(self.num_states, dtype=bool)
+        for s, ctx in enumerate(self.context_of_state):
+            if ctx and ctx[-1] == word_id:
+                out[s] = True
+        return out
+
     # -- host walk (reference for tests / host decoding) ------------------
     def walk(self, state: int, word: int) -> tuple[int, float]:
         score = 0.0

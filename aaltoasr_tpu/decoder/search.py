@@ -77,6 +77,14 @@ class SearchConfig:
                                     # backoff-FSA state keyed — the
                                     # reference's m_lm_lookahead 2,
                                     # TokenPassSearch.cc:2084)
+    word_boundary: str = ""         # morph-mode word boundary ('<w>'):
+                                    # the short-silence nodes commit it
+                                    # as an LM word, two subsequent
+                                    # boundaries are pruned, and a
+                                    # mid-utterance sentence end resets
+                                    # the LM state through <s> <w>
+                                    # (TokenPassSearch.cc:869-873,
+                                    # 888-919)
     require_sentence_end: bool = False  # add P(</s>|h) to final
                                     # hypotheses (TokenPassSearch.cc:
                                     # 2267 final-token LM update)
@@ -207,6 +215,22 @@ class SearchConfig:
         # a log10-domain additive constant inside the reference's lm
         # accumulator; our lm accumulator is natural
         return self.insertion_penalty * LN10
+
+
+def expand_word_boundaries(words: list, cfg) -> list:
+    """Morph mode: a mid-utterance sentence-end commit restarts the
+    LM history through <s> + the word boundary
+    (TokenPassSearch.cc:903-919); the reference PRINTS those appended
+    history entries, so mirror them in the word list."""
+    if not cfg.word_boundary:
+        return words
+    out = []
+    for w in words:
+        out.append(w)
+        if w == cfg.sentence_end:
+            out.append("<s>")
+            out.append(cfg.word_boundary)
+    return out
 
 
 def multiword_components(lm_names, lm, split: bool):
@@ -524,6 +548,28 @@ class BeamSearch:
         self._mw_cmax = mw_comp.shape[1]
         self.tables["lm_id"] = jnp.asarray(lm_id_arr)
         self.tables["mw_comp"] = jnp.asarray(mw_comp)
+        # ---- morph word boundary (SearchConfig.word_boundary):
+        # tree id for the double-boundary prune + </s> reset targets
+        self._wb_tid = (tree.word_index.get(config.word_boundary, -1)
+                        if config.word_boundary else -1)
+        self._end_tid = tree.word_index.get(config.sentence_end, -1)
+        members = lm.members if isinstance(lm, InterNGramFsa) else [lm]
+        if self._wb_tid >= 0:
+            wbl = members[0].word_index.get(config.word_boundary, -1)
+            self.tables["is_wb_state"] = jnp.asarray(
+                members[0].states_ending_with(wbl)) \
+                if wbl >= 0 else jnp.zeros(members[0].num_states, bool)
+            # sentence-end reset: state after <s> then the boundary
+            # word, scores discarded (TokenPassSearch.cc:903-919)
+            reset = []
+            for m in members:
+                st = m.initial_state()
+                wb_m = m.word_index.get(config.word_boundary, -1)
+                if wb_m >= 0:
+                    st, _ = m.walk(st, wb_m)
+                reset.append(st)
+            self.tables["wb_reset"] = jnp.asarray(
+                np.asarray(reset, np.int32))
         # static per-word unigram estimate for we_prewalk ranking
         # (the dense engine's uni_w pattern)
         base_lm = lm.members[0] if isinstance(lm, InterNGramFsa) else lm
@@ -1090,6 +1136,19 @@ class BeamSearch:
         lm_score = jnp.where(s_skip, 0.0, lm_score)
         we_lms2 = s_base + lm_score
         we_alive2 = s_alive & (lm_score > LOG_ZERO / 2)
+        if self._wb_tid >= 0:
+            # morph mode: prune two subsequent word boundaries (the
+            # previous committed word ends the LM-state context,
+            # TokenPassSearch.cc:869-873) ...
+            prev_wb = t["is_wb_state"][s_state[:, 0]]
+            we_alive2 = we_alive2 & ~((s_word == self._wb_tid)
+                                      & prev_wb)
+            # ... and a mid-utterance sentence end restarts the LM
+            # through <s> + boundary, scores discarded
+            # (TokenPassSearch.cc:888-919)
+            if self._end_tid >= 0:
+                lm_next = jnp.where((s_word == self._end_tid)[:, None],
+                                    t["wb_reset"][None, :], lm_next)
         we_total2 = s_am + cfg.lm_scale_eff * we_lms2
 
         if cfg.word_end_beam:
@@ -1551,7 +1610,8 @@ class BeamSearch:
             final_am=float(finals[2]), final_lms=float(finals[3]),
             rec_words=None, rec_prevs=None, rec_ams=None,
             rec_lmss=None,
-            words=[self.tree.vocab[i] for i in ids])
+            words=expand_word_boundaries(
+                [self.tree.vocab[i] for i in ids], self.config))
 
     def decode_batch(self, obs: np.ndarray, n_frames: np.ndarray,
                      sentence_start: str = "<s>", lattice: bool = True):
@@ -1655,7 +1715,7 @@ class DecodeResult:
             ptr = int(self.rec_prevs[f, slot])
             guard += 1
         words.reverse()
-        return words
+        return expand_word_boundaries(words, self.search.config)
 
     def word_graph(self):
         """Build a WordGraph (lattice) from the records."""

@@ -33,7 +33,8 @@ from aaltoasr_tpu.decoder.lexicon import PrefixTree, duration_table
 from aaltoasr_tpu.decoder.ngram import (
     InterNGramFsa, NGramFsa, lm_walk_device, lm_walk_device_multi)
 from aaltoasr_tpu.decoder.search import (
-    DecodeResult, SearchConfig, multiword_components, walk_components)
+    DecodeResult, SearchConfig, expand_word_boundaries,
+    multiword_components, walk_components)
 from aaltoasr_tpu.ops.logsemiring import LOG_ZERO
 
 
@@ -206,6 +207,27 @@ class DenseBeamSearch:
             uni_mix = np.logaddexp(
                 uni_mix, lw + row[np.maximum(slot_lmid, 0)])
         uni_w = np.maximum(uni_mix, LOG_ZERO).astype(np.float32)
+        # morph word boundary (SearchConfig.word_boundary): see the
+        # exact engine — double-boundary prune + </s> LM reset
+        self._wb_tid = (tree.word_index.get(config.word_boundary, -1)
+                        if config.word_boundary else -1)
+        self._end_tid = tree.word_index.get(config.sentence_end, -1)
+        wb_tables = {}
+        if self._wb_tid >= 0:
+            wbl = members[0].word_index.get(config.word_boundary, -1)
+            wb_tables["is_wb_state"] = (
+                jnp.asarray(members[0].states_ending_with(wbl))
+                if wbl >= 0
+                else jnp.zeros(members[0].num_states, bool))
+            reset = []
+            for m in members:
+                st = m.initial_state()
+                wb_m = m.word_index.get(config.word_boundary, -1)
+                if wb_m >= 0:
+                    st, _ = m.walk(st, wb_m)
+                reset.append(st)
+            wb_tables["wb_reset"] = jnp.asarray(
+                np.asarray(reset, np.int32))
         self.tables = {
             "self_logp": jnp.asarray(shifts[0]),
             "prev_logp": jnp.asarray(shifts[1]),
@@ -242,6 +264,7 @@ class DenseBeamSearch:
             "lm_id": jnp.asarray(lm_ids),
             "mw_comp": jnp.asarray(mw_comp),
         }
+        self.tables.update(wb_tables)
         self._has_durations = bool(
             np.any(np.asarray(self.tables["dur_tab"]) != 0))
         for key in ("valid", "lncoef", "invb", "const"):
@@ -467,6 +490,16 @@ class DenseBeamSearch:
         c_lms = (take_e(base_lms) + lm_score
                  + jnp.where(c_skip, 0.0, cfg.insertion_penalty_eff))
         c_alive = c_ok & (lm_score > LOG_ZERO / 2)
+        if self._wb_tid >= 0:
+            # morph word boundary: prune two subsequent boundaries and
+            # reset the LM through <s> + boundary on a mid-utterance
+            # sentence end (TokenPassSearch.cc:869-873, 888-919)
+            prev_wb = t["is_wb_state"][c_state[:, 0]]
+            c_alive = c_alive & ~((c_word == self._wb_tid) & prev_wb)
+            if self._end_tid >= 0:
+                lm_next = jnp.where(
+                    (c_word == self._end_tid)[:, None],
+                    t["wb_reset"][None, :], lm_next)
         c_total = jnp.where(c_alive, c_am + cfg.lm_scale_eff * c_lms,
                             -jnp.inf)
 
@@ -767,7 +800,9 @@ class DenseBeamSearch:
             log_prob=float(finals[1]),
             final_am=float(finals[2]), final_lms=float(finals[3]),
             rec_words=None, rec_prevs=None, rec_ams=None, rec_lmss=None,
-            words=[self.tree.vocab[i] for i in ids])
+            words=expand_word_boundaries(
+                [self.tree.vocab[i] for i in ids],
+                self.config))
 
     def _result(self, finals, rec_i, rec_f):
         rec_f = np.asarray(rec_f, dtype=np.float32)

@@ -60,7 +60,8 @@ class Toolbox:
             self.model, entries,
             silence_is_word=self._silence_is_word,
             cross_word=self._cross_word,
-            optional_short_silence=self._optional_short_silence)
+            optional_short_silence=self._optional_short_silence,
+            word_boundary=self._word_boundary)
         self._search = None
 
     def set_silence_is_word(self, value) -> None:
@@ -231,7 +232,14 @@ class Toolbox:
         self._search = None
 
     def set_word_boundary(self, word: str):
+        """Morph-mode word boundary ('<w>'), rectool.py:563-564: the
+        short-silence nodes commit it as an LM word, two subsequent
+        boundaries are pruned, and mid-utterance sentence ends restart
+        the LM through <s> + boundary (Toolbox.cc:395-403 — call
+        BEFORE lex_read, like the reference)."""
         self._word_boundary = word
+        self.config.word_boundary = word
+        self._search = None
 
     def set_sentence_boundary(self, start: str, end: str):
         self._sentence_start = start

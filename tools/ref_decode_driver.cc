@@ -26,6 +26,7 @@ int main(int argc, char **argv) {
   const char *arpa = nullptr, *lna = nullptr, *lookahead = nullptr;
   const char *stateseg = nullptr, *wordgraph = nullptr;
   const char *nbest = nullptr;
+  const char *word_boundary = nullptr;
   float beam = 280, lm_scale = 30, dur_scale = 3, trans_scale = 1;
   float we_beam = -1;  // default: 2*beam/3 (rectool.py-style)
   float insertion_penalty = 0;
@@ -36,6 +37,7 @@ int main(int argc, char **argv) {
   bool require_end = true;
   bool print_scores = false;
   bool oss = true;
+  bool silence_is_word = false;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return argv[++i]; };
@@ -61,6 +63,8 @@ int main(int argc, char **argv) {
     else if (a == "--no-oss") oss = false;
     else if (a == "--no-require-end") require_end = false;
     else if (a == "--print-scores") print_scores = true;
+    else if (a == "--word-boundary") word_boundary = next();
+    else if (a == "--silence-is-word") silence_is_word = true;
     else { fprintf(stderr, "unknown arg %s\n", a.c_str()); return 2; }
   }
   if (!ph || !lex || !arpa || !lna) {
@@ -69,7 +73,7 @@ int main(int argc, char **argv) {
   }
 
   Toolbox t(ph, dur);
-  t.set_silence_is_word(0);
+  t.set_silence_is_word(silence_is_word ? 1 : 0);
   t.set_optional_short_silence(oss);
   t.set_cross_word_triphones(crossword);
   t.set_require_sentence_end(require_end);
@@ -85,6 +89,7 @@ int main(int argc, char **argv) {
   t.set_lm_scale(lm_scale);
   t.set_insertion_penalty(insertion_penalty);
   t.set_lm_lookahead(lookahead != nullptr ? la_mode : 0);
+  if (word_boundary) t.set_word_boundary(word_boundary);
   t.lex_read(lex);
   t.set_sentence_boundary("<s>", "</s>");
   t.ngram_read(arpa, /*binary=*/false, /*quiet=*/true);
