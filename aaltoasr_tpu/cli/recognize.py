@@ -159,6 +159,29 @@ def main(argv=None) -> int:
 
     # -- stage 3: decoding
     t = Toolbox(args.am + ".ph", args.dur)
+    # morph-LM autodetection (rectool.py:432-496 parse_lm + :529-530,
+    # :563-564): an LM whose unigrams contain '<w>' is a morph LM —
+    # silences become words and the short silence commits '<w>'
+    morph_lm = False
+    with open(args.lm) as f:
+        in1 = False
+        for line in f:
+            line = line.strip()
+            if line == "\\1-grams:":
+                in1 = True
+                continue
+            if in1:
+                if line.startswith("\\"):
+                    break
+                parts = line.split()
+                if len(parts) >= 2 and parts[1] == "<w>":
+                    morph_lm = True
+                    break
+    if morph_lm:
+        if args.info > 0:
+            print("Morph-based language model", file=sys.stderr)
+        t.set_silence_is_word(True)
+        t.set_word_boundary("<w>")
     t.lex_read(args.lexicon)
     t.ngram_read(args.lm)
     t.set_global_beam(args.beam)
@@ -187,7 +210,16 @@ def main(argv=None) -> int:
 
     def emit(rinfo, lna_path, res):
         key = rinfo.utterance_id or os.path.basename(lna_path)
-        print(f"{' '.join(res.words)} ({key})")
+        text = " ".join(res.words)
+        if morph_lm:
+            # rectool.py:1025-1037: morphs concatenate; boundaries
+            # and sentence breaks become spaces
+            text = text.replace(" ", "")
+            text = text.replace("<w></s><s><w>", " ")
+            text = text.replace("<w>", " ")
+            text = text.replace("<s>", "").replace("</s>", "")
+            text = " ".join(text.split())
+        print(f"{text} ({key})")
         if args.stateseg:
             lp, _ = read_lna(lna_path)
             t.write_state_segmentation(lna_path + ".stateseg", res, lp)

@@ -29,6 +29,45 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                 "tests"))
 
 
+def synth_ambig(tmp, model, lex, word_seq, decoys, seed, noise,
+                name):
+    """LNA planting word_seq, but each word whose decoy is not None is
+    acoustically BLENDED with the decoy's states (both at log 0.5 -
+    noise): the acoustics alone cannot tell them apart, so the decode
+    must disambiguate by LM context — the regime where the dense
+    engine's node-level history recombination can differ from the
+    exact engine and the reference."""
+    from aaltoasr_tpu.formats.lna import write_lna
+    rng = np.random.default_rng(seed)
+    phone_of = {ph.label: ph for ph in model.phones}
+    segs = []
+    for w, d in zip(word_seq, decoys):
+        ws = [s2 for ph in lex[w] for s2 in phone_of[ph].states]
+        if d is None:
+            segs.extend([(s2, None) for s2 in ws for _ in range(2)])
+        else:
+            ds = [s2 for ph in lex[d] for s2 in phone_of[ph].states]
+            assert len(ds) == len(ws)
+            segs.extend([(a, b) for a, b in zip(ws, ds)
+                         for _ in range(2)])
+    sil = phone_of["__"].states
+    segs = ([(s2, None) for s2 in sil for _ in range(2)] + segs
+            + [(s2, None) for s2 in sil for _ in range(2)])
+    T = len(segs)
+    S = model.num_states
+    lp = np.full((T, S), -8.0, np.float32)
+    for t2, (a, b) in enumerate(segs):
+        if b is None:
+            lp[t2, a] = -0.5
+        else:
+            lp[t2, a] = -1.2          # ~log 0.3 each: a true toss-up
+            lp[t2, b] = -1.2
+    lp += noise * rng.standard_normal((T, S)).astype(np.float32)
+    lp = lp - np.log(np.sum(np.exp(lp), axis=1, keepdims=True))
+    write_lna(str(tmp / name), lp, lna_bytes=2)
+    return str(tmp / name)
+
+
 def wer_counts(refs: list, hyps: list) -> tuple:
     """Total (errors, ref_words) over paired word lists."""
     from aaltoasr_tpu.cli.wer import align_counts
@@ -79,6 +118,10 @@ def main() -> int:
     p.add_argument("--words", type=int, default=1000)
     p.add_argument("--utts", type=int, default=50)
     p.add_argument("--noise", default="0.25,0.35,0.5,0.7")
+    p.add_argument("--ambig", default="0",
+                   help="comma list: per-word probability of blending "
+                        "the word's acoustics with a same-length decoy "
+                        "word (LM must disambiguate)")
     p.add_argument("--token-limit", type=int, default=2048)
     p.add_argument("--no-reference", action="store_true",
                    help="skip the reference C++ driver rows")
@@ -120,21 +163,44 @@ def main() -> int:
               file=sys.stderr)
 
     noise_levels = [float(x) for x in args.noise.split(",")]
+    ambig_levels = [float(x) for x in args.ambig.split(",")]
     rows = []
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
         model, lex, wi = make_battery_task(tmp, num_words=args.words)
         words = sorted(lex)
         for noise in noise_levels:
-            rng = np.random.default_rng(int(1000 * noise) + 7)
+          for ambig in ambig_levels:
+            rng = np.random.default_rng(
+                int(1000 * noise) + int(100 * ambig) + 7)
+            by_len: dict = {}
+            for w in words:
+                by_len.setdefault(len(lex[w]), []).append(w)
             lnas, truths = [], []
             for i in range(args.utts):
                 seq = [words[int(rng.integers(len(words)))]
                        for _ in range(int(rng.integers(3, 7)))]
-                lnas.append(synth_lna(
-                    tmp, model, lex, seq, seed=5000 + i,
-                    noise=noise, frames_per_state=2,
-                    name=f"n{int(100 * noise)}_{i}.lna"))
+                if ambig > 0:
+                    decoys = []
+                    for w in seq:
+                        cand = by_len[len(lex[w])]
+                        if (rng.random() < ambig
+                                and len(cand) > 1):
+                            d = w
+                            while d == w:
+                                d = cand[int(rng.integers(len(cand)))]
+                            decoys.append(d)
+                        else:
+                            decoys.append(None)
+                    lnas.append(synth_ambig(
+                        tmp, model, lex, seq, decoys, seed=5000 + i,
+                        noise=noise,
+                        name=f"n{int(100 * noise)}_{i}.lna"))
+                else:
+                    lnas.append(synth_lna(
+                        tmp, model, lex, seq, seed=5000 + i,
+                        noise=noise, frames_per_state=2,
+                        name=f"n{int(100 * noise)}_{i}.lna"))
                 truths.append(seq)
 
             hyp = {"exact": decode_battery(tmp, lnas, "exact",
@@ -144,7 +210,7 @@ def main() -> int:
             if use_ref:
                 hyp["reference"] = [ref_decode(tmp, l) for l in lnas]
 
-            row = {"noise": noise}
+            row = {"noise": noise, "ambig": ambig}
             for name, hs in hyp.items():
                 err, n = wer_counts(truths, hs)
                 row[f"wer_{name}"] = 100.0 * err / max(n, 1)
@@ -161,7 +227,7 @@ def main() -> int:
                 f"{k}={v:.2f}" if isinstance(v, float) and k != "noise"
                 else f"{k}={v}" for k, v in row.items()), flush=True)
 
-    hdr = ["noise", "WER exact %", "WER dense %"]
+    hdr = ["noise", "ambig", "WER exact %", "WER dense %"]
     if use_ref:
         hdr.append("WER reference %")
     hdr += ["dense-vs-exact WER %", f"dense==exact (of {args.utts})"]
@@ -170,8 +236,8 @@ def main() -> int:
     lines = ["| " + " | ".join(hdr) + " |",
              "|" + "---|" * len(hdr)]
     for r in rows:
-        cells = [f"{r['noise']:.2f}", f"{r['wer_exact']:.2f}",
-                 f"{r['wer_dense']:.2f}"]
+        cells = [f"{r['noise']:.2f}", f"{r['ambig']:.2f}",
+                 f"{r['wer_exact']:.2f}", f"{r['wer_dense']:.2f}"]
         if use_ref:
             cells.append(f"{r['wer_reference']:.2f}")
         cells += [f"{r['dense_vs_exact_wer']:.2f}",
