@@ -55,6 +55,10 @@ class Toolbox:
     # -- model/lexicon/LM loading (Toolbox.hh:42-108) ---------------------
     def lex_read(self, path) -> None:
         entries = read_lexicon(path)
+        if getattr(self, "_ignore_case", False):
+            from dataclasses import replace
+            entries = [replace(e, word=e.word.lower())
+                       for e in entries]
         self._lex_entries = entries
         self.tree = build_prefix_tree(
             self.model, entries,
@@ -109,6 +113,37 @@ class Toolbox:
         (Toolbox::read_lookahead_ngram)."""
         from aaltoasr_tpu.decoder.ngram import NGramFsa
         self.lookahead_lm = NGramFsa.from_arpa(read_arpa(path))
+        self._search = None
+
+    def interpolated_lookahead_ngram_read(self, paths, weights) -> None:
+        """Interpolated lookahead LM (Toolbox.hh:77): the lookahead
+        tables are built from the probability-domain mixture's walks
+        (InterNGramFsa), same machinery as interpolated decoding."""
+        from aaltoasr_tpu.decoder.ngram import InterNGramFsa
+        self.lookahead_lm = InterNGramFsa.from_arpas(
+            [read_arpa(p2) for p2 in paths], list(weights))
+        self._search = None
+
+    def hmm_read(self, path: str) -> None:
+        """Re-load the HMM topology (Toolbox.hh:42; our constructor
+        already loads it — this swaps models between decodes)."""
+        phones, transitions = read_ph(path)
+        durs = getattr(self.model, "durations", None)
+        num_states = 1 + max(
+            (s for p2 in phones for s in p2.states), default=0)
+        self.model = HmmModel(
+            dim=0, cov_type="diagonal_cov",
+            means=np.zeros((0, 1)), covars=np.zeros((0, 1)),
+            mixtures=[(np.zeros(0, np.int32),
+                       np.zeros(0))] * num_states,
+            phones=phones, transitions=transitions)
+        self.model.durations = durs
+        self.tree = None
+        self._search = None
+
+    def duration_read(self, path: str) -> None:
+        """Load gamma duration parameters (.dur, Toolbox.hh:44)."""
+        self.model.durations = read_dur(path)
         self._search = None
 
     def set_lm_lookahead(self, mode: int) -> None:
@@ -231,6 +266,63 @@ class Toolbox:
         self.config.split_multiwords = bool(value)
         self._search = None
 
+    # -- API-parity knobs whose reference roles are subsumed by the
+    # array design (each documents the equivalence) ------------------------
+    def set_generate_word_graph(self, value) -> None:
+        """The reference must opt in to word-graph bookkeeping
+        (Toolbox.hh:300); our decodes keep lattice records whenever
+        decode(lattice=True) — this flag just makes lna_decode default
+        to that."""
+        self._generate_word_graph = bool(value)
+
+    def set_ignore_case(self, value) -> None:
+        """Lowercase lexicon words on read (Toolbox.hh:249)."""
+        self._ignore_case = bool(value)
+
+    def set_prune_similar(self, n: int) -> None:
+        """The reference prunes tokens whose last-n-word histories
+        match, keeping the best (find_similar_lm_history,
+        TokenPassSearch.cc:1312).  Our recombination keys on the FULL
+        LM FSA state — exact for 1-best Viterbi (future scores depend
+        only on the state), and strictly stronger than any finite
+        span, so the span is not needed."""
+        self._prune_similar = int(n)
+
+    def set_use_word_pair_approximation(self, value) -> None:
+        """The reference can approximate LM recombination by word
+        pairs (TokenPassSearch.hh:160); ours always recombines on the
+        exact FSA state (no approximation), so this is a no-op."""
+        self._word_pair_approx = bool(value)
+
+    def set_use_lm_cache(self, value) -> None:
+        """The reference caches LM lookups (Toolbox.hh:220); the
+        vectorized hash walk needs no cache."""
+        self._use_lm_cache = bool(value)
+
+    def prune_lm_lookahead_buffers(self, min_delta, max_depth) -> None:
+        """Reference lookahead-cache sizing (Toolbox.hh:80); our
+        lookahead is precomputed tables, nothing to prune."""
+
+    def set_remove_pronunciation_id(self, value) -> None:
+        """Strip '(N)' pronunciation-variant ids from output words
+        (Toolbox.hh:255); our lexicon keeps alternatives under one
+        word name, so outputs never carry ids."""
+        self._remove_pron_id = bool(value)
+
+    def set_verbose(self, level: int) -> None:
+        self._verbose = int(level)
+
+    def set_print_probs(self, value) -> None:
+        self._print_probs = bool(value)
+
+    def set_print_text_result(self, value) -> None:
+        self._print_text_result = bool(value)
+
+    def set_end(self, frame: int) -> None:
+        """Stop decoding at this frame (-1 = whole input,
+        Toolbox.hh:139); consumed by lna_decode."""
+        self._end_frame = int(frame)
+
     def set_word_boundary(self, word: str):
         """Morph-mode word boundary ('<w>'), rectool.py:563-564: the
         short-silence nodes commit it as an LM word, two subsequent
@@ -285,7 +377,12 @@ class Toolbox:
     def lna_decode(self, lna_path: str, lattice: bool = True):
         """Decode one LNA file (lna_open + run loop equivalent)."""
         lp, _ = read_lna(lna_path)
-        return self.decode(lp, lattice=lattice)
+        end = getattr(self, "_end_frame", -1)
+        if end is not None and end >= 0:
+            lp = lp[:end]
+        return self.decode(
+            lp, lattice=lattice or getattr(self, "_generate_word_graph",
+                                           False))
 
     # -- state segmentation (Toolbox.hh:261-265, 334) ----------------------
     def set_keep_state_segmentation(self, value) -> None:
