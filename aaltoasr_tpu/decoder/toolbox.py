@@ -116,12 +116,50 @@ class Toolbox:
         self._search = None
 
     def interpolated_lookahead_ngram_read(self, paths, weights) -> None:
-        """Interpolated lookahead LM (Toolbox.hh:77): the lookahead
-        tables are built from the probability-domain mixture's walks
-        (InterNGramFsa), same machinery as interpolated decoding."""
-        from aaltoasr_tpu.decoder.ngram import InterNGramFsa
-        self.lookahead_lm = InterNGramFsa.from_arpas(
-            [read_arpa(p2) for p2 in paths], list(weights))
+        """Interpolated lookahead LM (Toolbox.hh:77
+        interpolated_lookahead_ngram_read).
+
+        Lookahead tables index a single backoff FSA, so the member
+        LMs are PRE-MIXED here: the union of their n-grams scored by
+        the probability-domain mixture (each member walked with its
+        own backoffs).  Lookahead scores only rank and prune — decode
+        scores stay pure — so the mixed model's own backoff weights
+        (0) only make unseen-context estimates slightly optimistic,
+        i.e. admissible."""
+        import math
+
+        from aaltoasr_tpu.decoder.ngram import NGramFsa
+        lms = [read_arpa(p2) for p2 in paths]
+        lw = [math.log(w) for w in weights]
+        vocab: list = []
+        wi: dict = {}
+        for m in lms:
+            for w in m.vocab:
+                if w not in wi:
+                    wi[w] = len(vocab)
+                    vocab.append(w)
+        order = max(m.order for m in lms)
+        grams: list = [{} for _ in range(order + 1)]
+        for m in lms:
+            for o in range(1, m.order + 1):
+                for key in m.ngrams[o]:
+                    words = tuple(m.vocab[k] for k in key)
+                    gkey = tuple(wi[w] for w in words)
+                    if gkey in grams[o]:
+                        continue
+                    tot = -float("inf")
+                    for m2, w2 in zip(lms, lw):
+                        if any(x not in m2.word_index for x in words):
+                            continue
+                        ctx = tuple(m2.word_index[x]
+                                    for x in words[:-1])
+                        sc = m2.log_prob(ctx, m2.word_index[words[-1]])
+                        tot = np.logaddexp(tot, w2 + sc)
+                    grams[o][gkey] = (float(tot), 0.0)
+        from aaltoasr_tpu.formats.arpa import ArpaLM
+        mixed = ArpaLM(order=order, vocab=vocab, word_index=wi,
+                       ngrams=grams)
+        self.lookahead_lm = NGramFsa.from_arpa(mixed)
         self._search = None
 
     def hmm_read(self, path: str) -> None:
