@@ -166,3 +166,43 @@ class TestDenseInterDecode:
             [str(tmp_path / "a.arpa"), str(tmp_path / "b.arpa")],
             [0.6, 0.4])
         assert t.lm is not None and len(t.lm.members) == 2
+
+    def test_interpolated_lookahead_read(self, tmp_path):
+        """interpolated_lookahead_ngram_read (Toolbox.hh:77) pre-mixes
+        the members into one lookahead FSA and the decode still runs
+        with lookahead enabled."""
+        import numpy as np
+
+        from tests.test_golden_decode import make_task, synth_lna
+        from aaltoasr_tpu.decoder.toolbox import Toolbox
+        model, lex, wi = make_task(tmp_path)
+        lna = synth_lna(tmp_path, model, lex, ["aba"], seed=1,
+                        noise=0.3)
+        t = Toolbox(str(tmp_path / "m.ph"))
+        t.set_lm_scale(10.0)
+        t.set_global_beam(200.0)
+        t.set_duration_scale(0.0)
+        t.set_silence_is_word(False)
+        t.lex_read(str(tmp_path / "lex.dict"))
+        t.set_sentence_boundary("<s>", "</s>")
+        t.ngram_read(str(tmp_path / "lm.arpa"))
+        t.interpolated_lookahead_ngram_read(
+            [str(tmp_path / "lm.arpa"), str(tmp_path / "lm.arpa")],
+            [0.5, 0.5])
+        t.set_lm_lookahead(1)
+        res = t.lna_decode(lna)
+        assert [w for w in res.words
+                if w not in ("<s>", "</s>")] == ["aba"]
+        # a 50/50 self-mixture's lookahead must equal the plain one
+        t2 = Toolbox(str(tmp_path / "m.ph"))
+        t2.set_lm_scale(10.0)
+        t2.set_global_beam(200.0)
+        t2.set_duration_scale(0.0)
+        t2.set_silence_is_word(False)
+        t2.lex_read(str(tmp_path / "lex.dict"))
+        t2.set_sentence_boundary("<s>", "</s>")
+        t2.ngram_read(str(tmp_path / "lm.arpa"))
+        t2.set_lm_lookahead(1)
+        res2 = t2.lna_decode(lna)
+        assert res2.words == res.words
+        assert res2.log_prob == pytest.approx(res.log_prob, abs=1e-3)
