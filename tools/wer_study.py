@@ -68,6 +68,85 @@ def synth_ambig(tmp, model, lex, word_seq, decoys, seed, noise,
     return str(tmp / name)
 
 
+def synth_ambig_xw(tmp, model, lex, word_seq, decoys, seed, noise,
+                   name):
+    """Cross-word triphone variant of synth_ambig: state chains are
+    resolved with contexts from the TRUE neighboring words (for both
+    the word and its decoy, so the blend stays frame-aligned)."""
+    from aaltoasr_tpu.formats.lna import write_lna
+    rng = np.random.default_rng(seed)
+    phone_of = {ph.label: ph for ph in model.phones}
+
+    def chain(ps, left_ctx, right_ctx):
+        states = []
+        for j, p2 in enumerate(ps):
+            left = ps[j - 1] if j else left_ctx
+            right = ps[j + 1] if j + 1 < len(ps) else right_ctx
+            states.extend(phone_of[f"{left}-{p2}+{right}"].states)
+        return states
+
+    segs = []
+    for i, (w, d) in enumerate(zip(word_seq, decoys)):
+        left = lex[word_seq[i - 1]][-1] if i else "_"
+        right = (lex[word_seq[i + 1]][0]
+                 if i + 1 < len(word_seq) else "_")
+        ws = chain(lex[w], left, right)
+        if d is None:
+            segs.extend([(s2, None) for s2 in ws for _ in range(2)])
+        else:
+            ds = chain(lex[d], left, right)
+            segs.extend([(a, b) for a, b in zip(ws, ds)
+                         for _ in range(2)])
+    sil = phone_of["__"].states
+    segs = ([(s2, None) for s2 in sil for _ in range(2)] + segs
+            + [(s2, None) for s2 in sil for _ in range(2)])
+    T = len(segs)
+    S = model.num_states
+    lp = np.full((T, S), -8.0, np.float32)
+    for t2, (a, b) in enumerate(segs):
+        if b is None:
+            lp[t2, a] = -0.5
+        else:
+            lp[t2, a] = -1.2
+            lp[t2, b] = -1.2
+    lp += noise * rng.standard_normal((T, S)).astype(np.float32)
+    lp = lp - np.log(np.sum(np.exp(lp), axis=1, keepdims=True))
+    write_lna(str(tmp / name), lp, lna_bytes=2)
+    return str(tmp / name)
+
+
+def decode_battery_xw(tmp, lnas, engine: str, token_limit=4096):
+    """Batched decode at the cross-word + duration operating point."""
+    from aaltoasr_tpu.decoder.toolbox import Toolbox
+    from aaltoasr_tpu.formats.lna import read_lna
+
+    t = Toolbox(str(tmp / "m.ph"), str(tmp / "m.dur"))
+    t.set_lm_scale(10.0)
+    t.set_global_beam(220.0)
+    t.set_token_limit(token_limit)
+    t.set_duration_scale(3.0)
+    t.set_transition_scale(1.0)
+    t.set_require_sentence_end(True)
+    t.set_silence_is_word(False)
+    t.set_optional_short_silence(True)
+    t.lex_read(str(tmp / "our_lex.dict"))
+    t.set_sentence_boundary("<s>", "</s>")
+    t.ngram_read(str(tmp / "lm.arpa"))
+    lps = [read_lna(p2)[0] for p2 in lnas]
+    T = max(lp.shape[0] for lp in lps)
+    obs = np.stack([np.pad(lp, ((0, T - lp.shape[0]), (0, 0)))
+                    for lp in lps])
+    n = np.asarray([lp.shape[0] for lp in lps], np.int32)
+    if engine == "dense":
+        from aaltoasr_tpu.decoder.search_dense import DenseBeamSearch
+        search = DenseBeamSearch(t.tree, t.lm, t.model, t.config)
+        results = search.decode_batch(obs, n, lattice=False)
+    else:
+        results = t.decode_batch(obs, n, lattice=False)
+    return [[w for w in r.words if w not in ("<s>", "</s>")]
+            for r in results]
+
+
 def wer_counts(refs: list, hyps: list) -> tuple:
     """Total (errors, ref_words) over paired word lists."""
     from aaltoasr_tpu.cli.wer import align_counts
@@ -123,6 +202,10 @@ def main() -> int:
                         "the word's acoustics with a same-length decoy "
                         "word (LM must disambiguate)")
     p.add_argument("--token-limit", type=int, default=2048)
+    p.add_argument("--crossword", action="store_true",
+                   help="run on the cross-word triphone + duration "
+                        "battery task (the headline bench operating "
+                        "point) instead of the monophone battery")
     p.add_argument("--no-reference", action="store_true",
                    help="skip the reference C++ driver rows")
     p.add_argument("--cpu", action="store_true",
@@ -141,6 +224,9 @@ def main() -> int:
 
     from test_golden_decode import DRIVER, synth_lna
     from test_golden_lattice import make_battery_task
+    if args.crossword:
+        from test_golden_crossword_battery import (
+            make_battery as make_xw_battery)
 
     def ref_decode(tmp_path, lna):
         # 1-best only: --wordgraph makes the reference decoder several
@@ -157,6 +243,19 @@ def main() -> int:
         return [w for w in out.stdout.split()
                 if w not in ("<s>", "</s>", "*")]
 
+    def ref_decode_xw(tmp_path, lna):
+        out = subprocess.run(
+            [DRIVER, "--ph", str(tmp_path / "m.ph"),
+             "--dur", str(tmp_path / "m.dur"),
+             "--lex", str(tmp_path / "ref_lex.dict"),
+             "--arpa", str(tmp_path / "lm.arpa"), "--lna", lna,
+             "--beam", "220", "--token-limit", "60000",
+             "--lm-scale", "10", "--dur-scale", "3",
+             "--trans-scale", "1"],
+            check=True, capture_output=True, text=True, timeout=600)
+        return [w for w in out.stdout.split()
+                if w not in ("<s>", "</s>", "*")]
+
     use_ref = (not args.no_reference) and os.path.exists(DRIVER)
     if not args.no_reference and not use_ref:
         print("reference driver not built; continuing without it",
@@ -167,7 +266,13 @@ def main() -> int:
     rows = []
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
-        model, lex, wi = make_battery_task(tmp, num_words=args.words)
+        if args.crossword:
+            model, lexd = make_xw_battery(tmp,
+                                          num_words=min(args.words, 60))
+            lex = dict(sorted(lexd.items()))
+        else:
+            model, lex, wi = make_battery_task(tmp,
+                                               num_words=args.words)
         words = sorted(lex)
         for noise in noise_levels:
           for ambig in ambig_levels:
@@ -192,9 +297,16 @@ def main() -> int:
                             decoys.append(d)
                         else:
                             decoys.append(None)
-                    lnas.append(synth_ambig(
+                    fn = (synth_ambig_xw if args.crossword
+                          else synth_ambig)
+                    lnas.append(fn(
                         tmp, model, lex, seq, decoys, seed=5000 + i,
                         noise=noise,
+                        name=f"n{int(100 * noise)}_{i}.lna"))
+                elif args.crossword:
+                    lnas.append(synth_ambig_xw(
+                        tmp, model, lex, seq, [None] * len(seq),
+                        seed=5000 + i, noise=noise,
                         name=f"n{int(100 * noise)}_{i}.lna"))
                 else:
                     lnas.append(synth_lna(
@@ -203,12 +315,14 @@ def main() -> int:
                         name=f"n{int(100 * noise)}_{i}.lna"))
                 truths.append(seq)
 
-            hyp = {"exact": decode_battery(tmp, lnas, "exact",
-                                           args.token_limit),
-                   "dense": decode_battery(tmp, lnas, "dense",
-                                           args.token_limit)}
+            dec = decode_battery_xw if args.crossword \
+                else decode_battery
+            hyp = {"exact": dec(tmp, lnas, "exact", args.token_limit),
+                   "dense": dec(tmp, lnas, "dense", args.token_limit)}
             if use_ref:
-                hyp["reference"] = [ref_decode(tmp, l) for l in lnas]
+                hyp["reference"] = [
+                    ref_decode_xw(tmp, l) if args.crossword
+                    else ref_decode(tmp, l) for l in lnas]
 
             row = {"noise": noise, "ambig": ambig}
             for name, hs in hyp.items():
