@@ -92,6 +92,10 @@ def main(argv=None) -> int:
     p.add_argument("--split-multiwords", action="store_true",
                    help="score multiwords (give_me) as component-word "
                         "sequences in the LM (Toolbox.hh:223-232)")
+    p.add_argument("--no-oss", action="store_true",
+                   help="disable the optional short silence between "
+                        "words (the reference defaults it ON, "
+                        "TPLexPrefixTree.cc:54)")
     p.add_argument("-B", "--batch", type=int, default=0)
     p.add_argument("-I", "--bindex", type=int, default=0)
     p.add_argument("-i", "--info", type=int, default=0)
@@ -182,6 +186,9 @@ def main(argv=None) -> int:
             print("Morph-based language model", file=sys.stderr)
         t.set_silence_is_word(True)
         t.set_word_boundary("<w>")
+    # the reference's lexical trees default the optional short silence
+    # ON (TPLexPrefixTree.cc:54); rectool never disables it
+    t.set_optional_short_silence(not args.no_oss)
     t.lex_read(args.lexicon)
     t.ngram_read(args.lm)
     t.set_global_beam(args.beam)

@@ -55,3 +55,24 @@ class TestRecognizeEngines:
         slfs = [f for f in os.listdir(tmp_path / "work" / "lna")
                 if f.endswith(".slf")]
         assert len(slfs) == 3
+
+    def test_morph_lm_autodetection(self, tmp_path, capsys):
+        """An LM whose unigrams contain '<w>' flips on morph mode
+        (rectool.py parse_lm): silence_is_word + word boundary, and
+        hypotheses print as rectool-normalized text (morphs joined,
+        no boundary/sentence tokens)."""
+        recipe = _task(tmp_path)
+        # morph lexicon: 'aa' is a morph; '<w>' is the 1-state silence
+        (tmp_path / "lex.txt").write_text("aa a a\n<w> _\n")
+        arpa = ("\\data\\\nngram 1=4\nngram 2=3\n\n\\1-grams:\n"
+                "-0.5 <s> -0.3\n-0.5 </s> -0.3\n-0.5 aa -0.3\n"
+                "-0.5 <w> -0.3\n"
+                "\n\\2-grams:\n-0.3 <s> aa\n-0.3 aa <w>\n"
+                "-0.3 <w> </s>\n\n\\end\\\n")
+        (tmp_path / "lm.arpa").write_text(arpa)
+        lines = _run(tmp_path, recipe, capsys, [])
+        assert len(lines) == 3
+        for ln in lines:
+            text = ln[:ln.rfind("(")]
+            assert "<w>" not in text and "</s>" not in text \
+                and "<s>" not in text, ln
