@@ -92,6 +92,10 @@ def main(argv=None) -> int:
     p.add_argument("--split-multiwords", action="store_true",
                    help="score multiwords (give_me) as component-word "
                         "sequences in the LM (Toolbox.hh:223-232)")
+    p.add_argument("--no-require-end", action="store_true",
+                   help="do not add P(</s>|h) when ranking final "
+                        "hypotheses (rectool.py:537 always requires "
+                        "the sentence end)")
     p.add_argument("--no-oss", action="store_true",
                    help="disable the optional short silence between "
                         "words (the reference defaults it ON, "
@@ -187,8 +191,10 @@ def main(argv=None) -> int:
         t.set_silence_is_word(True)
         t.set_word_boundary("<w>")
     # the reference's lexical trees default the optional short silence
-    # ON (TPLexPrefixTree.cc:54); rectool never disables it
+    # ON (TPLexPrefixTree.cc:54); rectool never disables it, and it
+    # always requires the sentence end (rectool.py:537)
     t.set_optional_short_silence(not args.no_oss)
+    t.set_require_sentence_end(not args.no_require_end)
     t.lex_read(args.lexicon)
     t.ngram_read(args.lm)
     t.set_global_beam(args.beam)

@@ -548,6 +548,23 @@ class BeamSearch:
         self._mw_cmax = mw_comp.shape[1]
         self.tables["lm_id"] = jnp.asarray(lm_id_arr)
         self.tables["mw_comp"] = jnp.asarray(mw_comp)
+        # ---- committed-at-final base validity: a token resting on a
+        # node whose only role is ending words (non-skip word ends, no
+        # continuation arc, no skip/silence end) has no uncommitted
+        # interpretation in the reference (word ids live on dedicated
+        # word-end nodes there)
+        N_ = tree.num_nodes
+        has_arc = ((tree.arc_tgt != np.arange(N_)[:, None])
+                   & (tree.arc_logp > LOG_ZERO / 2)).any(axis=1)
+        valid_we_ = tree.we_exit_logp > LOG_ZERO / 2
+        nonskip_we = (valid_we_ & (tree.we_word >= 0)
+                      & ~tree.we_skip_lm).any(axis=1)
+        skip_we = (valid_we_
+                   & ((tree.we_word < 0)
+                      | tree.we_skip_lm)).any(axis=1)
+        self.tables["fin_base_ok"] = jnp.asarray(
+            has_arc | ~nonskip_we | skip_we)
+
         # ---- morph word boundary (SearchConfig.word_boundary):
         # tree id for the double-boundary prune + </s> reset targets
         self._wb_tid = (tree.word_index.get(config.word_boundary, -1)
@@ -1532,14 +1549,43 @@ class BeamSearch:
             # finalize + 1-best traceback ON DEVICE (the relay moves
             # ~10 MB/s; the record stacks never leave the chip)
             node, lmst, am, lms, dur, rec, alive, law, _wc = tokens
-            if cfg.require_sentence_end:
-                end_id = self.lm.word_index.get(cfg.sentence_end)
-                if end_id is not None:
-                    _, end_sc = self._walk(
-                        lmst, jnp.full(lmst.shape[:1], end_id,
-                                       jnp.int32), t, lm_tables)
-                    lms = lms + jnp.where(alive, end_sc, 0.0)
-            total = jnp.where(alive, am + cfg.lm_scale_eff * lms, -jnp.inf)
+            W = node.shape[0]
+            end_id = (self.lm.word_index.get(cfg.sentence_end)
+                      if cfg.require_sentence_end else None)
+            if cfg.require_sentence_end and end_id is not None:
+                _, end_sc = self._walk(
+                    lmst, jnp.full(lmst.shape[:1], end_id,
+                                   jnp.int32), t, lm_tables)
+                base_lms = lms + jnp.where(alive, end_sc, 0.0)
+                # committed-at-final alternative: the reference puts
+                # word ids on dedicated word-end nodes, so a token
+                # that reached a word's last state by the final frame
+                # IS committed there; if the node is also inside a
+                # longer word (or has a skip/silence end) the
+                # uncommitted interpretation is a real competing token
+                # too, otherwise it does not exist (fin_base_ok).  The
+                # commit pays pron + LM (+ the required </s> from the
+                # post-commit state) but NO exit transition or
+                # duration — those belong to the never-taken move out.
+                # Gated on require_sentence_end (rectool.py:537 always
+                # sets it); without it every engine keeps the legacy
+                # exit-based convention at the final frame.
+                aw, al, alms = self._final_commit(
+                    node, lmst, lms, t, lm_tables, end_id)
+                alt_total = jnp.where(
+                    alive & (aw >= 0),
+                    am + cfg.lm_scale_eff * alms, -jnp.inf)
+                base_total = jnp.where(
+                    alive & t["fin_base_ok"][node],
+                    am + cfg.lm_scale_eff * base_lms, -jnp.inf)
+                use_alt = alt_total > base_total
+                total = jnp.maximum(base_total, alt_total)
+                lms = jnp.where(use_alt, alms, base_lms)
+                fin_w = jnp.where(use_alt, aw, -1)
+            else:
+                total = jnp.where(
+                    alive, am + cfg.lm_scale_eff * lms, -jnp.inf)
+                fin_w = jnp.full((W,), -1, jnp.int32)
             best = jnp.argmax(total)
             finals = jnp.stack([
                 rec[best].astype(jnp.float32), total[best],
@@ -1558,11 +1604,72 @@ class BeamSearch:
                 out = out.at[i].set(flat_w[ptr])
                 return flat_p[ptr], i + 1, out
 
+            has_fw = fin_w[best] >= 0
+            out0 = jnp.full((Wmax,), -1, jnp.int32)
+            out0 = out0.at[0].set(
+                jnp.where(has_fw, fin_w[best], -1))
             _, nw, words = jax.lax.while_loop(
-                cond, body, (rec[best], jnp.int32(0),
-                             jnp.full((Wmax,), -1, jnp.int32)))
+                cond, body, (rec[best], has_fw.astype(jnp.int32),
+                             out0))
             return finals, words, nw
         return tokens, recs
+
+    def _final_commit(self, node, lmst, lms, t, lm_tables, end_id):
+        """Best committed interpretation per final token: for each
+        word end on the token's node, pay pron + insertion + LM walk
+        (+ the required sentence end from the post-commit state) with
+        NO exit transition or duration bonus.  Returns
+        (word [W], state [W, K], lms [W]); word -1 where the node has
+        no usable word end."""
+        cfg = self.config
+        wW = t["we_word"][node]                        # [W, H]
+        H = wW.shape[1]
+        Wn = node.shape[0]
+        ok = ((t["we_exit"][node] > LOG_ZERO / 2)
+              & ~t["we_skip"][node] & (wW >= 0))
+        lmid = t["lm_id"][jnp.maximum(wW, 0)]
+        ok = ok & (lmid >= 0)
+        flat_w = wW.reshape(-1)
+        flat_states = jnp.broadcast_to(
+            lmst[:, None, :], (Wn, H, lmst.shape[1])).reshape(
+                Wn * H, -1)
+        if self._mw_cmax == 1:
+            nxt, sc = self._walk(flat_states,
+                                 jnp.maximum(lmid.reshape(-1), 0),
+                                 t, lm_tables)
+        else:
+            comp = t["mw_comp"][jnp.maximum(flat_w, 0)]
+            nxt, sc = walk_components(
+                lambda st, wd: self._walk(st, wd, t, lm_tables),
+                flat_states, comp)
+        if self._wb_tid >= 0:
+            prev_wb = t["is_wb_state"][flat_states[:, 0]]
+            ok = ok & ~((flat_w == self._wb_tid)
+                        & prev_wb).reshape(Wn, H)
+            if self._end_tid >= 0:
+                nxt = jnp.where((flat_w == self._end_tid)[:, None],
+                                t["wb_reset"][None, :], nxt)
+        if end_id is not None:
+            _, end2 = self._walk(
+                nxt, jnp.full((Wn * H,), end_id, jnp.int32), t,
+                lm_tables)
+        else:
+            end2 = jnp.zeros((Wn * H,), jnp.float32)
+        alt = (lms[:, None] + t["we_pron"][node]
+               + cfg.insertion_penalty_eff
+               + (sc + end2).reshape(Wn, H))
+        alt = jnp.where(ok & (sc.reshape(Wn, H) > LOG_ZERO / 2),
+                        alt, -jnp.inf)
+        h_best = jnp.argmax(alt, axis=1)
+        alt_lms = jnp.take_along_axis(alt, h_best[:, None],
+                                      axis=1)[:, 0]
+        alt_w = jnp.where(jnp.isfinite(alt_lms),
+                          jnp.take_along_axis(wW, h_best[:, None],
+                                              axis=1)[:, 0], -1)
+        alt_state = jnp.take_along_axis(
+            nxt.reshape(Wn, H, -1),
+            h_best[:, None, None], axis=1)[:, 0]
+        return alt_w, alt_state, alt_lms
 
     # -- public API -------------------------------------------------------
     def decode(self, obs: np.ndarray, n_frames: int | None = None,
@@ -1650,38 +1757,113 @@ class BeamSearch:
     def _result(self, tokens, recs):
         node, lmst, am, lms, dur, rec, alive = (
             np.asarray(x) for x in tokens[:7])
-        if self.config.require_sentence_end:
-            end_id = self.lm.word_index.get(self.config.sentence_end)
-            if end_id is not None:
-                if self._lm_tables is not None:
+        lmst2 = lmst if lmst.ndim == 2 else lmst[:, None]
+
+        def walk1(st, wid):
+            if self._lm_tables is not None:
+                return self.lm.walk(st, wid)
+            nx, sc = self.lm.walk(int(st[0]), wid)
+            return np.asarray([nx]), sc
+
+        fin_word = -1
+        end_id = (self.lm.word_index.get(self.config.sentence_end)
+                  if self.config.require_sentence_end else None)
+        if end_id is None:
+            total = np.where(alive,
+                             am + self.config.lm_scale_eff * lms,
+                             -np.inf)
+            best = int(np.argmax(total))
+        else:
+            if True:
+                if True:
                     ends = np.asarray(
-                        [self.lm.walk(st, end_id)[1] if a else 0.0
-                         for st, a in zip(lmst, alive)], np.float32)
-                else:
-                    ends = np.asarray(
-                        [self.lm.walk(int(st[0]), end_id)[1] if a
-                         else 0.0
-                         for st, a in zip(lmst, alive)], np.float32)
-                lms = lms + ends
-        total = np.where(alive,
-                         am + self.config.lm_scale_eff * lms,
-                         -np.inf)
-        best = int(np.argmax(total))
+                        [walk1(st, end_id)[1] if a else 0.0
+                         for st, a in zip(lmst2, alive)], np.float32)
+                    base_lms = lms + ends
+                # committed-at-final alternative (see the device
+                # finalize): pay the node's best word end without exit
+                # transition or duration, then the required </s>
+                tree = self.tree
+                lm_id = np.asarray(self.tables["lm_id"])
+                alt_lms = np.full(len(node), -np.inf, np.float32)
+                alt_w = np.full(len(node), -1, np.int32)
+                wb_reset = (np.asarray(self.tables["wb_reset"])
+                            if self._wb_tid >= 0
+                            and "wb_reset" in self.tables else None)
+                is_wb = (np.asarray(self.tables["is_wb_state"])
+                         if self._wb_tid >= 0
+                         and "is_wb_state" in self.tables else None)
+                for i2 in range(len(node)):
+                    if not alive[i2]:
+                        continue
+                    n2 = int(node[i2])
+                    for h in range(tree.we_word.shape[1]):
+                        w2 = int(tree.we_word[n2, h])
+                        if (w2 < 0 or tree.we_skip_lm[n2, h]
+                                or tree.we_exit_logp[n2, h]
+                                <= LOG_ZERO / 2
+                                or lm_id[w2] < 0):
+                            continue
+                        if (is_wb is not None
+                                and w2 == self._wb_tid
+                                and is_wb[int(lmst2[i2][0])]):
+                            continue
+                        if self._mw_cmax > 1:
+                            comp = np.asarray(
+                                self.tables["mw_comp"])[w2]
+                            st2, sc2 = lmst2[i2], 0.0
+                            for c2 in comp:
+                                if c2 < 0:
+                                    break
+                                st2, s3 = walk1(st2, int(c2))
+                                sc2 += s3
+                        else:
+                            st2, sc2 = walk1(lmst2[i2],
+                                             int(lm_id[w2]))
+                        if sc2 <= LOG_ZERO / 2:
+                            continue
+                        if (wb_reset is not None
+                                and w2 == self._end_tid):
+                            st2 = wb_reset
+                        e2 = (walk1(st2, end_id)[1]
+                              if end_id is not None else 0.0)
+                        cand = (lms[i2] + tree.we_pron_logp[n2, h]
+                                + self.config.insertion_penalty_eff
+                                + sc2 + e2)
+                        if cand > alt_lms[i2]:
+                            alt_lms[i2] = cand
+                            alt_w[i2] = w2
+                fin_ok = np.asarray(self.tables["fin_base_ok"])
+                base_total = np.where(
+                    alive & fin_ok[node],
+                    am + self.config.lm_scale_eff * base_lms,
+                    -np.inf)
+                alt_total = np.where(
+                    alive & (alt_w >= 0),
+                    am + self.config.lm_scale_eff * alt_lms, -np.inf)
+                use_alt = alt_total > base_total
+                total = np.maximum(base_total, alt_total)
+                lms = np.where(use_alt, alt_lms, base_lms)
+                best = int(np.argmax(total))
+                fin_word = int(alt_w[best]) if use_alt[best] else -1
         return DecodeResult(
             search=self, final_ptr=int(rec[best]),
             log_prob=float(total[best]),
             final_am=float(am[best]), final_lms=float(lms[best]),
             rec_words=np.asarray(recs[0]), rec_prevs=np.asarray(recs[1]),
-            rec_ams=np.asarray(recs[2]), rec_lmss=np.asarray(recs[3]))
+            rec_ams=np.asarray(recs[2]), rec_lmss=np.asarray(recs[3]),
+            final_word=fin_word)
 
 
 class DecodeResult:
     """1-best plus the word-lattice records of one utterance."""
 
     def __init__(self, search, final_ptr, log_prob, final_am, final_lms,
-                 rec_words, rec_prevs, rec_ams, rec_lmss, words=None):
+                 rec_words, rec_prevs, rec_ams, rec_lmss, words=None,
+                 final_word=-1):
         self.search = search
         self._words = words
+        self.final_word = final_word   # committed at the final frame
         self.final_ptr = final_ptr
         self.log_prob = log_prob
         self.final_am = final_am
@@ -1715,6 +1897,8 @@ class DecodeResult:
             ptr = int(self.rec_prevs[f, slot])
             guard += 1
         words.reverse()
+        if getattr(self, "final_word", -1) >= 0:
+            words.append(self.search.tree.vocab[self.final_word])
         return expand_word_boundaries(words, self.search.config)
 
     def word_graph(self):

@@ -251,6 +251,16 @@ class DenseBeamSearch:
                 tree.we_exit_logp[we_n, we_h], LOG_ZERO)),
             "we_pron": jnp.asarray(tree.we_pron_logp[we_n, we_h]),
             "we_skip": jnp.asarray(tree.we_skip_lm[we_n, we_h]),
+            # committed-at-final base validity (see search.py)
+            "fin_base_ok": jnp.asarray(
+                ((tree.arc_tgt != np.arange(tree.num_nodes)[:, None])
+                 & (tree.arc_logp > LOG_ZERO / 2)).any(axis=1)
+                | ~((tree.we_exit_logp > LOG_ZERO / 2)
+                    & (tree.we_word >= 0)
+                    & ~tree.we_skip_lm).any(axis=1)
+                | ((tree.we_exit_logp > LOG_ZERO / 2)
+                   & ((tree.we_word < 0)
+                      | tree.we_skip_lm)).any(axis=1)),
             # static per-we-slot duration constants (no dur_state gather)
             "we_dur_valid": None, "we_dur_lncoef": None,
             "we_dur_invb": None, "we_dur_const": None,
@@ -680,23 +690,75 @@ class DenseBeamSearch:
         # stacks cross the wire (a [B, N] state fetch costs seconds on a
         # relay-mediated link)
         if snap:
+            # fast serving path: keeps the exit-based convention at the
+            # final frame (no </s> update, no committed-at-final pass)
             finals = fin
             rec_best = fin[0].astype(jnp.int32)
+            fw_best = jnp.int32(-1)
         else:
             tot, lms, lm, dur, rec, bo, alive = state
             end_id = self.lm.word_index.get(cfg.sentence_end)
+            lm_k = jnp.stack(lm, axis=-1)                  # [N, K]
             if end_id is not None:
                 _, end_sc = self._walk(
-                    jnp.stack(lm, axis=-1),
-                    jnp.full((N,), end_id, jnp.int32), lm_tables)
-                lms = lms + jnp.where(alive, end_sc, 0.0)
-                tot = tot + jnp.where(alive,
-                                      cfg.lm_scale_eff * end_sc, 0.0)
-            total = jnp.where(alive, tot, -jnp.inf)
-            bestn = jnp.argmax(total)
+                    lm_k, jnp.full((N,), end_id, jnp.int32), lm_tables)
+                base_lms = lms + jnp.where(alive, end_sc, 0.0)
+                base_tot = tot + jnp.where(
+                    alive, cfg.lm_scale_eff * end_sc, 0.0)
+            else:
+                base_lms, base_tot = lms, tot
+            # committed-at-final alternative per word-end slot (see
+            # search.py _final_commit: entry-based word ids in the
+            # reference — no exit transition / duration on the commit)
+            wn2 = t["we_node"]                             # [Nw]
+            w_ok = ((t["we_exit"] > LOG_ZERO / 2) & ~t["we_skip"]
+                    & (t["we_word"] >= 0) & (t["we_lmid"] >= 0)
+                    & alive[wn2])
+            st_w = lm_k[wn2]                               # [Nw, K]
+            if self._mw_cmax == 1:
+                nxt_w, sc_w = self._walk(
+                    st_w, jnp.maximum(t["we_lmid"], 0), lm_tables)
+            else:
+                comp = t["mw_comp"][jnp.maximum(t["we_word"], 0)]
+                nxt_w, sc_w = walk_components(
+                    lambda st, wd: self._walk(st, wd, lm_tables),
+                    st_w, comp)
+            if self._wb_tid >= 0:
+                prev_wb = t["is_wb_state"][st_w[:, 0]]
+                w_ok = w_ok & ~((t["we_word"] == self._wb_tid)
+                                & prev_wb)
+                if self._end_tid >= 0:
+                    nxt_w = jnp.where(
+                        (t["we_word"] == self._end_tid)[:, None],
+                        t["wb_reset"][None, :], nxt_w)
+            if end_id is not None:
+                _, end2 = self._walk(
+                    nxt_w, jnp.full(wn2.shape, end_id, jnp.int32),
+                    lm_tables)
+            else:
+                end2 = jnp.zeros(wn2.shape, jnp.float32)
+            alt_lms = (lms[wn2] + t["we_pron"]
+                       + cfg.insertion_penalty_eff + sc_w + end2)
+            alt_tot = jnp.where(
+                w_ok & (sc_w > LOG_ZERO / 2),
+                tot[wn2] - cfg.lm_scale_eff * lms[wn2]
+                + cfg.lm_scale_eff * alt_lms, -jnp.inf)
+            base_total = jnp.where(alive & t["fin_base_ok"],
+                                   base_tot, -jnp.inf)
+            allt = jnp.concatenate([base_total, alt_tot])
+            besti = jnp.argmax(allt)
+            is_alt = besti >= N
+            slot = jnp.maximum(besti - N, 0)
+            bestn = jnp.where(is_alt, wn2[slot], besti)
+            best_total = allt[besti]
+            best_lms = jnp.where(is_alt, alt_lms[slot],
+                                 base_lms[bestn])
+            fw_best = jnp.where(is_alt, t["we_word"][slot],
+                                jnp.int32(-1))
             finals = jnp.stack([
-                rec[bestn].astype(jnp.float32), total[bestn],
-                total[bestn] - cfg.lm_scale_eff * lms[bestn], lms[bestn]])
+                rec[bestn].astype(jnp.float32), best_total,
+                best_total - cfg.lm_scale_eff * best_lms, best_lms,
+                fw_best.astype(jnp.float32)])
             rec_best = rec[bestn]
         if not lattice:
             # 1-best traceback ON DEVICE: the full record stacks are
@@ -718,10 +780,12 @@ class DenseBeamSearch:
                 out = out.at[i].set(w)
                 return flat_p[ptr], i + 1, out
 
+            has_fw = fw_best >= 0
+            out0 = jnp.full((Wmax,), -1, jnp.int32)
+            out0 = out0.at[0].set(jnp.where(has_fw, fw_best, -1))
             _, nw, words = jax.lax.while_loop(
                 cond, body,
-                (rec_best, jnp.int32(0),
-                 jnp.full((Wmax,), -1, jnp.int32)))
+                (rec_best, has_fw.astype(jnp.int32), out0))
             return finals, words, nw
         rec_ints = jnp.stack([recs[0], recs[1]], axis=-1)   # [T-1, E, 2]
         rec_floats = jnp.stack([recs[2], recs[3]], axis=-1)
@@ -811,4 +875,5 @@ class DenseBeamSearch:
             log_prob=float(finals[1]),
             final_am=float(finals[2]), final_lms=float(finals[3]),
             rec_words=rec_i[..., 0], rec_prevs=rec_i[..., 1],
-            rec_ams=rec_f[..., 0], rec_lmss=rec_f[..., 1])
+            rec_ams=rec_f[..., 0], rec_lmss=rec_f[..., 1],
+            final_word=(int(finals[4]) if len(finals) > 4 else -1))

@@ -175,3 +175,62 @@ class TestGoldenMorph:
         assert txt_agree >= n_utt - 1, f"text {txt_agree}/{n_utt}"
         assert dense_agree >= n_utt - 1, \
             f"dense vs exact {dense_agree}/{n_utt}"
+
+
+class TestFinalFrameCommit:
+    def test_word_without_trailing_silence(self, ref_driver, tmp_path):
+        """The reference commits a word on ENTERING its last node, so
+        an utterance that ends exactly on the word still prints it;
+        our exit-based engines recover it through the
+        committed-at-final alternative (search.py _final_commit).
+        Totals are not compared: the reference's get_best_final_token
+        prefers NODE_FINAL (silence) tokens, so its winner jumps into
+        silence at the last frame and pays that observation."""
+        import subprocess
+
+        from tests.test_golden_decode import make_task
+        from aaltoasr_tpu.formats.lna import write_lna
+        model, lex, wi = make_task(tmp_path)
+        phone_of = {p.label: p for p in model.phones}
+        states = [s for s in phone_of["__"].states for _ in range(2)]
+        for ph in lex["aba"]:
+            states += [s for s in phone_of[ph].states
+                       for _ in range(3)]
+        rng = np.random.default_rng(4)
+        T, S = len(states), model.num_states
+        lp = np.full((T, S), -8.0, np.float32)
+        lp[np.arange(T), states] = -0.4
+        lp += 0.3 * rng.standard_normal((T, S)).astype(np.float32)
+        lp -= np.log(np.exp(lp).sum(axis=1, keepdims=True))
+        write_lna(str(tmp_path / "u.lna"), lp, lna_bytes=2)
+        out = subprocess.run(
+            [ref_driver, "--ph", str(tmp_path / "m.ph"),
+             "--lex", str(tmp_path / "lex.dict"),
+             "--arpa", str(tmp_path / "lm.arpa"),
+             "--lna", str(tmp_path / "u.lna"),
+             "--beam", "300", "--token-limit", "20000",
+             "--lm-scale", "10", "--dur-scale", "0",
+             "--trans-scale", "1", "--no-crossword"],
+            check=True, capture_output=True, text=True, timeout=120)
+        ref = [w for w in out.stdout.split()
+               if w not in ("<s>", "</s>", "*")]
+        assert ref == ["aba"]
+
+        from aaltoasr_tpu.decoder.toolbox import Toolbox
+        t = Toolbox(str(tmp_path / "m.ph"))
+        t.set_lm_scale(10.0)
+        t.set_global_beam(300.0)
+        t.set_token_limit(2048)
+        t.set_duration_scale(0.0)
+        t.set_transition_scale(1.0)
+        t.set_require_sentence_end(True)
+        t.set_silence_is_word(False)
+        t.set_optional_short_silence(True)
+        t.lex_read(str(tmp_path / "lex.dict"))
+        t.set_sentence_boundary("<s>", "</s>")
+        t.ngram_read(str(tmp_path / "lm.arpa"))
+        for lat in (True, False):
+            res = t.lna_decode(str(tmp_path / "u.lna"), lattice=lat)
+            got = [w for w in res.words
+                   if w not in ("<s>", "</s>")]
+            assert got == ["aba"], (lat, got)

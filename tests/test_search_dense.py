@@ -12,8 +12,14 @@ from tests.test_decoder import make_decode_task, synth_obs
 class TestDenseSearch:
     def _pair(self, cfg=None):
         model, tree, fsa = make_decode_task()
+        # require_sentence_end matches rectool's always-on default
+        # (rectool.py:537); it also selects the dense engine's exact
+        # finalize (the snap fast path keeps the exit-based convention
+        # at the final frame and may drop a word that ends exactly at
+        # the last observation)
         cfg = cfg or SearchConfig(num_tokens=256, num_records=16,
-                                  beam=1e9, lm_scale=1.0)
+                                  beam=1e9, lm_scale=1.0,
+                                  require_sentence_end=True)
         return (model, tree, fsa,
                 BeamSearch(tree, fsa, model, cfg),
                 DenseBeamSearch(tree, fsa, model, cfg))
