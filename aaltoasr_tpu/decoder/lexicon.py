@@ -640,7 +640,11 @@ def _build_crossword_tree(model: HmmModel, entries: list,
     if short_sil_phone is not None:
         for v in end_variants:
             for (w2, pron2, skip2, last_cls2) in v.ends:
-                if not skip2:
+                # real word ends only: the reference inserts the oss
+                # between fan-out and fan-in (TPLexPrefixTree.cc:822),
+                # never after a silence chain (whose pair carries the
+                # boundary class)
+                if not skip2 and last_cls2 != cid[boundary]:
                     used_pairs.add((last_cls2, v.rcid))
         for (_c, rc) in sorted(used_pairs):
             if rc not in nosil_rc:
