@@ -28,7 +28,7 @@ MORPHS = {"ma": ["a"], "mab": ["a", "b"], "mb": ["b"],
           "mbc": ["b", "c"], "mc": ["c"], "mca": ["c", "a"]}
 
 
-def make_task(tmp):
+def make_task(tmp, durations=False):
     labels = [f"{x}-{y}+{z}" for y in PH for x in CTX for z in CTX]
     plist = [model_io.HmmPhone(lbl, [3 * i, 3 * i + 1, 3 * i + 2])
              for i, lbl in enumerate(labels)]
@@ -44,6 +44,11 @@ def make_task(tmp):
         phones=plist,
         transitions={i: [(0, 0.5), (1, 0.5)] for i in range(S)})
     model_io.write_ph(str(tmp / "m.ph"), model)
+    if durations:
+        rngd = np.random.default_rng(8)
+        durs = np.stack([rngd.uniform(1.5, 3.0, S),
+                         rngd.uniform(1.0, 2.0, S)], axis=1)
+        model_io.write_dur(str(tmp / "m.dur"), durs)
 
     # reference: triphone labels; silences FIRST (the reference wires
     # fan-out silences during add_word, so the 1-state '_' entry must
@@ -234,3 +239,50 @@ class TestFinalFrameCommit:
             got = [w for w in res.words
                    if w not in ("<s>", "</s>")]
             assert got == ["aba"], (lat, got)
+
+
+    def test_morph_with_durations(self, ref_driver, tmp_path):
+        """Morph mode with the gamma duration model active on both
+        sides (dur-scale 3) — the full Finnish-recipe operating
+        point."""
+        model = make_task(tmp_path, durations=True)
+        names = sorted(MORPHS)
+        rng = np.random.default_rng(21)
+
+        from aaltoasr_tpu.decoder.toolbox import Toolbox
+        t = Toolbox(str(tmp_path / "m.ph"), str(tmp_path / "m.dur"))
+        t.set_lm_scale(10.0)
+        t.set_global_beam(250.0)
+        t.set_token_limit(4096)
+        t.set_duration_scale(3.0)
+        t.set_transition_scale(1.0)
+        t.set_require_sentence_end(True)
+        t.set_silence_is_word(True)
+        t.set_optional_short_silence(True)
+        t.set_word_boundary("<w>")
+        t.lex_read(str(tmp_path / "our_lex.dict"))
+        t.set_sentence_boundary("<s>", "</s>")
+        t.ngram_read(str(tmp_path / "lm.arpa"))
+
+        n_utt = 5
+        agree = 0
+        for i in range(n_utt):
+            seq = [names[int(rng.integers(len(names)))]
+                   for _ in range(int(rng.integers(2, 4)))]
+            lna = synth(tmp_path, model, seq, with_ss=(i % 2 == 0),
+                        seed=800 + i, name=f"d{i}.lna")
+            out = subprocess.run(
+                [ref_driver, "--ph", str(tmp_path / "m.ph"),
+                 "--dur", str(tmp_path / "m.dur"),
+                 "--lex", str(tmp_path / "ref_lex.dict"),
+                 "--arpa", str(tmp_path / "lm.arpa"), "--lna", lna,
+                 "--beam", "250", "--token-limit", "60000",
+                 "--lm-scale", "10", "--dur-scale", "3",
+                 "--trans-scale", "1", "--word-boundary", "<w>",
+                 "--silence-is-word"],
+                check=True, capture_output=True, text=True,
+                timeout=300)
+            res = t.lna_decode(lna, lattice=False)
+            agree += (morph_seq(["<s>"] + res.words + ["</s>"])
+                      == morph_seq(out.stdout.split()))
+        assert agree >= n_utt - 1, f"{agree}/{n_utt}"
