@@ -1774,78 +1774,75 @@ class BeamSearch:
                              -np.inf)
             best = int(np.argmax(total))
         else:
-            if True:
-                if True:
-                    ends = np.asarray(
-                        [walk1(st, end_id)[1] if a else 0.0
-                         for st, a in zip(lmst2, alive)], np.float32)
-                    base_lms = lms + ends
-                # committed-at-final alternative (see the device
-                # finalize): pay the node's best word end without exit
-                # transition or duration, then the required </s>
-                tree = self.tree
-                lm_id = np.asarray(self.tables["lm_id"])
-                alt_lms = np.full(len(node), -np.inf, np.float32)
-                alt_w = np.full(len(node), -1, np.int32)
-                wb_reset = (np.asarray(self.tables["wb_reset"])
-                            if self._wb_tid >= 0
-                            and "wb_reset" in self.tables else None)
-                is_wb = (np.asarray(self.tables["is_wb_state"])
-                         if self._wb_tid >= 0
-                         and "is_wb_state" in self.tables else None)
-                for i2 in range(len(node)):
-                    if not alive[i2]:
+            ends = np.asarray(
+                [walk1(st, end_id)[1] if a else 0.0
+                 for st, a in zip(lmst2, alive)], np.float32)
+            base_lms = lms + ends
+            # committed-at-final alternative (see the device
+            # finalize): pay the node's best word end without exit
+            # transition or duration, then the required </s>
+            tree = self.tree
+            lm_id = np.asarray(self.tables["lm_id"])
+            alt_lms = np.full(len(node), -np.inf, np.float32)
+            alt_w = np.full(len(node), -1, np.int32)
+            wb_reset = (np.asarray(self.tables["wb_reset"])
+                        if self._wb_tid >= 0
+                        and "wb_reset" in self.tables else None)
+            is_wb = (np.asarray(self.tables["is_wb_state"])
+                     if self._wb_tid >= 0
+                     and "is_wb_state" in self.tables else None)
+            for i2 in range(len(node)):
+                if not alive[i2]:
+                    continue
+                n2 = int(node[i2])
+                for h in range(tree.we_word.shape[1]):
+                    w2 = int(tree.we_word[n2, h])
+                    if (w2 < 0 or tree.we_skip_lm[n2, h]
+                            or tree.we_exit_logp[n2, h]
+                            <= LOG_ZERO / 2
+                            or lm_id[w2] < 0):
                         continue
-                    n2 = int(node[i2])
-                    for h in range(tree.we_word.shape[1]):
-                        w2 = int(tree.we_word[n2, h])
-                        if (w2 < 0 or tree.we_skip_lm[n2, h]
-                                or tree.we_exit_logp[n2, h]
-                                <= LOG_ZERO / 2
-                                or lm_id[w2] < 0):
-                            continue
-                        if (is_wb is not None
-                                and w2 == self._wb_tid
-                                and is_wb[int(lmst2[i2][0])]):
-                            continue
-                        if self._mw_cmax > 1:
-                            comp = np.asarray(
-                                self.tables["mw_comp"])[w2]
-                            st2, sc2 = lmst2[i2], 0.0
-                            for c2 in comp:
-                                if c2 < 0:
-                                    break
-                                st2, s3 = walk1(st2, int(c2))
-                                sc2 += s3
-                        else:
-                            st2, sc2 = walk1(lmst2[i2],
-                                             int(lm_id[w2]))
-                        if sc2 <= LOG_ZERO / 2:
-                            continue
-                        if (wb_reset is not None
-                                and w2 == self._end_tid):
-                            st2 = wb_reset
-                        e2 = (walk1(st2, end_id)[1]
-                              if end_id is not None else 0.0)
-                        cand = (lms[i2] + tree.we_pron_logp[n2, h]
-                                + self.config.insertion_penalty_eff
-                                + sc2 + e2)
-                        if cand > alt_lms[i2]:
-                            alt_lms[i2] = cand
-                            alt_w[i2] = w2
-                fin_ok = np.asarray(self.tables["fin_base_ok"])
-                base_total = np.where(
-                    alive & fin_ok[node],
-                    am + self.config.lm_scale_eff * base_lms,
-                    -np.inf)
-                alt_total = np.where(
-                    alive & (alt_w >= 0),
-                    am + self.config.lm_scale_eff * alt_lms, -np.inf)
-                use_alt = alt_total > base_total
-                total = np.maximum(base_total, alt_total)
-                lms = np.where(use_alt, alt_lms, base_lms)
-                best = int(np.argmax(total))
-                fin_word = int(alt_w[best]) if use_alt[best] else -1
+                    if (is_wb is not None
+                            and w2 == self._wb_tid
+                            and is_wb[int(lmst2[i2][0])]):
+                        continue
+                    if self._mw_cmax > 1:
+                        comp = np.asarray(
+                            self.tables["mw_comp"])[w2]
+                        st2, sc2 = lmst2[i2], 0.0
+                        for c2 in comp:
+                            if c2 < 0:
+                                break
+                            st2, s3 = walk1(st2, int(c2))
+                            sc2 += s3
+                    else:
+                        st2, sc2 = walk1(lmst2[i2],
+                                         int(lm_id[w2]))
+                    if sc2 <= LOG_ZERO / 2:
+                        continue
+                    if (wb_reset is not None
+                            and w2 == self._end_tid):
+                        st2 = wb_reset
+                    e2 = walk1(st2, end_id)[1]
+                    cand = (lms[i2] + tree.we_pron_logp[n2, h]
+                            + self.config.insertion_penalty_eff
+                            + sc2 + e2)
+                    if cand > alt_lms[i2]:
+                        alt_lms[i2] = cand
+                        alt_w[i2] = w2
+            fin_ok = np.asarray(self.tables["fin_base_ok"])
+            base_total = np.where(
+                alive & fin_ok[node],
+                am + self.config.lm_scale_eff * base_lms,
+                -np.inf)
+            alt_total = np.where(
+                alive & (alt_w >= 0),
+                am + self.config.lm_scale_eff * alt_lms, -np.inf)
+            use_alt = alt_total > base_total
+            total = np.maximum(base_total, alt_total)
+            lms = np.where(use_alt, alt_lms, base_lms)
+            best = int(np.argmax(total))
+            fin_word = int(alt_w[best]) if use_alt[best] else -1
         return DecodeResult(
             search=self, final_ptr=int(rec[best]),
             log_prob=float(total[best]),
