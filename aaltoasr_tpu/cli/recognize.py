@@ -18,7 +18,6 @@ import numpy as np
 
 from aaltoasr_tpu.decoder.toolbox import Toolbox
 from aaltoasr_tpu.formats.lna import read_lna
-from aaltoasr_tpu.formats.model_io import read_model
 from aaltoasr_tpu.formats.recipe import Recipe
 from aaltoasr_tpu.models.phone_probs import PhoneProbs
 

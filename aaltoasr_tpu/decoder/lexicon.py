@@ -24,15 +24,15 @@ for full cross-word context modeling.
 
 from __future__ import annotations
 
-LN10 = 2.302585092994046
-
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from aaltoasr_tpu.formats.model_io import HmmModel
 from aaltoasr_tpu.ops.logsemiring import LOG_ZERO
+
+LN10 = 2.302585092994046
 
 
 @dataclass
