@@ -53,7 +53,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aaltoasr_tpu.decoder.lexicon import PrefixTree, duration_table
+from aaltoasr_tpu.decoder.lexicon import (
+    PrefixTree, duration_table, node_duration_params)
 from aaltoasr_tpu.decoder.ngram import (
     InterNGramFsa, NGramFsa, lm_walk_device, lm_walk_device_multi)
 from aaltoasr_tpu.ops.logsemiring import LOG_ZERO
@@ -849,7 +850,17 @@ class BeamSearch:
         _pk_add("lp3", lp3)
         _pk_add("over_map", over_map, bits=True)
         _pk_add("we_pair", tree.we_pair, bits=True)
-        _pk_add("dur_state", tree.dur_state, bits=True)
+        if self._has_durations:
+            # gather-free gamma duration params (the dense engine's
+            # proven trick): the [W]-token dur_tab gather was ~13% of
+            # the step (XLA trace); four extra pack columns are ~free
+            # (row gathers are INDEX-bound, not width-bound)
+            dp = node_duration_params(
+                tree, model, config.duration_scale)
+            _pk_add("dur_valid", dp["dur_valid"])
+            _pk_add("dur_lncoef", dp["dur_lncoef"])
+            _pk_add("dur_invb", dp["dur_invb"])
+            _pk_add("dur_const", dp["dur_const"])
         _pk_add("we_word", we_word_np, bits=True)
         _pk_add("we_exit", tree.we_exit_logp)
         _pk_add("we_pron", tree.we_pron_logp)
@@ -904,16 +915,6 @@ class BeamSearch:
         self._decode_jit = jax.jit(_bound, static_argnames=())
 
     # -- candidate container: dict of parallel arrays ---------------------
-    def _dur_bonus(self, ds, dur, t):
-        """Duration log-prob for leaving a state after dur+1 frames;
-        ds = per-token duration-model state (from the packed gather)."""
-        if not self._has_durations:
-            # no duration model / scale 0: the table is all zeros, and
-            # the [B, W]-sized gathers per step are pure overhead
-            return jnp.zeros(ds.shape, jnp.float32)
-        d = jnp.clip(dur + 1, 1, self.config.max_dur)
-        return t["dur_tab"][ds, d - 1]
-
     def _walk(self, states, word, t, lm_tables):
         """(states [..., K], word [...]) -> (next [..., K], score)."""
         if lm_tables is not None:
@@ -953,8 +954,17 @@ class BeamSearch:
             return v.astype(jnp.int32) if ints else v
 
         obs1 = obs3[node]                          # [W, 3] row gather
-        ds = pcol("dur_state", True)[:, 0]
-        durb_tok = self._dur_bonus(ds, dur, t)     # [W], reused below
+        if self._has_durations:
+            # gamma bonus from packed per-node params — elementwise
+            # VPU work; the dur_tab[ds, d-1] gather it replaces cost
+            # ~13% of the step
+            d_ = jnp.clip(dur + 1, 1, cfg.max_dur).astype(jnp.float32)
+            durb_tok = pcol("dur_valid")[:, 0] * (
+                pcol("dur_lncoef")[:, 0] * jnp.log(d_)
+                - d_ * pcol("dur_invb")[:, 0]
+                + pcol("dur_const")[:, 0])         # [W], reused below
+        else:
+            durb_tok = jnp.zeros(node.shape, jnp.float32)
 
         # context lookahead (mode 3): per-token backoff-level lists,
         # joined with target DFS intervals (see
@@ -1330,7 +1340,24 @@ class BeamSearch:
                     # gather would dwarf the sort savings)
                     rank2 = rank2 + cfg.lm_scale_eff * t["la"][r_tgt]
                 rank2 = jnp.where(r_lp > LOG_ZERO / 2, rank2, -jnp.inf)
-                _, idxr = jax.lax.top_k(rank2, RK)      # [Er, RK]
+                if RK <= 16:
+                    # RK argmax+mask rounds instead of top_k: XLA
+                    # lowers top_k over [Er, R~500] to a full sort
+                    # (~5% of the step in the trace); RK passes of
+                    # elementwise max over the same array are cheaper
+                    # for small RK.  Same indices, same order.
+                    colsR = jnp.arange(R, dtype=jnp.int32)
+                    curR = rank2
+                    idx_rounds = []
+                    for _ in range(RK):
+                        jbest = jnp.argmax(curR, axis=1)    # [Er]
+                        idx_rounds.append(jbest)
+                        curR = jnp.where(
+                            colsR[None, :] == jbest[:, None],
+                            -jnp.inf, curR)
+                    idxr = jnp.stack(idx_rounds, axis=1)    # [Er, RK]
+                else:
+                    _, idxr = jax.lax.top_k(rank2, RK)      # [Er, RK]
                 tal = lambda v: jnp.take_along_axis(v, idxr, axis=1)
                 r_tgt2 = tal(r_tgt)
                 r_lp2 = tal(r_lp)

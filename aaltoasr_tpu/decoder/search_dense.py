@@ -29,7 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from aaltoasr_tpu.decoder.lexicon import PrefixTree, duration_table
+from aaltoasr_tpu.decoder.lexicon import (
+    PrefixTree, duration_table, node_duration_params)
 from aaltoasr_tpu.decoder.ngram import (
     InterNGramFsa, NGramFsa, lm_walk_device, lm_walk_device_multi)
 from aaltoasr_tpu.decoder.search import (
@@ -90,33 +91,10 @@ def _shift_structure(tree: PrefixTree):
 
 
 def _node_duration_params(tree, model, scale):
-    """Per-node gamma duration params so the dense relaxation computes
-    bonus = scale*((a-1) ln d - d/b - a ln b - lgamma(a)) elementwise
-    (identical values to duration_table, no gather)."""
-    from scipy.special import gammaln
-    N = tree.num_nodes
-    valid = np.zeros(N, np.float32)
-    lncoef = np.zeros(N, np.float32)
-    invb = np.zeros(N, np.float32)
-    const = np.zeros(N, np.float32)
-    if model.durations is not None:
-        s = np.asarray(tree.dur_state, dtype=np.int64)
-        in_range = s < model.durations.shape[0]
-        da = model.durations[np.where(in_range, s, 0), 0]
-        db = model.durations[np.where(in_range, s, 0), 1]
-        ok = in_range & (da > 0) & (db > 0)
-        da_s = np.where(ok, da, 1.0)
-        db_s = np.where(ok, db, 1.0)
-        valid = ok.astype(np.float32)
-        lncoef = np.where(ok, scale * (da_s - 1.0), 0.0).astype(np.float32)
-        invb = np.where(ok, scale / db_s, 0.0).astype(np.float32)
-        const = np.where(ok, scale * (-da_s * np.log(db_s)
-                                      - gammaln(da_s)), 0.0).astype(
-                                          np.float32)
-    return {"dur_valid": jnp.asarray(valid),
-            "dur_lncoef": jnp.asarray(lncoef),
-            "dur_invb": jnp.asarray(invb),
-            "dur_const": jnp.asarray(const)}
+    """Gather-free gamma duration params (shared helper in lexicon.py;
+    identical values to duration_table)."""
+    return {k: jnp.asarray(v) for k, v in
+            node_duration_params(tree, model, scale).items()}
 
 
 class DenseBeamSearch:

@@ -102,20 +102,34 @@ def decode_xrt(num_words=1000, triphone=True, durations=True, order=3,
     return (B * T / 125.0) / dt
 
 
-def exact_decode_xrt():
+def exact_decode_xrt(triphone=False, order=2, tag=""):
     """Exact token-passing engine (the reference-faithful accuracy
     mode: multi-hypothesis (node, lm-state) recombination per
-    `TokenPassSearch.cc:695-1400`) real-time factor at the 1000-word
-    bigram point, with the production pruning set: token-overflow
-    lanes, word-end prewalk compaction, best-first re-entry slice."""
+    `TokenPassSearch.cc:695-1400`) real-time factor, with the
+    production pruning set: token-overflow lanes, word-end prewalk
+    compaction, best-first re-entry slice (+ per-record re-entry
+    prewalk on cross-word trees).  triphone=True measures the FULL
+    reference operating point: cross-word tied-triphone tree + gamma
+    durations at scale 3 (+ trigram with order=3)."""
     from bench_decode import synth_task, synth_obs
     from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
 
-    model, tree, fsa = synth_task(num_words=1000, order=2)
+    model, tree, fsa = synth_task(num_words=1000, order=order,
+                                  triphone=triphone, durations=triphone)
     info = synth_task.last_info
-    cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
-                       num_tokens=1024, num_records=64,
-                       overflow_tokens=128, we_prewalk=256)
+    if triphone:
+        # knob sweep (benchmarks/sweep_exact_xw.py): planted-word
+        # agreement is 69-70/70 from W=1024 down to W=512 and
+        # we_prewalk 128; W=512/prewalk=256 is the conservative point
+        # (W=1024 -> 115x, W=512 -> 155x, prewalk=128 -> 180x)
+        cfg = SearchConfig(lm_scale=30.0, duration_scale=3.0,
+                           num_tokens=512, num_records=32,
+                           overflow_tokens=128, we_prewalk=256,
+                           reentry_records=8, reentry_prewalk=8)
+    else:
+        cfg = SearchConfig(lm_scale=30.0, duration_scale=0.0,
+                           num_tokens=1024, num_records=64,
+                           overflow_tokens=128, we_prewalk=256)
     search = BeamSearch(tree, fsa, model, cfg)
     B, T = 128, 1000
     obs_fn, true_words = synth_obs(model, info, B, T)
@@ -127,13 +141,14 @@ def exact_decode_xrt():
         ref = [f"w{i}" for i in true_words[b]]
         agree += sum(h == r for h, r in zip(res[b].words, ref))
         tot += len(ref)
-    print(f"exact: planted-word check {agree}/{tot}", file=sys.stderr)
+    print(f"exact{tag}: planted-word check {agree}/{tot}",
+          file=sys.stderr)
     dt = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
         res = search.decode_batch(obs, n, lattice=False)
         run = time.perf_counter() - t0
-        print(f"exact run {i}: {run:.3f}s", file=sys.stderr)
+        print(f"exact{tag} run {i}: {run:.3f}s", file=sys.stderr)
         dt = min(dt, run)
     del res
     return (B * T / 125.0) / dt
@@ -282,6 +297,10 @@ def main():
     prod = decode_xrt(num_words=10000, triphone=False, durations=True,
                       order=3, tag="_prod10k")
     exact = exact_decode_xrt()
+    # exact engine at the FULL reference operating point (cross-word
+    # triphones + gamma durations scale 3 + trigram LM) — the
+    # reference-faithful accuracy mode at the reference's own settings
+    exact_xw = exact_decode_xrt(triphone=True, order=3, tag="_xw3")
     e2e = e2e_xrt()
     lat, step_ms = streaming_latency_ms()
     fps = scoring_fps()
@@ -293,6 +312,7 @@ def main():
         "vs_baseline": round(xrt / 100.0, 2),
         "prod10k_trigram_xrt": round(prod, 1),
         "exact_engine_xrt": round(exact, 1),
+        "exact_crossword_trigram_xrt": round(exact_xw, 1),
         "e2e_wav_to_words_xrt": round(e2e, 1),
         "streaming_latency_ms": round(lat, 1),
         "streaming_step_ms": round(step_ms, 2),
