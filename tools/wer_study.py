@@ -116,7 +116,13 @@ def synth_ambig_xw(tmp, model, lex, word_seq, decoys, seed, noise,
 
 
 def decode_battery_xw(tmp, lnas, engine: str, token_limit=4096):
-    """Batched decode at the cross-word + duration operating point."""
+    """Batched decode at the cross-word + duration operating point.
+
+    engine "bench" = the exact engine with bench.py's
+    exact_crossword_trigram_xrt pruning set (W=512, records=32,
+    overflow 128, word-end prewalk 256, re-entry records 8 /
+    prewalk 8) — quantifies what the benched knobs cost vs the
+    wide-open exact engine."""
     from aaltoasr_tpu.decoder.toolbox import Toolbox
     from aaltoasr_tpu.formats.lna import read_lna
 
@@ -124,6 +130,13 @@ def decode_battery_xw(tmp, lnas, engine: str, token_limit=4096):
     t.set_lm_scale(10.0)
     t.set_global_beam(220.0)
     t.set_token_limit(token_limit)
+    if engine == "bench":
+        t.set_token_limit(512)
+        t.config.num_records = 32
+        t.set_overflow_tokens(128)
+        t.set_we_prewalk(256)
+        t.set_reentry_records(8)
+        t.set_reentry_prewalk(8)
     t.set_duration_scale(3.0)
     t.set_transition_scale(1.0)
     t.set_require_sentence_end(True)
@@ -206,6 +219,11 @@ def main() -> int:
                    help="run on the cross-word triphone + duration "
                         "battery task (the headline bench operating "
                         "point) instead of the monophone battery")
+    p.add_argument("--bench-knobs", action="store_true",
+                   help="with --crossword: add an 'exact with "
+                        "bench.py's pruning knobs' engine and report "
+                        "its WER + agreement vs the wide-open exact "
+                        "engine")
     p.add_argument("--no-reference", action="store_true",
                    help="skip the reference C++ driver rows")
     p.add_argument("--cpu", action="store_true",
@@ -319,6 +337,9 @@ def main() -> int:
                 else decode_battery
             hyp = {"exact": dec(tmp, lnas, "exact", args.token_limit),
                    "dense": dec(tmp, lnas, "dense", args.token_limit)}
+            if args.crossword and args.bench_knobs:
+                hyp["bench"] = dec(tmp, lnas, "bench",
+                                   args.token_limit)
             if use_ref:
                 hyp["reference"] = [
                     ref_decode_xw(tmp, l) if args.crossword
@@ -332,6 +353,9 @@ def main() -> int:
             row["dense_vs_exact_wer"] = 100.0 * derr / max(dn, 1)
             row["dense_exact_agree"] = sum(
                 a == b for a, b in zip(hyp["exact"], hyp["dense"]))
+            if "bench" in hyp:
+                row["bench_exact_agree"] = sum(
+                    a == b for a, b in zip(hyp["exact"], hyp["bench"]))
             if use_ref:
                 row["exact_ref_agree"] = sum(
                     a == b for a, b in
@@ -341,10 +365,15 @@ def main() -> int:
                 f"{k}={v:.2f}" if isinstance(v, float) and k != "noise"
                 else f"{k}={v}" for k, v in row.items()), flush=True)
 
+    has_bench = any("bench_exact_agree" in r for r in rows)
     hdr = ["noise", "ambig", "WER exact %", "WER dense %"]
+    if has_bench:
+        hdr.append("WER exact-bench-knobs %")
     if use_ref:
         hdr.append("WER reference %")
     hdr += ["dense-vs-exact WER %", f"dense==exact (of {args.utts})"]
+    if has_bench:
+        hdr.append(f"bench==exact (of {args.utts})")
     if use_ref:
         hdr.append(f"exact==reference (of {args.utts})")
     lines = ["| " + " | ".join(hdr) + " |",
@@ -352,10 +381,14 @@ def main() -> int:
     for r in rows:
         cells = [f"{r['noise']:.2f}", f"{r['ambig']:.2f}",
                  f"{r['wer_exact']:.2f}", f"{r['wer_dense']:.2f}"]
+        if has_bench:
+            cells.append(f"{r['wer_bench']:.2f}")
         if use_ref:
             cells.append(f"{r['wer_reference']:.2f}")
         cells += [f"{r['dense_vs_exact_wer']:.2f}",
                   str(r["dense_exact_agree"])]
+        if has_bench:
+            cells.append(str(r["bench_exact_agree"]))
         if use_ref:
             cells.append(str(r["exact_ref_agree"]))
         lines.append("| " + " | ".join(cells) + " |")
