@@ -639,3 +639,45 @@ class TestOverflowCompaction:
         obs = synth_obs(tree, model, ["a", "b", "b", "a"], seed=3)
         r = b.decode(obs)
         assert len(r.words) >= 1
+
+
+class TestDurationParams:
+    def test_node_params_match_duration_table(self):
+        """The exact engine's packed gamma duration params (gather-free
+        elementwise form) must equal the duration_table lookup for
+        every node and every clipped duration — the two forms share
+        `Hmm.cc:16-39` semantics (incl. invalid-(a,b) rows scoring 0)."""
+        from aaltoasr_tpu.decoder.lexicon import (
+            duration_table, node_duration_params)
+
+        rng = np.random.default_rng(3)
+        S = 12
+        model = model_io.HmmModel(
+            dim=2, cov_type="diagonal_cov",
+            means=rng.normal(0, 1, (S, 2)),
+            covars=np.ones((S, 2)),
+            mixtures=[(np.array([i], np.int32), np.array([1.0]))
+                      for i in range(S)],
+            phones=[model_io.HmmPhone(f"p{i}", [3 * i, 3 * i + 1,
+                                                3 * i + 2])
+                    for i in range(S // 3)],
+            transitions={i: [(0, 0.5), (1, 0.5)] for i in range(S)})
+        dur = np.stack([rng.uniform(0.5, 4.0, S),
+                        rng.uniform(0.5, 4.0, S)], axis=1)
+        dur[2] = (0.0, 1.0)          # invalid rows -> zero bonus
+        dur[5] = (1.5, -1.0)
+        model.durations = dur
+
+        lex = read_lexicon("a p0 p1\nb p2 p3\n")
+        tree = build_prefix_tree(model, lex)
+        scale = 3.0
+        max_dur = 16
+        tab = duration_table(model, max_dur, scale)      # [S, max_dur]
+        dp = node_duration_params(tree, model, scale)
+        ds = np.asarray(tree.dur_state)
+        for d in range(1, max_dur + 1):
+            want = tab[ds, d - 1]
+            got = dp["dur_valid"] * (
+                dp["dur_lncoef"] * np.log(np.float32(d))
+                - d * dp["dur_invb"] + dp["dur_const"])
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
