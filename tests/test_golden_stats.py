@@ -49,9 +49,9 @@ def aku_bins():
     return BUILD
 
 
-def make_corpus(tmp_path, n_utts=3):
+def make_corpus(tmp_path, n_utts=3, model_seed=5):
     rng = np.random.default_rng(7)
-    model = three_state_model(seed=5, D=4)
+    model = three_state_model(seed=model_seed, D=4)
     model_io.write_model(str(tmp_path / "am"), model)
     (tmp_path / "feats.cfg").write_text(CFG)
     ref_lines, our_lines = [], []
