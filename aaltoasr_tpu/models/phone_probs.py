@@ -120,10 +120,45 @@ class PhoneProbs:
 
         return jax.jit(fn)
 
+    @functools.lru_cache(maxsize=None)
+    def _raw_program(self, padded_len: int):
+        """Unnormalized state log-likelihoods (normalization epilogue
+        runs on host, see log_probs)."""
+        feature_fn = self.fg._compiled(padded_len)
+        scorer = self.scorer
+
+        def fn(samples, n_frames, params):
+            feats = feature_fn(samples, n_frames, params)
+            return scorer.state_log_likelihoods(feats)[:, :scorer.num_states]
+
+        return jax.jit(fn)
+
+    @staticmethod
+    def _reference_normalize(ll: np.ndarray) -> np.ndarray:
+        """Bit-faithful reproduction of the reference normalization
+        (`aku/phone_probs.cc:30,225-234`, `aku/HmmSet.cc:476-498`,
+        `aku/util.hh:132-137`): LINEAR per-state likelihoods floored at
+        1e-50 and stored as float32 (so anything below float32
+        subnormal range becomes 0.0f), summed in double, then
+        safe_log(p/Z) with the same 1e-50 floor.  This only differs
+        from plain logsumexp normalization below ~-87 log-prob — far
+        under any pruning beam — but it is what the 4-byte LNA artifact
+        contains, so the serve-chain byte contract follows it."""
+        p32 = np.maximum(np.exp(ll.astype(np.float64)),
+                         1e-50).astype(np.float32)
+        Z = p32.astype(np.float64).sum(axis=1, keepdims=True)
+        Z[Z == 0.0] = 1.0
+        ratio = p32.astype(np.float64) / Z
+        return np.log(np.maximum(ratio, 1e-50)).astype(np.float32)
+
     def log_probs(self, samples: np.ndarray) -> np.ndarray:
         """[S] samples -> [T, num_states] LNA-normalized log-probs."""
         samples = jnp.asarray(samples)
         T = self.fg.num_frames(samples.shape[0])
+        if self.normalize:
+            fn = self._raw_program(int(samples.shape[0]))
+            ll = np.asarray(fn(samples, jnp.int32(T), self.fg.params))[:T]
+            return self._reference_normalize(ll)
         fn = self._program(int(samples.shape[0]), False)
         return np.asarray(fn(samples, jnp.int32(T), self.fg.params))[:T]
 
