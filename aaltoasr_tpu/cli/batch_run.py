@@ -86,6 +86,93 @@ def submit_slurm(args, cmd) -> int:
     return 1
 
 
+EXEC_LINE = """#!/bin/sh
+# Executes the command at the given (0-based) line of a file — the
+# reference's per-process dispatch wrapper (pyrectool/exec-line.sh).
+file="$1"
+line=$(expr $2 + 1)
+eval $(sed -n ${line}p "${file}")
+"""
+
+
+def condor_files(cmd, batch_ids, batches, failed_list, log_dir):
+    """Condor job description + per-process command script implementing
+    the submit-to-condor.sh protocol (`pyrectool/submit-to-condor.sh:
+    30-60`): exec-line.sh wrapper dispatched by $(Process), a shared
+    condor log with per-process out/err files, `queue N`.  The command
+    lines carry the ClusterManager failure protocol (append the batch
+    id to the failed list on nonzero exit)."""
+    lines = []
+    for i in batch_ids:
+        run = " ".join(c.replace("{B}", str(batches))
+                       .replace("{I}", str(i)) for c in cmd)
+        lines.append(f"{run} || echo {i} >> {failed_list}")
+    logfile = os.path.join(log_dir, "condor.log")
+    wrapper = os.path.join(log_dir, "exec_line.sh")
+    script = os.path.join(log_dir, "condor_cmds.sh")
+    desc = (
+        f"executable = {wrapper}\n"
+        f"arguments = {script} $(Process)\n"
+        f"log = {logfile}\n"
+        f"output = {logfile}.out.$(Process)\n"
+        f"error = {logfile}.err.$(Process)\n"
+        f"queue {len(batch_ids)}\n")
+    return desc, "\n".join(lines) + "\n", wrapper, script, logfile
+
+
+def submit_condor(args, cmd) -> int:
+    """Submit via condor_submit and block on condor_wait, rerunning
+    failed batches up to --retries times; SIGINT removes the queued
+    jobs (`submit-to-condor.sh:3-8` interrupt_handler condor_rm)."""
+    os.makedirs(args.log_dir, exist_ok=True)
+    batch_ids = list(range(1, args.batches + 1))
+    for attempt in range(args.retries + 1):
+        desc, cmds, wrapper, script, logfile = condor_files(
+            cmd, batch_ids, args.batches, args.failed_list,
+            args.log_dir)
+        with open(wrapper, "w") as f:
+            f.write(EXEC_LINE)
+        os.chmod(wrapper, 0o755)
+        with open(script, "w") as f:
+            f.write(cmds)
+        desc_path = os.path.join(args.log_dir, "condor_job.desc")
+        with open(desc_path, "w") as f:
+            f.write(desc)
+        if args.dry_run:
+            print(desc)
+            print(f"condor_submit {desc_path} && condor_wait {logfile}")
+            return 0
+        if os.path.exists(args.failed_list):
+            os.remove(args.failed_list)
+        # fresh shared log per round: condor_wait reads it to completion
+        if os.path.exists(logfile):
+            os.remove(logfile)
+        open(logfile, "w").close()
+        try:
+            rc = subprocess.run(["condor_submit", desc_path]).returncode
+            if rc != 0:
+                print(f"condor_submit failed (rc {rc})", file=sys.stderr)
+                return rc
+            rc = subprocess.run(["condor_wait", logfile]).returncode
+            if rc != 0:
+                print(f"condor_wait failed (rc {rc})", file=sys.stderr)
+                return rc
+        except KeyboardInterrupt:
+            subprocess.run(["condor_rm", "-all"])
+            os.remove(desc_path)
+            return 3
+        if not os.path.exists(args.failed_list):
+            return 0
+        failed = sorted({int(x) for x in
+                         open(args.failed_list).read().split()})
+        if attempt < args.retries:
+            print(f"retrying {len(failed)} failed batch(es): {failed}",
+                  file=sys.stderr)
+            batch_ids = failed
+    print(f"batches failed after retries: {failed}", file=sys.stderr)
+    return 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="batch_run")
     p.add_argument("-B", "--batches", type=int, required=True)
@@ -94,10 +181,12 @@ def main(argv=None) -> int:
     p.add_argument("--retries", type=int, default=1,
                    help="failed batch retry count (ClusterManager.pm)")
     p.add_argument("--failed-list", default="failed_batches.lst")
-    p.add_argument("--submit", choices=["local", "slurm"],
+    p.add_argument("--submit", choices=["local", "slurm", "condor"],
                    default="local",
                    help="slurm: emit + sbatch an array script "
-                        "(submit-to-slurm.sh / ClusterManager.pm)")
+                        "(submit-to-slurm.sh / ClusterManager.pm); "
+                        "condor: condor_submit + condor_wait "
+                        "(submit-to-condor.sh)")
     p.add_argument("--sbatch-args", default="",
                    help="extra #SBATCH line; pass with '=' (e.g. "
                         "--sbatch-args='--mem-per-cpu=8G "
@@ -115,6 +204,8 @@ def main(argv=None) -> int:
         raise SystemExit("batch_run: no command given")
     if args.submit == "slurm":
         return submit_slurm(args, cmd)
+    if args.submit == "condor":
+        return submit_condor(args, cmd)
 
     pending = list(range(1, args.batches + 1))
     for attempt in range(args.retries + 1):

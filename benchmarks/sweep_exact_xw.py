@@ -25,6 +25,7 @@ def main():
     p.add_argument("--order", type=int, default=2)
     p.add_argument("--frames", type=int, default=1000)
     p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--words", type=int, default=1000)
     p.add_argument("--configs", type=str, default="")
     args = p.parse_args()
 
@@ -32,7 +33,7 @@ def main():
     from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
 
     np.asarray(jax.numpy.zeros((128, 128)))
-    model, tree, fsa = synth_task(num_words=1000, order=args.order,
+    model, tree, fsa = synth_task(num_words=args.words, order=args.order,
                                   triphone=True, durations=True)
     info = synth_task.last_info
     print(f"tree nodes: {tree.num_nodes}, lm states: {fsa.num_states}, "
