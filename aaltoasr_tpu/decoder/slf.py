@@ -98,8 +98,22 @@ class SlfLattice:
         if sentence_start in lm.word_index:
             start_ctx = (lm.word_index[sentence_start],)
 
+        # the reference appends a synthetic sentence-end arc after the
+        # final node and rescores it with the new LM
+        # (Rescore.cc: "Create a new final node ... add sentence end
+        # arc"), so rescored lattices carry an explicit </s> arc whose
+        # l is the new LM's sentence-end probability
+        vend = len(self.nodes) + len(self.arcs) + 10 ** 6
+        arcs = list(self.arcs)
+        if sentence_end in lm.word_index:
+            arcs.append({"S": self.end, "E": vend, "W": sentence_end,
+                         "a": 0.0, "l": 0.0})
+            end_node = vend
+        else:
+            end_node = self.end
+
         out_arcs_of: dict[int, list] = {}
-        for i, a in enumerate(self.arcs):
+        for i, a in enumerate(arcs):
             out_arcs_of.setdefault(a["S"], []).append(a)
 
         node_map = {}
@@ -119,7 +133,7 @@ class SlfLattice:
         while stack:
             orig, ctx = stack.pop()
             src = get_node(orig, ctx)
-            if orig == self.end:
+            if orig == end_node:
                 final_nodes.append(src)
                 continue
             for a in out_arcs_of.get(orig, []):
@@ -198,6 +212,116 @@ class SlfLattice:
             n = prev
         words.reverse()
         return words, best[self.end][0]
+
+    def nbest(self, k: int) -> list:
+        """Top-k unique word sequences as (words, total) by exact A*
+        over the DAG (priority = partial score + best-to-end estimate,
+        so sequences pop in true total-score order).  The reference
+        extracts n-best from the same word-graph artifact
+        (`decoder/src/doc/word-graphs`, rectool.py n-best mode)."""
+        import collections
+        import heapq
+        out_arcs = collections.defaultdict(list)
+        in_arcs = collections.defaultdict(list)
+        nodes = set([self.start, self.end])
+        for a in self.arcs:
+            out_arcs[a["S"]].append(a)
+            in_arcs[a["E"]].append(a)
+            nodes.update((a["S"], a["E"]))
+
+        def arc_score(a):
+            return a["a"] + self.lm_scale * a["l"] + (
+                self.wdpenalty if a["W"] != "!NULL" else 0.0)
+
+        # backward DP: best score from node to end (A* heuristic)
+        order_out = {n: len(out_arcs[n]) for n in nodes}
+        to_end = {self.end: 0.0}
+        queue = [n for n in nodes if order_out[n] == 0]
+        while queue:
+            n = queue.pop()
+            for a in in_arcs[n]:
+                if n in to_end:
+                    s = to_end[n] + arc_score(a)
+                    if s > to_end.get(a["S"], float("-inf")):
+                        to_end[a["S"]] = s
+                order_out[a["S"]] -= 1
+                if order_out[a["S"]] == 0:
+                    queue.append(a["S"])
+        if self.start not in to_end:
+            return []
+
+        heap = [(-to_end[self.start], 0.0, self.start, ())]
+        results: list = []
+        seen: set = set()
+        pops = 0
+        limit = 200000                       # DAG: safety bound only
+        while heap and len(results) < k and pops < limit:
+            neg_f, g, n, words = heapq.heappop(heap)
+            pops += 1
+            if n == self.end:
+                if words not in seen:
+                    seen.add(words)
+                    results.append((list(words), g))
+                continue
+            for a in out_arcs[n]:
+                if a["E"] not in to_end:
+                    continue
+                g2 = g + arc_score(a)
+                w2 = words if a["W"] == "!NULL" else words + (a["W"],)
+                heapq.heappush(
+                    heap, (-(g2 + to_end[a["E"]]), g2, a["E"], w2))
+        return results
+
+    def oracle_error(self, ref_words: list) -> int:
+        """Minimum word edit distance between any lattice path and
+        ref_words (oracle WER numerator) — quantifies what lattice
+        truncation costs, independent of the 1-best."""
+        import collections
+        R = len(ref_words)
+        out_arcs = collections.defaultdict(list)
+        order_in = collections.defaultdict(int)
+        nodes = set([self.start, self.end])
+        for a in self.arcs:
+            out_arcs[a["S"]].append(a)
+            order_in[a["E"]] += 1
+            nodes.update((a["S"], a["E"]))
+        INF = 10 ** 9
+        dist = {n: [INF] * (R + 1) for n in nodes}
+        dist[self.start] = list(range(R + 1))   # deletions of ref
+        queue = [n for n in nodes if order_in[n] == 0]
+        topo = []
+        while queue:
+            n = queue.pop()
+            topo.append(n)
+            for a in out_arcs[n]:
+                order_in[a["E"]] -= 1
+                if order_in[a["E"]] == 0:
+                    queue.append(a["E"])
+        for n in topo:
+            row = dist[n]
+            # deletions: skip ref words without consuming an arc
+            for j in range(1, R + 1):
+                if row[j - 1] + 1 < row[j]:
+                    row[j] = row[j - 1] + 1
+            for a in out_arcs[n]:
+                tgt = dist[a["E"]]
+                if a["W"] == "!NULL":
+                    for j in range(R + 1):
+                        if row[j] < tgt[j]:
+                            tgt[j] = row[j]
+                else:
+                    for j in range(R + 1):
+                        if row[j] + 1 < tgt[j]:           # insertion
+                            tgt[j] = row[j] + 1
+                        if j < R:
+                            m = row[j] + (a["W"] != ref_words[j])
+                            if m < tgt[j + 1]:
+                                tgt[j + 1] = m            # sub/match
+        row = dist[self.end]
+        for j in range(1, R + 1):
+            if row[j - 1] + 1 < row[j]:
+                row[j] = row[j - 1] + 1
+        return row[R]
 
 
 # ---------------------------------------------------------------------------

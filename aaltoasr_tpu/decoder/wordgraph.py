@@ -56,19 +56,27 @@ class WordGraph:
                 insertion_penalty=config.insertion_penalty)
 
         # collect records reachable backward from every record (all are
-        # potential lattice arcs); node per record end, plus start/end
-        node_of_rec = {}
+        # potential lattice arcs).  Lattice nodes MERGE by
+        # (frame, word): the reference creates one graph node per
+        # (frame, word_id, lex_node_id) and recombines all hypotheses
+        # committing that word there (build_word_graph_aux,
+        # TokenPassSearch.cc word-pair approximation via
+        # use_word_pair_approximation=true in add_arc) — that merge is
+        # what turns the record backpointer TREE into a DAG whose
+        # alternative paths reach the end node.
+        node_of_key = {}
         g.nodes.append(WGNode(0, 0))        # start node at frame 0
 
         def node_for(ptr):
             if ptr < 0:
                 return 0
-            if ptr not in node_of_rec:
-                f = ptr // E
+            f, slot = divmod(ptr, E)
+            key = (f, int(rec_words[f, slot]))
+            if key not in node_of_key:
                 n = WGNode(len(g.nodes), f + 1)
                 g.nodes.append(n)
-                node_of_rec[ptr] = n.index
-            return node_of_rec[ptr]
+                node_of_key[key] = n.index
+            return node_of_key[key]
 
         def rec_at(ptr):
             f, slot = divmod(ptr, E)
@@ -98,6 +106,18 @@ class WordGraph:
                     word = "!NULL"
                 g.arcs.append(WGArc(node_for(prev), node_for(ptr),
                                     word, am, lm))
+
+        # node merging can produce duplicate (S, E, W) arcs from
+        # different hypotheses: keep the best-scoring one, as the
+        # reference's WordGraph::add_arc does under the word-pair
+        # approximation
+        best_arc = {}
+        for a in g.arcs:
+            k = (a.source, a.target, a.word)
+            if (k not in best_arc or a.am + g.lm_scale * a.lm
+                    > best_arc[k].am + g.lm_scale * best_arc[k].lm):
+                best_arc[k] = a
+        g.arcs = list(best_arc.values())
 
         # final arc: residual score from the last word end to the end
         end = WGNode(len(g.nodes), T1 + 1)

@@ -62,12 +62,21 @@ def write_bin(lm: ArpaLM, path, lm_type: str = "backoff") -> None:
             nodes["word"][i] = g[-1]
             nodes["log_prob"][i] = logp / LN10
             nodes["back_off"][i] = bo / LN10
-    # child indices: first child of each parent
+    # child indices: replicate TreeGram::add_gram exactly
+    # (`decoder/src/TreeGram.cc:270-300`): a parent's child_index is
+    # set to its first child, AND after every insertion the NEXT node's
+    # child_index is set to the current end — find_child reads a
+    # node's child range as [child_index, next_node.child_index), so
+    # the node after the last parent-with-children of a level (the
+    # first node of the next level) must carry the range end, not -1
+    # (TreeGram.cc:160-184; a -1 there made every lookup under the
+    # level's last parent back off)
     for o in range(1, order):
         for i, g in enumerate(levels[o]):
             parent = index_of[o - 1][g[:-1]]
             if nodes["child_index"][parent] < 0:
                 nodes["child_index"][parent] = offsets[o] + i
+            nodes["child_index"][parent + 1] = offsets[o] + i + 1
 
     with open(path, "wb") as f:
         f.write(FORMAT_STR)

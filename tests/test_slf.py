@@ -38,7 +38,9 @@ class TestSlf:
         lm = read_arpa(ARPA_TEXT)
         out = lat.rescore(lm)
         words, score = out.best_path()
-        assert words == res.words
+        # rescored lattices carry an explicit sentence-end arc
+        # (Rescore.cc appends one before expansion)
+        assert [w for w in words if w != "</s>"] == res.words
 
     def test_rescore_changes_scores(self):
         res, text = decoded_lattice()
@@ -189,3 +191,60 @@ ngram 1=3
         # identical members -> identical interpolation
         assert w1 == w2
         assert s2 == pytest.approx(s1, abs=1e-4)
+
+
+DIAMOND = """VERSION=1.0
+lmscale=2.0 wdpenalty=0.0
+start=0 end=4
+N=5 L=6
+I=0 t=0
+I=1 t=1
+I=2 t=1
+I=3 t=2
+I=4 t=3
+J=0 S=0 E=1 W=a a=-1.0 l=-0.5
+J=1 S=0 E=2 W=b a=-2.0 l=-0.1
+J=2 S=1 E=3 W=c a=-1.0 l=-0.2
+J=3 S=2 E=3 W=d a=-0.5 l=-0.3
+J=4 S=3 E=4 W=!NULL a=0.0 l=0.0
+J=5 S=1 E=4 W=e a=-3.0 l=-1.0
+"""
+
+
+class TestNbestOracle:
+    def test_nbest_exact_order_and_scores(self):
+        lat = SlfLattice.read(DIAMOND)
+        nb = lat.nbest(5)
+        bp = lat.best_path()
+        assert nb[0][0] == bp[0]
+        assert nb[0][1] == pytest.approx(bp[1])
+        # all three distinct paths, in descending total-score order
+        assert [w for w, _ in nb] == [["b", "d"], ["a", "c"], ["a", "e"]]
+        scores = [s for _, s in nb]
+        assert scores == sorted(scores, reverse=True)
+        assert scores[0] == pytest.approx(-2.0 - 0.5 + 2.0 * (-0.1 - 0.3))
+
+    def test_nbest_dedups_word_sequences(self):
+        # two arcs with the same word between the same nodes
+        text = DIAMOND + "J=6 S=1 E=3 W=c a=-5.0 l=-0.2\n"
+        lat = SlfLattice.read(text)
+        nb = lat.nbest(10)
+        assert [w for w, _ in nb].count(["a", "c"]) == 1
+
+    def test_oracle_error(self):
+        lat = SlfLattice.read(DIAMOND)
+        assert lat.oracle_error(["a", "c"]) == 0
+        assert lat.oracle_error(["b", "d"]) == 0
+        assert lat.oracle_error(["a", "x"]) == 1       # one sub
+        assert lat.oracle_error(["a"]) == 1            # one insertion
+        assert lat.oracle_error(["a", "c", "z"]) == 1  # one deletion
+        assert lat.oracle_error([]) == 2
+        assert lat.oracle_error(["x", "y", "z"]) == 3
+
+    def test_nbest_on_decoded_lattice(self):
+        res, text = decoded_lattice(lm_scale=1.0)
+        lat = SlfLattice.read(text)
+        nb = lat.nbest(5)
+        ours = [w for w in res.words if w not in ("<s>", "</s>")]
+        top = [w for w in nb[0][0] if w not in ("<s>", "</s>", "!NULL")]
+        assert top == ours
