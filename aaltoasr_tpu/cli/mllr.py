@@ -40,6 +40,9 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--out", required=True, help="output .spkc")
     p.add_argument("-M", "--module", default="mllr",
                    help="lin_transform module name for the transform")
+    p.add_argument("-O", "--ophn", action="store_true",
+                   help="use output (alignment) phns: fixed-"
+                        "segmentation accumulation (mllr.cc -O)")
     p.add_argument("--regtree-classes", type=int, default=1,
                    help="number of regression classes (1 = global)")
     p.add_argument("--model-transform", action="store_true",
@@ -98,12 +101,21 @@ def main(argv=None) -> int:
                 pass                    # no prior block for this speaker
         for rinfo in infos:
             samples, _ = read_audio(rinfo.audio_path, fg.sample_rate)
-            labels = [e.label for e in read_phn(rinfo.transcript_path)]
             feats = fg.features(samples)
-            chain = build_chain(model, table, labels)
-            graph = {k: jnp.asarray(v) for k, v in
-                     pad_chain(chain, chain.num_positions).items()}
-            est.accumulate(feats, graph, feats.shape[0])
+            if args.ophn:
+                from aaltoasr_tpu.train.vtln import (
+                    alignment_frame_states)
+                entries = read_phn(rinfo.alignment_path)
+                spf = round(fg.sample_rate / fg.frame_rate)
+                est.accumulate_aligned(
+                    feats, alignment_frame_states(model, entries, spf))
+            else:
+                labels = [e.label
+                          for e in read_phn(rinfo.transcript_path)]
+                chain = build_chain(model, table, labels)
+                graph = {k: jnp.asarray(v) for k, v in
+                         pad_chain(chain, chain.num_positions).items()}
+                est.accumulate(feats, graph, feats.shape[0])
         Ws = est.transforms(min_frames=args.min_frames)
         if args.info > 0:
             print(f"{speaker or '(default)'}: {C} class(es)",

@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--out", required=True, help="output .spkc")
     p.add_argument("-v", "--vtln-module", default="vtln",
                    help="name of the vtln module in the config")
+    p.add_argument("-O", "--ophn", action="store_true",
+                   help="use output (alignment) phns: fixed-"
+                        "segmentation likelihood (vtln.cc -O)")
     p.add_argument("-S", "--speakers", help="prior speaker config")
     p.add_argument("--grid-size", type=int, default=21)
     p.add_argument("--grid-rad", type=float, default=0.1)
@@ -56,9 +59,19 @@ def main(argv=None) -> int:
         utts = []
         for rinfo in infos:
             samples, _ = read_audio(rinfo.audio_path, fg.sample_rate)
-            labels = [e.label for e in read_phn(rinfo.transcript_path)]
-            utts.append((samples, labels))
-        warp, total, warps = est.estimate_speaker(utts)
+            if args.ophn:
+                from aaltoasr_tpu.train.vtln import (
+                    alignment_frame_states)
+                entries = read_phn(rinfo.alignment_path)
+                spf = round(fg.sample_rate / fg.frame_rate)
+                utts.append((samples, alignment_frame_states(
+                    model, entries, spf)))
+            else:
+                labels = [e.label
+                          for e in read_phn(rinfo.transcript_path)]
+                utts.append((samples, labels))
+        warp, total, warps = est.estimate_speaker(utts,
+                                                  aligned=args.ophn)
         if args.info > 0:
             print(f"{speaker or '(default)'}: warp {warp:.3f}",
                   file=sys.stderr)

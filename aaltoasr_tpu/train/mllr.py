@@ -89,6 +89,49 @@ def cmllr_stats(scorer, features, graph, n_frames, gauss_class,
     return {"beta": beta, "k": k, "G": G, "ll": total}
 
 
+def cmllr_stats_aligned(scorer, features, frame_pdfs, gauss_class,
+                        num_classes: int, means, covars):
+    """CMLLR statistics under a FIXED per-frame state segmentation
+    (the reference mllr tool's PhnReader path, `aku/mllr.cc:126-145`:
+    per-frame probability 1 on the aligned pdf, Gaussian-level
+    responsibilities within its mixture —
+    MllrTrainer::collect_data)."""
+    T, D = features.shape
+    gll = scorer.gaussian_log_likelihoods(features)
+    cidx = scorer.comp_idx[frame_pdfs]                # [T, K]
+    clogw = scorer.comp_logw[frame_pdfs]
+    gl = jnp.take_along_axis(gll, cidx, axis=1)
+    # the reference's within-mixture responsibilities use RAW Gaussian
+    # likelihoods, NOT weighted by the mixture coefficients
+    # (MllrTrainer::collect_data: probs[g] = compute_likelihood;
+    # probs[g] = prior*probs[g]/probsum) — padding components carry
+    # clogw = -inf, so mask on that rather than folding it in
+    gl = jnp.where(clogw > -1e30, gl, -jnp.inf)
+    sll = logsumexp(gl, axis=-1)
+    R = jnp.exp(jnp.maximum(gl - sll[:, None], -80.0))   # [T, K]
+
+    prec = jnp.where(covars > 0, 1.0 / covars, 0.0)
+    C = num_classes
+    cls_one_hot = jax.nn.one_hot(gauss_class, C, dtype=jnp.float32)
+    M = (cls_one_hot[:, :, None] * prec[:, None, :]).reshape(-1, C * D)
+    M2 = (cls_one_hot[:, :, None] * (means * prec)[:, None, :]
+          ).reshape(-1, C * D)
+
+    Wt = jnp.einsum("tk,tkm->tm", R, M[cidx], precision=_F32)
+    Vt = jnp.einsum("tk,tkm->tm", R, M2[cidx], precision=_F32)
+    xi = jnp.concatenate(
+        [jnp.ones((T, 1), features.dtype), features], axis=1)
+    k = jnp.einsum("tm,tj->mj", Vt, xi,
+                   precision=_F32).reshape(C, D, D + 1)
+    G = jnp.einsum("tm,ti,tj->mij", Wt, xi, xi,
+                   precision=_F32).reshape(C, D, D + 1, D + 1)
+    occ_g = jax.ops.segment_sum(R.reshape(-1), cidx.reshape(-1),
+                                num_segments=prec.shape[0])
+    beta = jnp.sum(cls_one_hot * occ_g[:, None], axis=0)
+    return {"beta": beta, "k": k, "G": G,
+            "ll": jnp.sum(jnp.maximum(sll, jnp.log(1e-50)))}
+
+
 def solve_cmllr(G: np.ndarray, k: np.ndarray, beta: float,
                 rounds_per_dim: int = 20) -> np.ndarray:
     """Row-iteration CMLLR solve -> W [D, D+1] with column 0 = bias.
@@ -143,9 +186,12 @@ class CmllrEstimator:
             lambda f, g, n: cmllr_stats(
                 self.scorer, f, g, n, self.gauss_class,
                 self.num_classes, self.means, self.covars))
+        self._jit_aligned = jax.jit(
+            lambda f, s: cmllr_stats_aligned(
+                self.scorer, f, s, self.gauss_class,
+                self.num_classes, self.means, self.covars))
 
-    def accumulate(self, features, graph, n_frames) -> None:
-        out = self._jit(jnp.asarray(features), graph, jnp.int32(n_frames))
+    def _merge(self, out) -> None:
         out = {kk: np.asarray(v, dtype=np.float64)
                for kk, v in out.items()}
         if self._acc is None:
@@ -153,6 +199,17 @@ class CmllrEstimator:
         else:
             for kk in ("beta", "k", "G"):
                 self._acc[kk] += out[kk]
+
+    def accumulate(self, features, graph, n_frames) -> None:
+        self._merge(self._jit(jnp.asarray(features), graph,
+                              jnp.int32(n_frames)))
+
+    def accumulate_aligned(self, features, frame_pdfs) -> None:
+        """Fixed-segmentation accumulation (mllr.cc PhnReader path)."""
+        T = min(features.shape[0], len(frame_pdfs))
+        self._merge(self._jit_aligned(
+            jnp.asarray(features[:T]),
+            jnp.asarray(np.asarray(frame_pdfs[:T], np.int32))))
 
     def transforms(self, min_frames: float = 1000.0):
         """Per-class W [D, D+1] (identity where beta < min_frames;

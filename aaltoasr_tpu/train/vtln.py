@@ -83,12 +83,66 @@ class VtlnEstimator:
         return np.asarray(
             self._ll_fn_cache[key](stacked, samples, graph))
 
-    def estimate_speaker(self, utterances, center: float = 1.0):
-        """utterances: list of (samples, labels); returns (best_warp,
-        per-warp total lls, warps)."""
+    def utterance_lls_aligned(self, samples, frame_states,
+                              warps) -> np.ndarray:
+        """Fixed-segmentation likelihood per warp (the reference's -O
+        path: PhnReader over an existing alignment as Segmentator,
+        `vtln.cc:88-117` compute_vtln_log_likelihoods with per-frame
+        probability 1): sum_t max(ln pdf_ll(state_t), ln 1e-50)."""
+        param_list = self._warp_params(warps)
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *param_list)
+        samples = jnp.asarray(samples)
+        S = int(samples.shape[0])
+        T = min(self.fg.num_frames(S), len(frame_states))
+        states = jnp.asarray(
+            np.asarray(frame_states[:T], np.int32))
+        feat_fn = self.fg._compiled(S)
+        scorer = self.scorer
+        floor = float(np.log(1e-50))
+
+        key = ("aligned", S, T)
+        if key not in self._ll_fn_cache:
+            def one(params, samples, states):
+                feats = feat_fn(samples, jnp.int32(T), params)
+                ll = scorer.state_log_likelihoods(feats)[:T]
+                per = jnp.take_along_axis(
+                    ll, states[:, None], axis=1)[:, 0]
+                return jnp.sum(jnp.maximum(per, floor))
+            self._ll_fn_cache[key] = jax.jit(
+                jax.vmap(one, in_axes=(0, None, None)))
+        return np.asarray(
+            self._ll_fn_cache[key](stacked, samples, states))
+
+    def estimate_speaker(self, utterances, center: float = 1.0,
+                         aligned: bool = False):
+        """utterances: list of (samples, labels) — or, with
+        aligned=True, (samples, frame_state_indices) — returns
+        (best_warp, per-warp total lls, warps)."""
         warps = warp_grid(center, self.radius, self.size)
         total = np.zeros(len(warps))
         for samples, labels in utterances:
-            total += self.utterance_lls(samples, labels, warps)
+            if aligned:
+                total += self.utterance_lls_aligned(samples, labels,
+                                                    warps)
+            else:
+                total += self.utterance_lls(samples, labels, warps)
         best = warps[int(np.argmax(total))]
         return float(best), total, warps
+
+
+def alignment_frame_states(model, entries, samples_per_frame=128):
+    """Expand a state-segmented alignment (.phn with 'label.N' lines
+    and sample-number times, the `align` output convention) into a
+    per-frame model-state index array (PhnReader frame mapping:
+    frame = sample / (sample_rate/frame_rate))."""
+    phone_states = {p.label: p.states for p in model.phones}
+    end_frame = int(entries[-1].end) // samples_per_frame
+    out = np.zeros(end_frame, np.int32)
+    for e in entries:
+        s = int(e.start) // samples_per_frame
+        t = int(e.end) // samples_per_frame
+        st = e.state if e.state >= 0 else 0
+        out[s:t] = phone_states[e.label][st]
+    return out
