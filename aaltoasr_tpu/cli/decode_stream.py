@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     p.add_argument("--raw-sample-rate", type=int, default=16000)
     p.add_argument("--partials", action="store_true",
                    help="print partial hypotheses per block")
+    p.add_argument("--partial-every", type=int, default=0, metavar="K",
+                   help="fetch+print a partial hypothesis every K "
+                        "frames (pipelined consumer: pushes stay "
+                        "device-only between fetches)")
     p.add_argument("file", nargs="?",
                    help="raw audio file (default stdin)")
     args = p.parse_args(argv)
@@ -60,8 +64,10 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     from aaltoasr_tpu.ops.logsemiring import logsumexp
 
+    last_partial = 0
+
     def flush_frames(upto: int):
-        nonlocal done_frames
+        nonlocal done_frames, last_partial
         while done_frames < upto:
             hi = min(done_frames + args.block_frames, upto)
             feats = fg.features_range(buf, done_frames, hi)
@@ -70,6 +76,14 @@ def main(argv=None) -> int:
                 t.set_one_frame(stream.frame, row)
             done_frames = hi
             if args.partials:
+                words = stream.result().words
+                print(f"[{done_frames}] {' '.join(words)}",
+                      file=sys.stderr)
+            elif (args.partial_every
+                  and done_frames - last_partial >= args.partial_every):
+                # pipelined consumer: K frames of pure device pushes,
+                # then ONE bulk record fetch for the partial
+                last_partial = done_frames
                 words = stream.result().words
                 print(f"[{done_frames}] {' '.join(words)}",
                       file=sys.stderr)

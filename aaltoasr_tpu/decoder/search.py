@@ -1948,17 +1948,30 @@ class StreamingDecoder:
     one tiny device dispatch; for offline batches use BeamSearch.decode.
     """
 
-    def __init__(self, search: BeamSearch, sentence_start: str = "<s>"):
+    def __init__(self, search: BeamSearch, sentence_start: str = "<s>",
+                 buffer_frames: int = 1024):
         self.search = search
+        # ring capacity before a host spill: partial fetches transfer
+        # the whole buffer (4 bulk arrays), so size it for the partial
+        # cadence, not the stream length -- 1024 frames = 8 s of audio
+        # = 4 x 128 KB per fetch at num_records=32
+        self._buffer_frames = buffer_frames
 
-        def step(tokens, obs_node, i, dev_t, dev_lm):
+        def step(tokens, bufs, widx, obs_node, i, dev_t, dev_lm):
             t = {**search._static_t, **dev_t}
             lms_ = (None if dev_lm is None else
                     [{**st, **dv} for st, dv
                      in zip(search._static_lm, dev_lm)])
-            return search._step(tokens, obs_node, i, t, lms_)
+            tokens, recs = search._step(tokens, obs_node, i, t, lms_)
+            # records land in device-resident ring buffers: a pipelined
+            # consumer's partial fetch is then 4 bulk transfers, not
+            # 4 x frames small ones (each ~fixed-cost on remote links)
+            bufs = tuple(
+                jax.lax.dynamic_update_index_in_dim(b, r, widx, 0)
+                for b, r in zip(bufs, recs))
+            return tokens, bufs
 
-        self._step_jit = jax.jit(step)
+        self._step_jit = jax.jit(step, donate_argnums=(1,))
         self._sentence_start = sentence_start
         self.reset()
 
@@ -1969,10 +1982,10 @@ class StreamingDecoder:
         W = cfg.num_tokens
         R = t["root_tgt"].shape[1]
         self._frame = 0
-        self._rec_words = []
-        self._rec_prevs = []
-        self._rec_ams = []
-        self._rec_lmss = []
+        self._bufs = None
+        self._buf_n = 0
+        self._spill = [[], [], [], []]   # host copies of full buffers
+        self._host_cache = None          # (n_frames, recs) memo
         lm_init = s.lm.initial_state(self._sentence_start)
         node0 = jnp.full((W,), 0, jnp.int32).at[:R].set(
             t["root_tgt"][s._init_pair])
@@ -2003,16 +2016,25 @@ class StreamingDecoder:
                                 s, "_la_init_row", 0), jnp.int32),
                             jnp.zeros((W,), jnp.int32))
         else:
-            self._tokens, recs = self._step_jit(
-                self._tokens, obs_t,
-                jnp.int32(self._frame - 1), s._dev_t, s._dev_lm)
-            # records stay ON DEVICE until result() asks: a per-frame
-            # device->host fetch costs a fixed ~100 ms through the
-            # tunneled transport and is pure latency
-            self._rec_words.append(recs[0])
-            self._rec_prevs.append(recs[1])
-            self._rec_ams.append(recs[2])
-            self._rec_lmss.append(recs[3])
+            E = s.config.num_records
+            B = self._buffer_frames
+            if self._bufs is None:
+                self._bufs = (jnp.zeros((B, E), jnp.int32),
+                              jnp.zeros((B, E), jnp.int32),
+                              jnp.zeros((B, E), jnp.float32),
+                              jnp.zeros((B, E), jnp.float32))
+            elif self._buf_n == B:      # spill the full buffer to host
+                for lst, b in zip(self._spill, self._bufs):
+                    lst.append(np.asarray(b))
+                self._bufs = (jnp.zeros((B, E), jnp.int32),
+                              jnp.zeros((B, E), jnp.int32),
+                              jnp.zeros((B, E), jnp.float32),
+                              jnp.zeros((B, E), jnp.float32))
+                self._buf_n = 0
+            self._tokens, self._bufs = self._step_jit(
+                self._tokens, self._bufs, jnp.int32(self._buf_n),
+                obs_t, jnp.int32(self._frame - 1), s._dev_t, s._dev_lm)
+            self._buf_n += 1
         self._frame += 1
 
     @property
@@ -2024,11 +2046,18 @@ class StreamingDecoder:
         if self._tokens is None:
             raise RuntimeError("no frames pushed")
         E = self.search.config.num_records
-        if self._rec_words:
-            recs = tuple(
-                np.stack([np.asarray(x) for x in rs])
-                for rs in (self._rec_words, self._rec_prevs,
-                           self._rec_ams, self._rec_lmss))
+        n = self._frame - 1          # record rows written so far
+        if n > 0:
+            if (self._host_cache is not None
+                    and self._host_cache[0] == n):
+                recs = self._host_cache[1]
+            else:
+                tails = [np.asarray(b)[:self._buf_n]
+                         for b in self._bufs]
+                recs = tuple(
+                    np.concatenate(sp + [tail]) if sp else tail
+                    for sp, tail in zip(self._spill, tails))
+                self._host_cache = (n, recs)
         else:
             recs = (np.full((1, E), -1, np.int32),
                     np.full((1, E), -1, np.int32),

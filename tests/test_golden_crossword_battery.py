@@ -61,9 +61,15 @@ def make_battery(tmp_path, num_words=30, seed=11):
     # breaking.
     words = {}
     seen = set()
+    # length-3 codes top out at 4^3 = 64; the 1k-word ambiguity sweep
+    # uses length-5 (4^5 = 1024 uniquely decodable codes)
+    pron_len = 3 if num_words <= 60 else 5
+    if num_words > len(PHONES) ** pron_len - 8:
+        raise ValueError(f"num_words {num_words} exceeds the "
+                         f"length-{pron_len} code space")
     while len(words) < num_words:
         pron = tuple(PHONES[int(rng.integers(len(PHONES)))]
-                     for _ in range(3))
+                     for _ in range(pron_len))
         if pron in seen:
             continue
         seen.add(pron)

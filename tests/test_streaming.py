@@ -113,3 +113,37 @@ module
         out = capsys.readouterr()
         assert out.out.endswith("\n")      # final hypothesis line
         assert "[" in out.err              # partial updates printed
+
+        # the pipelined consumer: partials fetched every K frames,
+        # pushes stay device-only in between
+        rc = main(["-b", str(tmp_path / "m"), "-c", str(cfg),
+                   "-l", str(tmp_path / "w.lex"),
+                   "-n", str(tmp_path / "lm.arpa"),
+                   "--lm-scale", "1.0", "--partial-every", "16",
+                   str(raw)])
+        assert rc == 0
+        out2 = capsys.readouterr()
+        assert out2.out.strip() == out.out.strip()   # same final 1-best
+        assert "[" in out2.err
+
+
+class TestStreamingSpill:
+    def test_buffer_spill_matches_offline(self):
+        """Device record buffers spill to host when full; the result
+        across several spills equals offline decoding."""
+        model, tree, fsa = make_decode_task()
+        obs = synth_obs(tree, model, ["_", "a", "b", "b", "a", "_"])
+        bs = BeamSearch(tree, fsa, model,
+                        SearchConfig(num_tokens=128, num_records=16,
+                                     beam=1e9, lm_scale=1.0))
+        off = bs.decode(obs)
+        sd = StreamingDecoder(bs, buffer_frames=5)
+        mid = []
+        for t in range(obs.shape[0]):
+            sd.push_frame(obs[t])
+            if t % 7 == 6:                     # partials mid-spill
+                mid.append(sd.result().words)
+        on = sd.result()
+        assert on.words == off.words
+        assert on.log_prob == pytest.approx(off.log_prob, rel=1e-5)
+        assert mid[-1] is not None

@@ -285,8 +285,8 @@ def main() -> int:
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
         if args.crossword:
-            model, lexd = make_xw_battery(tmp,
-                                          num_words=min(args.words, 60))
+            model, lexd = make_xw_battery(
+                tmp, num_words=min(args.words, 1000))
             lex = dict(sorted(lexd.items()))
         else:
             model, lex, wi = make_battery_task(tmp,
