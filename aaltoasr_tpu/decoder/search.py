@@ -521,6 +521,12 @@ class BeamSearch:
         self.tree = tree
         self.lm = lm
         self.config = config
+        R_ = tree.root_pair_tgt.shape[1]
+        if config.num_tokens < R_:
+            raise ValueError(
+                f"num_tokens ({config.num_tokens}) must be >= the "
+                f"tree's root re-entry row count ({R_}): the initial "
+                f"root-pair expansion seeds one token per row")
         if word_classes is not None:
             word_classes.apply_to_tree(tree, lm)
         lm_names = (word_classes.lm_word_names(tree.vocab)

@@ -61,6 +61,7 @@ def main():
         variants = [json.loads(s) for s in args.configs.split(";")]
 
     for var in variants:
+      try:
         cfg = SearchConfig(**{**base, **var})
         search = BeamSearch(tree, fsa, model, cfg)
         res = search.decode_batch(obs, n, lattice=False)
@@ -77,6 +78,8 @@ def main():
         xrt = (B * T / 125.0) / dt
         print(f"{var} -> {xrt:.1f}x RT ({dt:.3f}s), "
               f"agree {agree}/{tot}", flush=True)
+      except Exception as e:                     # noqa: BLE001
+        print(f"{var} -> FAILED: {e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,23 @@ from test_golden_stats import aku_bins  # noqa: E402,F401
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
+
+@pytest.fixture(scope="session")
+def adapt_bins(aku_bins):
+    """vtln/mllr are outside build_aku.sh's default tool list: build
+    them on demand into the same build/aku."""
+    missing = [t for t in ("vtln", "mllr")
+               if not os.path.exists(os.path.join(aku_bins, t))]
+    if missing:
+        try:
+            subprocess.run(
+                [os.path.join(REPO, "tools", "build_aku.sh")] + missing,
+                check=True, capture_output=True, timeout=600)
+        except (subprocess.CalledProcessError,
+                subprocess.TimeoutExpired) as e:
+            pytest.skip(f"aku vtln/mllr build failed: {e}")
+    return aku_bins
+
 VTLN_CFG = """\
 module
 {
@@ -174,12 +191,12 @@ def parse_savesum(path):
 
 
 class TestGoldenVtln:
-    def test_warp_factor_and_ll_curve_parity(self, aku_bins, tmp_path):
+    def test_warp_factor_and_ll_curve_parity(self, adapt_bins, tmp_path):
         make_adapt_corpus(tmp_path, VTLN_CFG, "vtln.cfg")
-        align(aku_bins, tmp_path, "vtln.cfg")
+        align(adapt_bins, tmp_path, "vtln.cfg")
 
         subprocess.run(
-            [os.path.join(aku_bins, "vtln"), "-b", "am",
+            [os.path.join(adapt_bins, "vtln"), "-b", "am",
              "-c", "vtln.cfg", "-r", "recipe", "-O", "-v", "vtln",
              "-S", "in.spkc", "-o", "ref.spkc", "-s", "refsum.txt",
              "--grid-size", "11", "--grid-rad", "0.1"],
@@ -244,12 +261,12 @@ class TestGoldenVtln:
 
 
 class TestGoldenMllr:
-    def test_cmllr_transform_parity(self, aku_bins, tmp_path):
+    def test_cmllr_transform_parity(self, adapt_bins, tmp_path):
         make_adapt_corpus(tmp_path, MLLR_CFG, "mllr.cfg")
-        align(aku_bins, tmp_path, "mllr.cfg")
+        align(adapt_bins, tmp_path, "mllr.cfg")
 
         subprocess.run(
-            [os.path.join(aku_bins, "mllr"), "-b", "am",
+            [os.path.join(adapt_bins, "mllr"), "-b", "am",
              "-c", "mllr.cfg", "-r", "recipe", "-O", "-M", "mllr",
              "-S", "in_mllr.spkc", "-o", "refm.spkc", "-f", "10"],
             cwd=tmp_path, check=True, capture_output=True, timeout=600)
