@@ -19,8 +19,13 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
 
 
-def scoring_fps():
-    """MFCC+GMM scoring throughput (frames/sec/chip)."""
+def scoring_fps(fused=False):
+    """MFCC+GMM scoring throughput (frames/sec/chip).
+
+    fused=True scores with the Pallas state-likelihood kernel
+    (ops/gmm_pallas.py, the TPU serving fast path: no [T,Gp]->[T,Sp,K]
+    gather; measured max |delta| ~2e-4, below the 2-byte LNA
+    quantization step — see the DESIGN.md scoring roofline note)."""
     from __graft_entry__ import _MFCC_CFG, _random_model
     from aaltoasr_tpu.formats.feaconf import FeatureConfig
     from aaltoasr_tpu.frontend.generator import FeatureGenerator
@@ -30,6 +35,9 @@ def scoring_fps():
     # realistic LVCSR operating point: 10k Gaussians, 2.5k tied states
     model = _random_model(G=10000, S=2500, D=39, K=8)
     scorer = GmmScorer.from_model(model)
+    if fused:
+        from aaltoasr_tpu.ops.gmm_pallas import FusedGmmScorer
+        scorer = FusedGmmScorer.from_scorer(scorer)
 
     B, S_LEN = 32, 16000 * 10          # 32 x 10 s utterances
     rng = np.random.default_rng(0)
@@ -320,6 +328,7 @@ def main():
     e2e = e2e_xrt()
     lat, step_ms, pipe_ms = streaming_latency_ms()
     fps = scoring_fps()
+    fps_fused = scoring_fps(fused=True)
     efps = estep_fps()
     print(json.dumps({
         "metric": "dense_decode_realtime_factor",
@@ -334,7 +343,9 @@ def main():
         "streaming_step_ms": round(step_ms, 2),
         "streaming_pipelined_ms_per_frame": round(pipe_ms, 2),
         "scoring_frames_per_sec": round(fps, 1),
+        "scoring_fused_frames_per_sec": round(fps_fused, 1),
         "scoring_xrt": round(fps / 125.0, 1),
+        "scoring_fused_xrt": round(fps_fused / 125.0, 1),
         "estep_frames_per_sec": round(efps, 1),
         "estep_xrt": round(efps / 125.0, 1),
     }))
