@@ -118,14 +118,19 @@ class FusedGmmScorer:
                    we=jnp.asarray(we))
 
     def state_log_likelihoods(self, features: jax.Array,
-                              interpret: bool = False) -> jax.Array:
+                              interpret: bool | None = None) -> jax.Array:
         """[T, D] -> [T, Spp] tied-state log-likelihoods (same math as
-        `GmmScorer.state_log_likelihoods` up to reduction order)."""
+        `GmmScorer.state_log_likelihoods` up to reduction order).
+
+        interpret=None auto-selects the Pallas interpreter on non-TPU
+        backends so the fused path stays runnable (slowly) on CPU."""
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
         return _fused_state_ll(features, self.we, self.dim,
                                interpret=interpret)
 
     def lna_log_probs(self, features: jax.Array,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool | None = None) -> jax.Array:
         """[T, D] -> [T, S] LNA-normalized log-probs
         (`aku/PhoneProbsToolbox.cc:93-105` semantics)."""
         from aaltoasr_tpu.ops.logsemiring import logsumexp

@@ -110,7 +110,7 @@ def decode_xrt(num_words=1000, triphone=True, durations=True, order=3,
     return (B * T / 125.0) / dt
 
 
-def exact_decode_xrt(triphone=False, order=2, tag=""):
+def exact_decode_xrt(triphone=False, order=2, num_words=1000, tag=""):
     """Exact token-passing engine (the reference-faithful accuracy
     mode: multi-hypothesis (node, lm-state) recombination per
     `TokenPassSearch.cc:695-1400`) real-time factor, with the
@@ -118,14 +118,25 @@ def exact_decode_xrt(triphone=False, order=2, tag=""):
     compaction, best-first re-entry slice (+ per-record re-entry
     prewalk on cross-word trees).  triphone=True measures the FULL
     reference operating point: cross-word tied-triphone tree + gamma
-    durations at scale 3 (+ trigram with order=3)."""
+    durations at scale 3 (+ trigram with order=3); num_words=10000
+    is the production-vocabulary point (~287k tree nodes, ~110k LM
+    states — the scale of `recognize-batch.sh`'s rectool runs)."""
     from bench_decode import synth_task, synth_obs
     from aaltoasr_tpu.decoder.search import BeamSearch, SearchConfig
 
-    model, tree, fsa = synth_task(num_words=1000, order=order,
+    model, tree, fsa = synth_task(num_words=num_words, order=order,
                                   triphone=triphone, durations=triphone)
     info = synth_task.last_info
-    if triphone:
+    if triphone and num_words >= 10000:
+        # 10k-word knob probe (fresh-process sweep_exact_xw runs,
+        # 2026-08-19): W=1024/records=32/we_prewalk=256/reentry 8+8 is
+        # the measured operating point (planted-word agreement 37/37);
+        # W=2048+ and prewalk 1024 exhaust HBM at 287k nodes
+        cfg = SearchConfig(lm_scale=30.0, duration_scale=3.0,
+                           num_tokens=1024, num_records=32,
+                           overflow_tokens=128, we_prewalk=256,
+                           reentry_records=8, reentry_prewalk=8)
+    elif triphone:
         # knob sweep (benchmarks/sweep_exact_xw.py): planted-word
         # agreement is 69-70/70 from W=1024 down to W=512 and
         # we_prewalk 128; W=512/prewalk=256 is the conservative point
@@ -181,7 +192,11 @@ def e2e_xrt():
     # tree + gamma durations (scale 3) + trigram LM
     model, tree, fsa = synth_task(num_words=1000, order=3,
                                   triphone=True, durations=True)
-    scorer = GmmScorer.from_model(model)
+    # serving fast path: fused gather-free state scoring
+    # (ops/gmm_pallas.py; delta vs the byte-exact path is below the
+    # LNA quantization step)
+    from aaltoasr_tpu.ops.gmm_pallas import FusedGmmScorer
+    scorer = FusedGmmScorer.from_scorer(GmmScorer.from_model(model))
     fg = FeatureGenerator(FeatureConfig.parse(_MFCC_CFG))
     B, SECONDS = 128, 8
     S_LEN = 16000 * SECONDS
@@ -325,6 +340,16 @@ def main():
     # triphones + gamma durations scale 3 + trigram LM) — the
     # reference-faithful accuracy mode at the reference's own settings
     exact_xw = exact_decode_xrt(triphone=True, order=3, tag="_xw3")
+    # exact engine at PRODUCTION scale: 10k words, cross-word
+    # triphones, trigram, durations on (round-3 VERDICT ask #3).
+    # Drop the earlier rows' executables + device tables first: the
+    # 287k-node task needs the HBM they pin (the 10k knob sweep OOMed
+    # only when sharing a process with prior compilations).
+    import gc
+    gc.collect()
+    jax.clear_caches()
+    exact_prod = exact_decode_xrt(triphone=True, order=3,
+                                  num_words=10000, tag="_prod10k")
     e2e = e2e_xrt()
     lat, step_ms, pipe_ms = streaming_latency_ms()
     fps = scoring_fps()
@@ -338,6 +363,7 @@ def main():
         "prod10k_trigram_xrt": round(prod, 1),
         "exact_engine_xrt": round(exact, 1),
         "exact_crossword_trigram_xrt": round(exact_xw, 1),
+        "exact_prod10k_xrt": round(exact_prod, 1),
         "e2e_wav_to_words_xrt": round(e2e, 1),
         "streaming_latency_ms": round(lat, 1),
         "streaming_step_ms": round(step_ms, 2),

@@ -61,6 +61,50 @@ class TestFusedGmm:
         assert out.shape[1] >= 5
         assert (out[:, 5:] < -1e29).all()
 
+    def test_phone_probs_fused_lna_matches(self, tmp_path):
+        """WAV -> 2-byte LNA with fused vs baseline scoring: quantized
+        codes may differ by at most 1 step (reduction-order delta is
+        below the 1/1820 quantization resolution)."""
+        import wave
+        from aaltoasr_tpu.models.phone_probs import PhoneProbs
+        from aaltoasr_tpu.formats.lna import read_lna
+        from aaltoasr_tpu.formats.feaconf import FeatureConfig
+        from tests.test_gmm import random_model
+        from tests.test_frontend import cfg_mfcc_full, make_audio
+
+        model = random_model(G=24, S=9, D=39, seed=8)
+        audio = make_audio(4000)
+        wav = tmp_path / "u.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(audio.astype("<i2").tobytes())
+        cfg = FeatureConfig.parse(cfg_mfcc_full())
+        base = PhoneProbs(model, cfg, lna_bytes=2)
+        fused = PhoneProbs(model, cfg, lna_bytes=2, fused=True)
+        base.generate_to_file(str(wav), str(tmp_path / "b.lna"))
+        fused.generate_to_file(str(wav), str(tmp_path / "f.lna"))
+        lb, _ = read_lna(str(tmp_path / "b.lna"))
+        lf, _ = read_lna(str(tmp_path / "f.lna"))
+        assert lb.shape == lf.shape
+        # compare in code units (1/1820 per code)
+        np.testing.assert_allclose(lf, lb, atol=1.01 / 1820.0)
+
+    def test_phone_probs_fused_rejects_clustering(self, tmp_path):
+        from aaltoasr_tpu.models.phone_probs import PhoneProbs
+        from aaltoasr_tpu.formats.feaconf import FeatureConfig
+        from tests.test_gmm import random_model
+        from tests.test_frontend import cfg_mfcc_full
+        model = random_model(G=24, S=9, D=39, seed=8)
+        pp = PhoneProbs(model, FeatureConfig.parse(cfg_mfcc_full()),
+                        fused=True)
+        gcl = tmp_path / "c.gcl"
+        gcl.write_text("2\n" + "".join(
+            f"{g} {g % 2}\n" for g in range(24)))
+        with pytest.raises(ValueError):
+            pp.read_clustering(str(gcl))
+
     def test_rejects_unsupported_models(self):
         model = _model()
         sc = GmmScorer.from_model(model)
