@@ -78,24 +78,24 @@ def mfcc_core(frames, dft_basis, mel_w, dct_m, magnitude=True,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE, W), lambda i: (i, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec(dft_basis.shape, lambda i: (0, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec(mel_w.shape, lambda i: (0, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec(dct_m.shape, lambda i: (0, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((TILE, C), lambda i: (i, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i: (i, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
         ),
         out_shape=(

@@ -155,7 +155,7 @@ def _fused_state_ll(features, we, dim, interpret=False):
                       (0, Dq - xq.shape[1])))
     Tp = xq.shape[0]
     grid = (Tp // TILE_T, Spp // TILE_S)
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         functools.partial(_kernel, K=K),
         grid=grid,
