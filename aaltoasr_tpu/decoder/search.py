@@ -1724,12 +1724,12 @@ class BeamSearch:
             fn = self._get_fast_jit(("single",))
             out = fn(obs, jnp.int32(n_frames), jnp.asarray(lm_init),
                      self._dev_t, self._dev_lm)
-            return self._result_words(np.asarray(out[0]),
-                                      np.asarray(out[1]),
-                                      int(np.asarray(out[2])))
+            a0, a1, a2 = jax.device_get(out[:3])
+            return self._result_words(a0, a1, int(a2))
         tokens, recs = self._decode_jit(
             obs, jnp.int32(n_frames), jnp.asarray(lm_init),
             self._dev_t, self._dev_lm)
+        tokens, recs = jax.device_get((tokens, recs))
         return self._result(tokens, recs)
 
     def _get_fast_jit(self, key):
@@ -1764,9 +1764,9 @@ class BeamSearch:
             out = fn(jnp.asarray(obs, jnp.float32),
                      jnp.asarray(n_frames, jnp.int32),
                      jnp.asarray(lm_init), self._dev_t, self._dev_lm)
-            finals = np.asarray(out[0])
-            words = np.asarray(out[1])
-            nws = np.asarray(out[2])
+            # one batched round trip (per-array np.asarray costs one
+            # ~fixed-price relay round trip each)
+            finals, words, nws = jax.device_get(out[:3])
             return [self._result_words(finals[b], words[b], int(nws[b]))
                     for b in range(obs.shape[0])]
         if not hasattr(self, "_batch_jit"):
@@ -1776,10 +1776,10 @@ class BeamSearch:
             jnp.asarray(obs, jnp.float32),
             jnp.asarray(n_frames, jnp.int32), jnp.asarray(lm_init),
             self._dev_t, self._dev_lm)
-        # ONE device->host fetch per array (per-utterance slicing
-        # would issue B separate transfers — dominant on remote links)
-        tokens_h = tuple(np.asarray(x) for x in tokens)
-        recs_h = tuple(np.asarray(r) for r in recs)
+        # ONE batched device->host round trip for ALL arrays
+        # (per-array or per-utterance fetches each pay the relay's
+        # fixed round-trip price — dominant on remote links)
+        tokens_h, recs_h = jax.device_get((tokens, recs))
         out = []
         for b in range(obs.shape[0]):
             st = tuple(x[b] for x in tokens_h)
@@ -1955,29 +1955,44 @@ class StreamingDecoder:
     """
 
     def __init__(self, search: BeamSearch, sentence_start: str = "<s>",
-                 buffer_frames: int = 1024):
+                 buffer_frames: int = 256):
         self.search = search
-        # ring capacity before a host spill: partial fetches transfer
-        # the whole buffer (4 bulk arrays), so size it for the partial
-        # cadence, not the stream length -- 1024 frames = 8 s of audio
-        # = 4 x 128 KB per fetch at num_records=32
+        # flush cadence: each push leaves its record row as a small
+        # per-frame device array (the step stays ONE minimal dispatch —
+        # measured 2-3x cheaper than carrying device ring buffers
+        # through the jit boundary on the relay-mediated runtime); once
+        # `buffer_frames` rows are pending they are stacked ON DEVICE
+        # (one concatenate dispatch) and moved to host in 4 bulk
+        # transfers.  result() flushes the same way, so a pipelined
+        # consumer pays 4 bulk transfers per partial, never
+        # 4 x frames small ones (each ~fixed-cost on remote links).
         self._buffer_frames = buffer_frames
 
-        def step(tokens, bufs, widx, obs_node, i, dev_t, dev_lm):
+        def step(tokens, obs_node, i, dev_t, dev_lm):
             t = {**search._static_t, **dev_t}
             lms_ = (None if dev_lm is None else
                     [{**st, **dv} for st, dv
                      in zip(search._static_lm, dev_lm)])
-            tokens, recs = search._step(tokens, obs_node, i, t, lms_)
-            # records land in device-resident ring buffers: a pipelined
-            # consumer's partial fetch is then 4 bulk transfers, not
-            # 4 x frames small ones (each ~fixed-cost on remote links)
-            bufs = tuple(
-                jax.lax.dynamic_update_index_in_dim(b, r, widx, 0)
-                for b, r in zip(bufs, recs))
-            return tokens, bufs
+            return search._step(tokens, obs_node, i, t, lms_)
 
-        self._step_jit = jax.jit(step, donate_argnums=(1,))
+        self._step_jit = jax.jit(step)
+        self._stack_jit = None
+
+        # device-side packing: every host fetch through the tunneled
+        # transport pays a large fixed cost, so result() fetches ONE
+        # int32 and ONE float32 matrix instead of 7-9 token arrays
+        def pack_tokens(tokens):
+            ints, flts = [], []
+            for x in tokens:
+                x2 = x[:, None] if x.ndim == 1 else x
+                if jnp.issubdtype(x2.dtype, jnp.floating):
+                    flts.append(x2.astype(jnp.float32))
+                else:
+                    ints.append(x2.astype(jnp.int32))
+            return (jnp.concatenate(ints, axis=1),
+                    jnp.concatenate(flts, axis=1))
+
+        self._pack_jit = jax.jit(pack_tokens)
         self._sentence_start = sentence_start
         self.reset()
 
@@ -1988,10 +2003,9 @@ class StreamingDecoder:
         W = cfg.num_tokens
         R = t["root_tgt"].shape[1]
         self._frame = 0
-        self._bufs = None
-        self._buf_n = 0
-        self._spill = [[], [], [], []]   # host copies of full buffers
-        self._host_cache = None          # (n_frames, recs) memo
+        self._pending = [[], [], [], []]  # per-frame [E] device arrays
+        self._spill = [[], [], [], []]    # host [n, E] flushed chunks
+        self._host_cache = None           # (n_frames, recs) memo
         lm_init = s.lm.initial_state(self._sentence_start)
         node0 = jnp.full((W,), 0, jnp.int32).at[:R].set(
             t["root_tgt"][s._init_pair])
@@ -2022,26 +2036,58 @@ class StreamingDecoder:
                                 s, "_la_init_row", 0), jnp.int32),
                             jnp.zeros((W,), jnp.int32))
         else:
-            E = s.config.num_records
-            B = self._buffer_frames
-            if self._bufs is None:
-                self._bufs = (jnp.zeros((B, E), jnp.int32),
-                              jnp.zeros((B, E), jnp.int32),
-                              jnp.zeros((B, E), jnp.float32),
-                              jnp.zeros((B, E), jnp.float32))
-            elif self._buf_n == B:      # spill the full buffer to host
-                for lst, b in zip(self._spill, self._bufs):
-                    lst.append(np.asarray(b))
-                self._bufs = (jnp.zeros((B, E), jnp.int32),
-                              jnp.zeros((B, E), jnp.int32),
-                              jnp.zeros((B, E), jnp.float32),
-                              jnp.zeros((B, E), jnp.float32))
-                self._buf_n = 0
-            self._tokens, self._bufs = self._step_jit(
-                self._tokens, self._bufs, jnp.int32(self._buf_n),
-                obs_t, jnp.int32(self._frame - 1), s._dev_t, s._dev_lm)
-            self._buf_n += 1
+            self._tokens, recs = self._step_jit(
+                self._tokens, obs_t, jnp.int32(self._frame - 1),
+                s._dev_t, s._dev_lm)
+            for lst, r in zip(self._pending, recs):
+                lst.append(r)
+            if len(self._pending[0]) >= self._buffer_frames:
+                self._flush()
         self._frame += 1
+
+    def _stack_pending(self):
+        """Launch the jitted device-side stack of the pending record
+        rows (a single dispatch — eager jnp.stack would cost one
+        dispatch per row on the relay-mediated runtime).  The stack is
+        compiled once at a fixed length (`buffer_frames`); short tails
+        are padded with their last row and sliced after the fetch.
+        Returns the (int32 pack, float32 pack) DEVICE pair, or None."""
+        n = len(self._pending[0])
+        if n == 0:
+            return None
+        if self._stack_jit is None:
+            # one dispatch: words+prevs packed into one int32 matrix,
+            # ams+lmss into one float32 matrix
+            self._stack_jit = jax.jit(lambda ws, ps, ams, ls: (
+                jnp.concatenate([jnp.stack(ws), jnp.stack(ps)], axis=1),
+                jnp.concatenate([jnp.stack(ams), jnp.stack(ls)],
+                                axis=1)))
+        B = self._buffer_frames
+        ws, ps, ams, ls = (lst + [lst[-1]] * (B - n)
+                           for lst in self._pending)
+        return self._stack_jit(ws, ps, ams, ls)
+
+    def _spill_packed(self, packed, n) -> None:
+        """Append a fetched (int32, float32) record pack to the host
+        spill lists and drop the pending device rows."""
+        ih, fh = packed
+        ih = ih[:n]
+        fh = fh[:n]
+        E = ih.shape[1] // 2
+        for sp, chunk in zip(self._spill, (ih[:, :E], ih[:, E:],
+                                           fh[:, :E], fh[:, E:])):
+            sp.append(np.ascontiguousarray(chunk))
+        self._pending = [[], [], [], []]
+
+    def _flush(self) -> None:
+        """Move pending record rows to host: one stack dispatch + ONE
+        batched transfer (`jax.device_get` fetches a whole pytree in a
+        single round trip; per-array np.asarray costs one ~fixed-price
+        round trip each on the tunneled transport)."""
+        n = len(self._pending[0])
+        packed = self._stack_pending()
+        if packed is not None:
+            self._spill_packed(jax.device_get(packed), n)
 
     @property
     def frame(self) -> int:
@@ -2053,21 +2099,50 @@ class StreamingDecoder:
             raise RuntimeError("no frames pushed")
         E = self.search.config.num_records
         n = self._frame - 1          # record rows written so far
+        # ONE batched round trip for everything the finalize needs:
+        # the packed token state + the packed pending record rows
+        npend = len(self._pending[0])
+        fetch = {"tok": self._pack_jit(self._tokens)}
+        packed = self._stack_pending()
+        if packed is not None:
+            fetch["rec"] = packed
+        host = jax.device_get(fetch)
+        if packed is not None:
+            self._spill_packed(host["rec"], npend)
         if n > 0:
             if (self._host_cache is not None
                     and self._host_cache[0] == n):
                 recs = self._host_cache[1]
             else:
-                tails = [np.asarray(b)[:self._buf_n]
-                         for b in self._bufs]
                 recs = tuple(
-                    np.concatenate(sp + [tail]) if sp else tail
-                    for sp, tail in zip(self._spill, tails))
+                    sp[0] if len(sp) == 1 else np.concatenate(sp)
+                    for sp in self._spill)
+                self._spill = [[r] for r in recs]  # keep chunks merged
                 self._host_cache = (n, recs)
         else:
             recs = (np.full((1, E), -1, np.int32),
                     np.full((1, E), -1, np.int32),
                     np.zeros((1, E), np.float32),
                     np.zeros((1, E), np.float32))
-        tokens = tuple(np.asarray(x) for x in self._tokens)
+        tokens = self._unpack_tokens(*host["tok"])
         return self.search._result(tokens, recs)
+
+    def _fetch_tokens(self):
+        """Fetch the token arrays as host numpy via the packed
+        two-matrix transfer (one batched round trip)."""
+        return self._unpack_tokens(
+            *jax.device_get(self._pack_jit(self._tokens)))
+
+    def _unpack_tokens(self, ih, fh):
+        out, ii, fi = [], 0, 0
+        for x in self._tokens:
+            cols = 1 if x.ndim == 1 else x.shape[1]
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                arr = fh[:, fi:fi + cols].astype(np.float32)
+                fi += cols
+            else:
+                arr = ih[:, ii:ii + cols].astype(
+                    np.asarray(jnp.zeros((), x.dtype)).dtype)
+                ii += cols
+            out.append(arr[:, 0] if x.ndim == 1 else arr)
+        return tuple(out)

@@ -788,11 +788,9 @@ class DenseBeamSearch:
         out = fn(obs, jnp.int32(n_frames), jnp.asarray(lm_init),
                  self._dev_t, self._dev_lm)
         if lattice:
-            return self._result(np.asarray(out[0]), np.asarray(out[1]),
-                                np.asarray(out[2]))
-        return self._result_words(np.asarray(out[0]),
-                                  np.asarray(out[1]),
-                                  int(np.asarray(out[2])))
+            return self._result(*jax.device_get(out[:3]))
+        a0, a1, a2 = jax.device_get(out[:3])
+        return self._result_words(a0, a1, int(a2))
 
     def _get_jit(self, key, lattice, batched):
         if not hasattr(self, "_jits"):
@@ -821,17 +819,14 @@ class DenseBeamSearch:
         out = fn(jnp.asarray(obs, jnp.float32),
                  jnp.asarray(n_frames, jnp.int32), jnp.asarray(lm_init),
                  self._dev_t, self._dev_lm)
-        # ONE device->host fetch per array (per-utterance slicing
-        # would issue B separate transfers — dominant on remote links)
+        # ONE batched device->host round trip for all arrays
+        # (per-array or per-utterance fetches each pay the relay's
+        # fixed round-trip price — dominant on remote links)
         if lattice:
-            finals = np.asarray(out[0])
-            rec_i = np.asarray(out[1])
-            rec_f = np.asarray(out[2])
+            finals, rec_i, rec_f = jax.device_get(out[:3])
             return [self._result(finals[b], rec_i[b], rec_f[b])
                     for b in range(B)]
-        finals = np.asarray(out[0])
-        words = np.asarray(out[1])
-        nws = np.asarray(out[2])
+        finals, words, nws = jax.device_get(out[:3])
         return [self._result_words(finals[b], words[b], int(nws[b]))
                 for b in range(B)]
 

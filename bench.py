@@ -275,10 +275,13 @@ def streaming_latency_ms():
     # fetch + host traceback for the partial hypothesis
     K, rounds = 32, 4
     sd.reset()
-    frames2 = rng.normal(-5.0, 2.0, (K * rounds + 1, S)).astype(
+    frames2 = rng.normal(-5.0, 2.0, (K * rounds + 2, S)).astype(
         np.float32)
     sd.push_frame(frames2[0])
-    sd.result()                                  # compile + warm
+    sd.push_frame(frames2[K * rounds + 1])
+    sd.result()               # compile + warm (incl. the record flush)
+    sd.reset()
+    sd.push_frame(frames2[0])
     t0 = time.perf_counter()
     for i in range(1, K * rounds + 1):
         sd.push_frame(frames2[i])

@@ -48,6 +48,10 @@ def adapt_bins(aku_bins):
         except (subprocess.CalledProcessError,
                 subprocess.TimeoutExpired) as e:
             pytest.skip(f"aku vtln/mllr build failed: {e}")
+        still = [t for t in missing
+                 if not os.path.exists(os.path.join(aku_bins, t))]
+        if still:
+            pytest.skip(f"aku binaries missing after build: {still}")
     return aku_bins
 
 VTLN_CFG = """\
