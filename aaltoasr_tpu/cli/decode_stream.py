@@ -72,8 +72,10 @@ def main(argv=None) -> int:
             hi = min(done_frames + args.block_frames, upto)
             feats = fg.features_range(buf, done_frames, hi)
             sll = pp.scorer.lna_log_probs(jnp.asarray(feats))
-            for row in np.asarray(sll):
-                t.set_one_frame(stream.frame, row)
+            # the whole block in ONE device dispatch (decode-stream.cc
+            # pushes every frame available per audio read; the scan
+            # form amortizes the remote runtime's per-dispatch floor)
+            stream.push_frames(sll)
             done_frames = hi
             if args.partials:
                 words = stream.result().words

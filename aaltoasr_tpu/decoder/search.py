@@ -1976,6 +1976,35 @@ class StreamingDecoder:
             return search._step(tokens, obs_node, i, t, lms_)
 
         self._step_jit = jax.jit(step)
+
+        # chunked push: one lax.scan dispatch for a [K, S] block of
+        # frames (the decode-stream.cc read loop pushes every frame
+        # available per audio block — `decode-stream.cc:1-33`); on the
+        # relay-mediated runtime each dispatch costs a fixed ~2-5 ms,
+        # so scanning the block amortizes that floor K-fold.  The
+        # block's record rows come out already stacked [K, E] and stay
+        # on device in the spill layout.
+        def chunk_step(tokens, obs_chunk, i0, dev_t, dev_lm):
+            t = {**search._static_t, **dev_t}
+            lms_ = (None if dev_lm is None else
+                    [{**st, **dv} for st, dv
+                     in zip(search._static_lm, dev_lm)])
+
+            def body(carry, obs_t):
+                toks, i = carry
+                toks, recs = search._step(toks, obs_t, i, t, lms_)
+                return (toks, i + jnp.int32(1)), recs
+
+            (tokens, _), recs = jax.lax.scan(
+                body, (tokens, i0), obs_chunk)
+            ws, ps, ams, ls = recs
+            ih = jnp.concatenate([ws.astype(jnp.int32),
+                                  ps.astype(jnp.int32)], axis=1)
+            fh = jnp.concatenate([ams.astype(jnp.float32),
+                                  ls.astype(jnp.float32)], axis=1)
+            return tokens, (ih, fh)
+
+        self._chunk_jit = jax.jit(chunk_step)
         self._stack_jit = None
 
         # device-side packing: every host fetch through the tunneled
@@ -2004,6 +2033,7 @@ class StreamingDecoder:
         R = t["root_tgt"].shape[1]
         self._frame = 0
         self._pending = [[], [], [], []]  # per-frame [E] device arrays
+        self._pending_packs = []  # ((int32 [k,2E], f32 [k,2E]), k) device
         self._spill = [[], [], [], []]    # host [n, E] flushed chunks
         self._host_cache = None           # (n_frames, recs) memo
         lm_init = s.lm.initial_state(self._sentence_start)
@@ -2045,6 +2075,48 @@ class StreamingDecoder:
                 self._flush()
         self._frame += 1
 
+    def push_frames(self, log_probs) -> None:
+        """Feed a [K, S] block of state log-probs in ONE device
+        dispatch (a lax.scan over the block).  Semantically identical
+        to K push_frame calls; the reference's own streaming loop
+        pushes every frame available per audio read
+        (`decode-stream.cc:1-33`), and on a remote runtime with a
+        fixed per-dispatch cost the block form is ~K times cheaper."""
+        obs = jnp.asarray(log_probs, dtype=jnp.float32)
+        if obs.ndim == 1:
+            self.push_frame(obs)
+            return
+        k = int(obs.shape[0])
+        if k == 0:
+            return
+        if self._tokens is None:
+            self.push_frame(obs[0])      # frame 0 seeds the token set
+            obs = obs[1:]
+            k -= 1
+            if k == 0:
+                return
+        self._pending_to_pack()          # keep record rows in order
+        s = self.search
+        self._tokens, pack = self._chunk_jit(
+            self._tokens, obs, jnp.int32(self._frame - 1),
+            s._dev_t, s._dev_lm)
+        self._pending_packs.append((pack, k))
+        self._frame += k
+        if self._buffered_rows() >= self._buffer_frames:
+            self._flush()
+
+    def _buffered_rows(self) -> int:
+        return (len(self._pending[0])
+                + sum(n for _, n in self._pending_packs))
+
+    def _pending_to_pack(self) -> None:
+        """Stack the per-frame pending rows into a device pack and
+        queue it behind any earlier chunk packs (no host fetch)."""
+        n = len(self._pending[0])
+        if n:
+            self._pending_packs.append((self._stack_pending(), n))
+            self._pending = [[], [], [], []]
+
     def _stack_pending(self):
         """Launch the jitted device-side stack of the pending record
         rows (a single dispatch — eager jnp.stack would cost one
@@ -2084,10 +2156,13 @@ class StreamingDecoder:
         batched transfer (`jax.device_get` fetches a whole pytree in a
         single round trip; per-array np.asarray costs one ~fixed-price
         round trip each on the tunneled transport)."""
-        n = len(self._pending[0])
-        packed = self._stack_pending()
-        if packed is not None:
-            self._spill_packed(jax.device_get(packed), n)
+        self._pending_to_pack()
+        if not self._pending_packs:
+            return
+        host = jax.device_get([p for p, _ in self._pending_packs])
+        for hp, (_, n) in zip(host, self._pending_packs):
+            self._spill_packed(hp, n)
+        self._pending_packs = []
 
     @property
     def frame(self) -> int:
@@ -2100,15 +2175,17 @@ class StreamingDecoder:
         E = self.search.config.num_records
         n = self._frame - 1          # record rows written so far
         # ONE batched round trip for everything the finalize needs:
-        # the packed token state + the packed pending record rows
-        npend = len(self._pending[0])
+        # the packed token state + all pending record packs
+        self._pending_to_pack()
         fetch = {"tok": self._pack_jit(self._tokens)}
-        packed = self._stack_pending()
-        if packed is not None:
-            fetch["rec"] = packed
+        if self._pending_packs:
+            fetch["rec"] = [p for p, _ in self._pending_packs]
         host = jax.device_get(fetch)
-        if packed is not None:
-            self._spill_packed(host["rec"], npend)
+        if self._pending_packs:
+            for hp, (_, npend) in zip(host["rec"],
+                                      self._pending_packs):
+                self._spill_packed(hp, npend)
+            self._pending_packs = []
         if n > 0:
             if (self._host_cache is not None
                     and self._host_cache[0] == n):

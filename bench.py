@@ -275,7 +275,7 @@ def streaming_latency_ms():
     # fetch + host traceback for the partial hypothesis
     K, rounds = 32, 4
     sd.reset()
-    frames2 = rng.normal(-5.0, 2.0, (K * rounds + 2, S)).astype(
+    frames2 = rng.normal(-5.0, 2.0, (K * (rounds + 1) + 2, S)).astype(
         np.float32)
     sd.push_frame(frames2[0])
     sd.push_frame(frames2[K * rounds + 1])
@@ -288,8 +288,22 @@ def streaming_latency_ms():
         if i % K == 0:
             sd.result()
     pipelined_ms = (time.perf_counter() - t0) / (K * rounds) * 1e3
+    # chunked consumer (decode_stream block path): each K-frame audio
+    # block is ONE lax.scan dispatch (push_frames), partial fetched per
+    # block — amortizes the relay's fixed per-dispatch cost K-fold
+    sd.reset()
+    sd.push_frames(frames2[:K])          # compile seed + (K-1) scan
+    sd.push_frames(frames2[K:2 * K])     # compile K scan
+    sd.result()
+    sd.reset()
+    sd.push_frames(frames2[:K])
+    t0 = time.perf_counter()
+    for r in range(1, rounds + 1):
+        sd.push_frames(frames2[r * K:(r + 1) * K])
+        sd.result()
+    chunked_ms = (time.perf_counter() - t0) / (K * rounds) * 1e3
     return (float(np.median(lat) * 1e3), float(step_ms),
-            float(pipelined_ms))
+            float(pipelined_ms), float(chunked_ms))
 
 
 def estep_fps():
@@ -354,7 +368,7 @@ def main():
     exact_prod = exact_decode_xrt(triphone=True, order=3,
                                   num_words=10000, tag="_prod10k")
     e2e = e2e_xrt()
-    lat, step_ms, pipe_ms = streaming_latency_ms()
+    lat, step_ms, pipe_ms, chunk_ms = streaming_latency_ms()
     fps = scoring_fps()
     fps_fused = scoring_fps(fused=True)
     efps = estep_fps()
@@ -371,6 +385,7 @@ def main():
         "streaming_latency_ms": round(lat, 1),
         "streaming_step_ms": round(step_ms, 2),
         "streaming_pipelined_ms_per_frame": round(pipe_ms, 2),
+        "streaming_chunked_ms_per_frame": round(chunk_ms, 2),
         "scoring_frames_per_sec": round(fps, 1),
         "scoring_fused_frames_per_sec": round(fps_fused, 1),
         "scoring_xrt": round(fps / 125.0, 1),

@@ -56,6 +56,48 @@ class TestStreaming:
         assert sd.result().words == first
 
 
+class TestChunkedPush:
+    def test_push_frames_matches_per_frame(self):
+        """push_frames (one scan dispatch per block) is semantically
+        identical to K push_frame calls — uneven blocks, a partial
+        fetch mid-stream, and a spill boundary all included."""
+        model, tree, fsa = make_decode_task()
+        obs = synth_obs(tree, model, ["_", "a", "b", "b", "a", "_"])
+        bs = BeamSearch(tree, fsa, model,
+                        SearchConfig(num_tokens=128, num_records=16,
+                                     beam=1e9, lm_scale=1.0))
+        off = bs.decode(obs)
+
+        sd = StreamingDecoder(bs, buffer_frames=5)
+        T = obs.shape[0]
+        cuts = [0, 1, 4, 11, T]           # blocks of 1, 3, 7, rest
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            sd.push_frames(obs[lo:hi])
+            if lo == 4:                   # partial mid-stream
+                assert isinstance(sd.result().words, list)
+        assert sd.frame == T
+        on = sd.result()
+        assert on.words == off.words
+        assert on.log_prob == pytest.approx(off.log_prob, rel=1e-5)
+
+    def test_mixed_single_and_block_pushes(self):
+        model, tree, fsa = make_decode_task()
+        obs = synth_obs(tree, model, ["c", "a", "b", "b"])
+        bs = BeamSearch(tree, fsa, model,
+                        SearchConfig(num_tokens=128, num_records=16,
+                                     beam=1e9, lm_scale=1.0))
+        off = bs.decode(obs)
+        sd = StreamingDecoder(bs)
+        sd.push_frame(obs[0])
+        sd.push_frame(obs[1])
+        sd.push_frames(obs[2:6])
+        for t in range(6, obs.shape[0]):
+            sd.push_frame(obs[t])
+        on = sd.result()
+        assert on.words == off.words
+        assert on.log_prob == pytest.approx(off.log_prob, rel=1e-5)
+
+
 class TestDecodeStreamCli:
     def test_end_to_end_plumbing(self, tmp_path, capsys, monkeypatch):
         """decode_stream consumes raw audio and prints a hypothesis
