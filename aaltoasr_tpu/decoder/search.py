@@ -521,12 +521,12 @@ class BeamSearch:
         self.tree = tree
         self.lm = lm
         self.config = config
-        R_ = tree.root_pair_tgt.shape[1]
-        if config.num_tokens < R_:
-            raise ValueError(
-                f"num_tokens ({config.num_tokens}) must be >= the "
-                f"tree's root re-entry row count ({R_}): the initial "
-                f"root-pair expansion seeds one token per row")
+        # NOTE: num_tokens may be SMALLER than the root re-entry row
+        # width — the utterance-initial expansion then keeps the top-W
+        # candidates by entry logp + frame-0 obs (see _seed_tokens),
+        # which is exactly the per-frame recombination beam applied at
+        # frame 0.  This removes the old structural W >= R floor that
+        # capped production-scale trees at W=1024.
         if word_classes is not None:
             word_classes.apply_to_tree(tree, lm)
         lm_names = (word_classes.lm_word_names(tree.vocab)
@@ -1192,10 +1192,18 @@ class BeamSearch:
             we_alive2 = we_alive2 & (
                 we_total2 >= we_best - cfg.word_end_beam)
 
-        # compact word-end candidates into E record slots (best first)
+        # compact word-end candidates into E record slots (best first);
+        # with a candidate pool smaller than E (tiny W), take the whole
+        # pool and leave the remaining record slots dead
         flat_total = jnp.where(we_alive2, we_total2, -jnp.inf)
-        _, order = jax.lax.top_k(flat_total, E)         # top-E word ends
+        k = min(E, int(flat_total.shape[0]))
+        _, order = jax.lax.top_k(flat_total, k)         # top-E word ends
         e_alive = jnp.take(we_alive2, order)
+        if k < E:
+            order = jnp.concatenate(
+                [order, jnp.zeros(E - k, order.dtype)])
+            e_alive = jnp.concatenate(
+                [e_alive, jnp.zeros(E - k, bool)])
         e_word = jnp.take(s_word, order)
         e_prev = jnp.take(s_prev, order)
         e_lm = jnp.take(lm_next, order, axis=0)
@@ -1536,22 +1544,47 @@ class BeamSearch:
         )
         return new_tokens, (rec_word, rec_prev, rec_am, rec_lms)
 
+    def _seed_tokens(self, obs0, t):
+        """Utterance-initial token set: expand the initial context row.
+
+        When the row is wider than W, keep the top-W candidates ranked
+        by entry logp + frame-0 obs — identical to the per-frame
+        recombination beam applied at frame 0 (row entries are distinct
+        nodes with one candidate each, so first-per-(node,lm) is the
+        candidate itself and the top-W slice IS the recombination
+        result).  On cross-word trees every valid entry logp is 0 (the
+        reentry_topk build asserts this), so am stays pure obs in both
+        branches, matching the eager path exactly."""
+        cfg = self.config
+        W = cfg.num_tokens
+        init_tgt = t["root_tgt"][self._init_pair]
+        init_lp = t["root_logp"][self._init_pair]
+        R = init_tgt.shape[0]
+        if R <= W:
+            node0 = jnp.full((W,), 0, jnp.int32).at[:R].set(init_tgt)
+            alive0 = jnp.zeros((W,), bool).at[:R].set(
+                init_lp > LOG_ZERO / 2)
+            am0 = jnp.where(alive0, obs0[t["pdf"][node0]], LOG_ZERO)
+        else:
+            obs_r = obs0[t["pdf_root"][self._init_pair]]    # [R]
+            score = jnp.where(init_lp > LOG_ZERO / 2,
+                              init_lp + obs_r, -jnp.inf)
+            vals, topi = jax.lax.top_k(score, W)
+            node0 = jnp.take(init_tgt, topi)
+            alive0 = vals > LOG_ZERO / 2
+            am0 = jnp.where(alive0, jnp.take(obs_r, topi), LOG_ZERO)
+        return node0, alive0, am0
+
     def _decode(self, obs, n_frames, lm_init, t, lm_tables,
                 lattice=True):
         """obs [T, Sp] state log-likelihoods -> final tokens + records
         (lattice=True) or device-traced 1-best (lattice=False)."""
         cfg = self.config
         W = cfg.num_tokens
-        R = t["root_tgt"].shape[1]
 
         # init: expand the utterance-initial root row at frame 0
-        init_tgt = t["root_tgt"][self._init_pair]
-        init_lp = t["root_logp"][self._init_pair]
-        node0 = jnp.full((W,), 0, jnp.int32)
-        node0 = node0.at[:R].set(init_tgt)
-        alive0 = jnp.zeros((W,), bool).at[:R].set(
-            init_lp > LOG_ZERO / 2)
-        am0 = jnp.where(alive0, obs[0][t["pdf"][node0]], LOG_ZERO)
+        # (top-W pruned when the row is wider than W — _seed_tokens)
+        node0, alive0, am0 = self._seed_tokens(obs[0], t)
         law0 = jnp.full((W,), getattr(self, "_la_init_row", 0),
                         jnp.int32)
         tokens = (node0,
@@ -2027,21 +2060,13 @@ class StreamingDecoder:
 
     def reset(self) -> None:
         s = self.search
-        cfg = s.config
-        t = s.tables
-        W = cfg.num_tokens
-        R = t["root_tgt"].shape[1]
         self._frame = 0
         self._pending = [[], [], [], []]  # per-frame [E] device arrays
         self._pending_packs = []  # ((int32 [k,2E], f32 [k,2E]), k) device
         self._spill = [[], [], [], []]    # host [n, E] flushed chunks
         self._host_cache = None           # (n_frames, recs) memo
         lm_init = s.lm.initial_state(self._sentence_start)
-        node0 = jnp.full((W,), 0, jnp.int32).at[:R].set(
-            t["root_tgt"][s._init_pair])
-        alive0 = jnp.zeros((W,), bool).at[:R].set(
-            t["root_logp"][s._init_pair] > LOG_ZERO / 2)
-        self._pending_init = (node0, alive0, lm_init)
+        self._pending_init = lm_init
         self._tokens = None
 
     def push_frame(self, log_probs: np.ndarray) -> None:
@@ -2049,9 +2074,8 @@ class StreamingDecoder:
         s = self.search
         obs_t = jnp.asarray(log_probs, dtype=jnp.float32)
         if self._tokens is None:
-            node0, alive0, lm_init = self._pending_init
-            am0 = jnp.where(alive0, obs_t[s.tables["pdf"][node0]],
-                            LOG_ZERO)
+            lm_init = self._pending_init
+            node0, alive0, am0 = s._seed_tokens(obs_t, s.tables)
             W = s.config.num_tokens
             lm_init = np.atleast_1d(np.asarray(lm_init,
                                                dtype=np.int32))

@@ -225,4 +225,8 @@ def pad_chain(chain: LinearChain, pad_positions: int, fan: int = 0):
         "final_logp": np.float32(chain.final_logp),
         "final_slot": np.int32(chain.final_slot),
         "inst": inst,
+        # state-synchronous chain graphs have no arc-level parent-arc
+        # grouping (the reference's -M only applies to hmmnets, stats.cc
+        # -H path); singleton groups make mpv degenerate to plain BW
+        "mpv_gid": np.arange(Pp, dtype=np.int32),
     }

@@ -162,6 +162,16 @@ def compile_hmmnet(fst: Fst, table: TransitionTable,
     # densify ids
     _, inst = np.unique(inst, return_inverse=True)
 
+    # multipath-Viterbi realization groups: the reference maxes arcs
+    # sharing (source node, first-level logical arc) during the
+    # backward pass (HmmNetBaumWelch.cc:904-985 groups active
+    # transitions per source node, then per parent_arc) — dense ids of
+    # that pair
+    src_nodes = np.asarray([fst.arcs[ai].source for ai in emit],
+                           dtype=np.int64)
+    _, mpv_gid = np.unique(src_nodes * (inst.max(initial=0) + 2)
+                           + inst, return_inverse=True)
+
     graph = {
         "pdf": pdf, "in_src": in_src, "in_logp": in_logp,
         "in_slot": in_slot, "out_tgt": out_tgt, "out_logp": out_logp,
@@ -170,6 +180,7 @@ def compile_hmmnet(fst: Fst, table: TransitionTable,
         "arc_slot": slot,
         "obs_const": obs_const,
         "inst": inst.astype(np.int32),
+        "mpv_gid": mpv_gid.astype(np.int32),
         "word_inst": np.asarray(
             [fst.arcs[ai].word_inst for ai in emit], np.int32),
     }
@@ -212,6 +223,11 @@ def pad_hmmnet(graph: dict, pad_positions: int, fan: int = 0) -> dict:
         # padding positions get fresh singleton instances
         "inst": (pad1(graph["inst"], 0) if "inst" in graph else
                  np.arange(Pp, dtype=np.int32)),
+        # padding ids >= P can't collide with the dense real groups
+        "mpv_gid": (np.concatenate([
+            graph["mpv_gid"],
+            np.arange(P, Pp, dtype=np.int32)])
+            if "mpv_gid" in graph else np.arange(Pp, dtype=np.int32)),
         "word_inst": (pad1(graph["word_inst"], -1)
                       if "word_inst" in graph
                       else np.full(Pp, -1, dtype=np.int32)),

@@ -56,6 +56,9 @@ def device_stats_to_hmm_stats(model: HmmModel, table: TransitionTable,
     mix = np.asarray(dstats["mix_gamma"], dtype=np.float64)[:S]
     K = buf.mix_gamma.shape[1]
     buf.mix_gamma[:, :] = mix[:, :K]
+    if "mix_ll" in dstats:
+        buf.mix_ll[:] = np.asarray(dstats["mix_ll"],
+                                   dtype=np.float64)[:S]
     if buffer_id == ML_BUF:
         stats.trans_acc[:] = np.asarray(dstats["trans_acc"],
                                         dtype=np.float64)

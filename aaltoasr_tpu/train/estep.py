@@ -144,79 +144,83 @@ def masked_viterbi(obs_pos, graph, n_frames):
     return path, score
 
 
-def _grouped_max_lse(vals, group, same):
-    """Combine edge values per position: max within a logical-arc group,
-    logsumexp across groups (`-M mpv` semantics, HmmNetBaumWelch.cc:
-    904-985: among arcs sharing the first-level logical arc only the
-    best transition is traversed; different logical arcs sum).
-
-    vals: [P, F]; group: [P, F] int; same: [P, F, F] static bool
-    (same[p, i, j] = group[p, i] == group[p, j]).
-    Returns [P].
-    """
-    gmax = jnp.max(jnp.where(same, vals[:, None, :], -jnp.inf), axis=2)
-    F = vals.shape[1]
-    idx = jnp.arange(F)
-    # keep the first edge achieving its group's max
-    achieves = same & (vals[:, None, :] >= gmax[:, :, None])
-    first = jnp.argmax(achieves, axis=2)
-    keep = first == idx[None, :]
-    return logsumexp(jnp.where(keep, vals, LOG_ZERO), axis=1)
-
-
 def masked_multipath_viterbi_fb(obs_pos, graph, n_frames,
                                 num_trans_slots: int):
     """Multipath-Viterbi forward-backward (`stats -M mpv`,
-    `aku/HmmNetBaumWelch.hh:85`): per node, incoming scores are
-    maximized within each first-level logical arc (phone instance) and
-    summed across instances.  Same contract as masked_forward_backward.
+    `aku/HmmNetBaumWelch.hh:85`).  Matches the reference recursion
+    exactly:
+
+    * BACKWARD (`fill_backward_probabilities`, HmmNetBaumWelch.cc:
+      904-985): per source node, arcs sharing the first-level logical
+      arc (``mpv_gid`` = dense (source node, parent arc) ids) are
+      maximized — only the best ("realized") arc keeps a backward
+      score — and the realized arcs are summed to form the node score.
+    * FORWARD (`create_segmented_lattice`, :1190-1330): plain
+      Baum-Welch summation, but only over arcs realized at each frame
+      (non-realized arcs carry a zero backward score, so the forward
+      beam test at :1316 prunes them for any beam).
+    * gamma: alpha*beta posteriors over realized arcs, renormalized per
+      frame exactly like `next_frame`'s prob_sum division
+      (HmmNetBaumWelch.cc:783-788).
     """
     T, P = obs_pos.shape
     in_src, in_logp = graph["in_src"], graph["in_logp"]
     out_tgt, out_logp = graph["out_tgt"], graph["out_logp"]
-    inst = graph["inst"]
-
-    in_group = inst[in_src]                                # [P, F]
-    out_group = inst[out_tgt]
-    in_same = in_group[:, :, None] == in_group[:, None, :]
-    out_same = out_group[:, :, None] == out_group[:, None, :]
-
+    gid = graph["mpv_gid"]
     valid = jnp.arange(T) < n_frames
-    alpha0 = jnp.maximum(obs_pos[0] + _entry(graph, P), LOG_ZERO)
+    idx = jnp.arange(P)
+
+    def realize(val):
+        # winner-per-group mask over val [P]; ties keep the lowest
+        # position id (the reference keeps the first arc encountered;
+        # any single winner matches its semantics)
+        gmax = jax.ops.segment_max(val, gid, num_segments=P)[gid]
+        att = jnp.where(val >= gmax, idx, P)
+        first = jax.ops.segment_min(att, gid, num_segments=P)[gid]
+        return (idx == first) & (val > LOG_ZERO / 2)
+
+    beta_last = _final(graph, P)
+
+    def bwd(beta, xs):
+        # carry = betas[t+1]; realization of arcs consuming frame t+1
+        obs_next, v = xs
+        val = obs_next + beta                              # [P]
+        real = realize(val) & v
+        rv = jnp.where(real, val, LOG_ZERO)
+        new = jnp.maximum(
+            logsumexp(out_logp + rv[out_tgt], axis=1), LOG_ZERO)
+        new = jnp.where(v, new, beta)
+        return new, (new, real)
+
+    _, (betas_head, real_tail) = jax.lax.scan(
+        bwd, beta_last, (obs_pos[1:], valid[1:]), reverse=True)
+    betas = jnp.concatenate([betas_head, beta_last[None]], axis=0)
+    real0 = realize(obs_pos[0] + betas[0])
+    realized = jnp.concatenate([real0[None], real_tail], axis=0)
+
+    entry = _entry(graph, P)
+    # reference total = the mpv backward score at the initial node
+    total = logsumexp(
+        jnp.where(real0, entry + obs_pos[0] + betas[0], LOG_ZERO),
+        axis=0)
+
+    alpha0 = jnp.where(real0,
+                       jnp.maximum(obs_pos[0] + entry, LOG_ZERO),
+                       LOG_ZERO)
 
     def fwd(alpha, xs):
-        obs_t, v = xs
-        new = _grouped_max_lse(alpha[in_src] + in_logp, in_group,
-                               in_same) + obs_t
-        new = jnp.maximum(new, LOG_ZERO)
+        obs_t, real_t, v = xs
+        new = logsumexp(alpha[in_src] + in_logp, axis=1) + obs_t
+        new = jnp.maximum(jnp.where(real_t, new, LOG_ZERO), LOG_ZERO)
         new = jnp.where(v, new, alpha)
         return new, alpha
 
     alpha_T, alphas_prev = jax.lax.scan(
-        fwd, alpha0, (obs_pos[1:], valid[1:]))
+        fwd, alpha0, (obs_pos[1:], realized[1:], valid[1:]))
     alphas = jnp.concatenate([alphas_prev, alpha_T[None]], axis=0)
 
-    beta_last = _final(graph, P)
-    total = logsumexp(alpha_T + beta_last, axis=0)
-
-    def bwd(beta, xs):
-        obs_next, v = xs
-        contrib = out_logp + obs_next[out_tgt] + beta[out_tgt]
-        new = jnp.maximum(
-            _grouped_max_lse(contrib, out_group, out_same), LOG_ZERO)
-        new = jnp.where(v, new, beta)
-        return new, new
-
-    _, betas_head = jax.lax.scan(
-        bwd, beta_last, (obs_pos[1:], valid[1:]), reverse=True)
-    betas = jnp.concatenate([betas_head, beta_last[None]], axis=0)
-
     gamma = jnp.exp(jnp.maximum(alphas + betas - total, -80.0))
-    gamma = gamma * valid[:, None]
-    # normalize per frame: the mixed max/sum semiring makes alpha*beta
-    # sum to <= total per frame (pruned permutations); renormalize so
-    # occupancies stay a distribution like the reference's realized-arc
-    # probabilities
+    gamma = gamma * realized * valid[:, None]
     denom = jnp.maximum(jnp.sum(gamma, axis=1, keepdims=True), 1e-30)
     gamma = jnp.where(valid[:, None], gamma / denom, 0.0)
 
@@ -267,9 +271,12 @@ def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
         path, total = vit(obs_pos, graph, n_frames)
         valid = jnp.arange(T) < n_frames
         gamma = jax.nn.one_hot(path, P, dtype=jnp.float32) * valid[:, None]
-        # transition counts along the path
-        trans_post = _viterbi_transition_counts(
-            path, graph, n_frames, num_trans_slots)
+        # transition counts along the path (arc-synchronous graphs
+        # derive them from arc_slot occupancies below instead)
+        trans_post = (jnp.zeros(num_trans_slots, dtype=jnp.float32)
+                      if "arc_slot" in graph else
+                      _viterbi_transition_counts(
+                          path, graph, n_frames, num_trans_slots))
     else:
         raise ValueError(f"unknown segmentation mode {mode!r}")
 
@@ -309,15 +316,39 @@ def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
         m2_full = jax.ops.segment_sum(
             jnp.dot(R_flat.T, outer, precision=_F32), g_flat,
             num_segments=Gp).reshape(Gp, D, D)
+    # feacount: the reference increments it once per accumulate() call
+    # for EVERY mixture component, and a call happens per (frame, pdf)
+    # entry of the posterior map — i.e. per frame in which the state
+    # has any live lattice arc (`HmmNetBaumWelch::next_frame`
+    # m_pdf_prob_map fill, HmmNetBaumWelch.cc:735-741;
+    # `Gaussian::accumulate` -> accumulate(1, ...),
+    # Distributions.cc:282).  So count state-presence frames, then
+    # spread over the state's real components.  Presence means a LIVE
+    # lattice arc: structurally dead (alpha or beta = log-zero)
+    # positions carry the exp(-80) clamp floor from the FB, not a real
+    # posterior, so test above that floor rather than > 0 — backward-
+    # zero arcs never enter the reference's pdf map
+    # (create_segmented_lattice beam test, HmmNetBaumWelch.cc:1165).
+    pres = jax.ops.segment_sum(                          # [Sp, T]
+        (gamma > 1e-32).astype(jnp.float32).T, pdf, num_segments=Sp)
+    frames_s = jnp.sum((pres > 0).astype(jnp.int32), axis=1)   # [Sp]
+    real_comp = scorer.comp_logw > LOG_ZERO / 2          # [Sp, K]
     feacount = jax.ops.segment_sum(
-        jnp.sum((R_flat > 1e-10).astype(jnp.int32), axis=0), g_flat,
-        num_segments=Gp)
+        jnp.where(real_comp, frames_s[:, None], 0).reshape(-1),
+        scorer.comp_idx.reshape(-1), num_segments=Gp)
     mix_gamma = jax.ops.segment_sum(
         c.reshape(P, K), pdf, num_segments=Sp)            # [Sp, K]
+    # mixture log-likelihood accumulator: gamma * ln(state likelihood)
+    # per accumulation (Mixture::accumulate `mixture_ll`,
+    # Distributions.cc:2150-2153); the likelihood is the PURE state
+    # mixture value, not the const-shifted search observation
+    mix_ll = jax.ops.segment_sum(
+        jnp.sum(gamma * state_obs, axis=0), pdf, num_segments=Sp)
 
     out = {
         "gamma": gamma_g, "mean_acc": m1, "sec_acc": m2,
         "feacount": feacount, "mix_gamma": mix_gamma,
+        "mix_ll": mix_ll,
         "trans_acc": trans_post, "log_likelihood": total,
         "num_frames": n_frames.astype(jnp.int32)
         if hasattr(n_frames, "astype") else jnp.int32(n_frames),

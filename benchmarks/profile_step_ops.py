@@ -36,6 +36,8 @@ def main():
     p.add_argument("--prewalk", type=int, default=256)
     p.add_argument("--reentry", type=int, default=0)
     p.add_argument("--reentry-records", type=int, default=0)
+    p.add_argument("--reentry-prewalk", type=int, default=0)
+    p.add_argument("--records", type=int, default=64)
     a = p.parse_args()
 
     import jax
@@ -53,11 +55,12 @@ def main():
     if a.engine == "exact":
         cfg = SearchConfig(lm_scale=30.0,
                            duration_scale=3.0 if a.triphone else 0.0,
-                           num_tokens=a.tokens, num_records=64,
+                           num_tokens=a.tokens, num_records=a.records,
                            overflow_tokens=a.overflow,
                            we_prewalk=a.prewalk,
                            reentry_topk=a.reentry,
-                           reentry_records=a.reentry_records)
+                           reentry_records=a.reentry_records,
+                           reentry_prewalk=a.reentry_prewalk)
         search = BeamSearch(tree, fsa, model, cfg)
     else:
         cfg = SearchConfig(lm_scale=30.0,

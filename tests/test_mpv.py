@@ -16,39 +16,51 @@ from tests.test_train import three_state_model
 
 
 def np_mpv_fb(obs, graph):
-    """Float64 edge-list mirror of the grouped max/sum recursion."""
+    """Float64 mirror of the reference mpv recursion: backward grouped
+    max with per-frame arc realization (HmmNetBaumWelch.cc:904-985),
+    forward plain sum over realized arcs only (:1190-1330)."""
     T, P = obs.shape
     in_src = np.asarray(graph["in_src"])
     in_logp = np.asarray(graph["in_logp"])
     out_tgt = np.asarray(graph["out_tgt"])
     out_logp = np.asarray(graph["out_logp"])
-    inst = np.asarray(graph["inst"])
+    gid = np.asarray(graph["mpv_gid"])
     entry = np.asarray(estep._entry(graph, P))
     final = np.asarray(estep._final(graph, P))
 
-    def grouped(vals, groups):
-        out = -np.inf
-        for g in set(groups.tolist()):
-            m = max(v for v, gg in zip(vals, groups) if gg == g)
-            out = np.logaddexp(out, m)
-        return out
+    def realize(val):
+        real = np.zeros(P, bool)
+        for g in set(gid.tolist()):
+            members = np.flatnonzero(gid == g)
+            i = members[np.argmax(val[members])]
+            if val[i] > LOG_ZERO / 2:
+                real[i] = True
+        return real
 
-    alpha = np.full((T, P), LOG_ZERO)
-    alpha[0] = np.maximum(obs[0] + entry, LOG_ZERO)
-    for t in range(1, T):
-        for p in range(P):
-            vals = alpha[t - 1, in_src[p]] + in_logp[p]
-            alpha[t, p] = max(grouped(vals, inst[in_src[p]]) + obs[t, p],
-                              LOG_ZERO)
     beta = np.full((T, P), LOG_ZERO)
     beta[T - 1] = final
+    realized = np.zeros((T, P), bool)
     for t in range(T - 2, -1, -1):
+        val = obs[t + 1] + beta[t + 1]
+        realized[t + 1] = realize(val)
+        rv = np.where(realized[t + 1], val, LOG_ZERO)
         for p in range(P):
-            vals = out_logp[p] + obs[t + 1, out_tgt[p]] \
-                + beta[t + 1, out_tgt[p]]
-            beta[t, p] = max(grouped(vals, inst[out_tgt[p]]), LOG_ZERO)
-    total = np.logaddexp.reduce(alpha[T - 1] + final)
-    gamma = np.exp(np.maximum(alpha + beta - total, -700))
+            beta[t, p] = max(
+                np.logaddexp.reduce(out_logp[p] + rv[out_tgt[p]]),
+                LOG_ZERO)
+    realized[0] = realize(obs[0] + beta[0])
+    total = np.logaddexp.reduce(
+        np.where(realized[0], entry + obs[0] + beta[0], LOG_ZERO))
+
+    alpha = np.full((T, P), LOG_ZERO)
+    alpha[0] = np.where(realized[0],
+                        np.maximum(obs[0] + entry, LOG_ZERO), LOG_ZERO)
+    for t in range(1, T):
+        for p in range(P):
+            a = np.logaddexp.reduce(alpha[t - 1, in_src[p]]
+                                    + in_logp[p]) + obs[t, p]
+            alpha[t, p] = max(a, LOG_ZERO) if realized[t, p] else LOG_ZERO
+    gamma = np.exp(np.maximum(alpha + beta - total, -700)) * realized
     gamma /= np.maximum(gamma.sum(axis=1, keepdims=True), 1e-30)
     return gamma, total
 
@@ -91,10 +103,10 @@ class TestMpv:
         obs = rng.normal(-3, 1.5, (T, Pp)).astype(np.float32)
         g = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
              for k, v in padded.items()}
-        # distinct instance per position -> every group is a singleton
-        # -> grouped max/sum degenerates to plain logsumexp (bw)
+        # distinct group per position -> every arc is realized
+        # -> the recursion degenerates to plain Baum-Welch
         g_single = dict(g)
-        g_single["inst"] = jnp.arange(Pp, dtype=jnp.int32)
+        g_single["mpv_gid"] = jnp.arange(Pp, dtype=jnp.int32)
         gm, _, tm = estep.masked_multipath_viterbi_fb(
             jnp.asarray(obs), g_single, jnp.int32(T), table.num_slots)
         gb, _, tb = estep.masked_forward_backward(
