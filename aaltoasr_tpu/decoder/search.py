@@ -153,6 +153,20 @@ class SearchConfig:
                                     # TokenPassSearch.cc:1076-1081
                                     # NODE_USE_WORD_END_BEAM).  0 = off
                                     # (reference default 1e10).
+    obs_compose: int = -1           # how candidate observations are
+                                    # gathered from the frame log-probs:
+                                    # 0 = shared-index (materialize
+                                    # obs_t[pdf_table] over the WHOLE
+                                    # static table, batch riding lanes,
+                                    # then row-gather — wins on small
+                                    # trees), 1 = composed (gather the
+                                    # static pdf table at the selected
+                                    # rows first, then obs singles —
+                                    # avoids an [N,3,B] per-frame
+                                    # materialization that dominates
+                                    # the step on ~300k-node trees:
+                                    # 441 MB/frame at N=287k, B=128),
+                                    # -1 = auto by tree size.
     reentry_prewalk: int = 0        # cross-word re-entry compaction:
                                     # each re-entering record keeps
                                     # only its top-K entry nodes of
@@ -561,6 +575,13 @@ class BeamSearch:
         # interpretation in the reference (word ids live on dedicated
         # word-end nodes there)
         N_ = tree.num_nodes
+        # observation gather mode (SearchConfig.obs_compose): auto
+        # flips to per-row composition when the whole-table
+        # materialization would dominate HBM traffic (measured: the
+        # [N,3,B] obs gather is ~28% of the step at N=287k, B=128)
+        self._obs_compose = (config.obs_compose == 1
+                             or (config.obs_compose == -1
+                                 and N_ >= 100_000))
         has_arc = ((tree.arc_tgt != np.arange(N_)[:, None])
                    & (tree.arc_logp > LOG_ZERO / 2)).any(axis=1)
         valid_we_ = tree.we_exit_logp > LOG_ZERO / 2
@@ -951,7 +972,6 @@ class BeamSearch:
         # (~2 ms HBM traffic at N=37k) and the combined gather then
         # reads from the 340 MB batched source instead of the 2 MB
         # static table (measured 5.8 ms -> ~2 ms for the pair).
-        obs3 = obs_t[t["pdf3"]]                    # [N, 3] shared-index
         pk = t["step_pack"][node]                  # [W, P] static rows
 
         def pcol(name, ints=False):
@@ -959,7 +979,13 @@ class BeamSearch:
             v = jax.lax.slice_in_dim(pk, s, s + w, axis=1)
             return v.astype(jnp.int32) if ints else v
 
-        obs1 = obs3[node]                          # [W, 3] row gather
+        if self._obs_compose:
+            # large trees: gather the static pdf rows at the tokens,
+            # then obs singles — skips the [N, 3, B] materialization
+            obs1 = obs_t[t["pdf3"][node]]          # [W, 3] composed
+        else:
+            obs3 = obs_t[t["pdf3"]]                # [N, 3] shared-index
+            obs1 = obs3[node]                      # [W, 3] row gather
         if self._has_durations:
             # gamma bonus from packed per-node params — elementwise
             # VPU work; the dur_tab[ds, d-1] gather it replaces cost
@@ -1046,8 +1072,9 @@ class BeamSearch:
             o_row = orow[sel_o]
             c1b = expand(node[sel_o], sel_o, t["over_tgt"][o_row],
                          t["over_lp"][o_row], False, durb_tok[sel_o])
-            c1b["am"] = c1b["am"] + \
-                obs_t[t["pdf_over"]][o_row].reshape(-1)
+            c1b["am"] = c1b["am"] + (
+                obs_t[t["pdf_over"][o_row]] if self._obs_compose
+                else obs_t[t["pdf_over"]][o_row]).reshape(-1)
             c1b["alive"] = c1b["alive"] & jnp.repeat(
                 jnp.take(is_branch, sel_o), t["over_tgt"].shape[1])
             if self._la_ctx:
@@ -1061,8 +1088,9 @@ class BeamSearch:
         else:
             c1 = expand(node, all_tok, t["arc_tgt"][node],
                         t["arc_logp"][node], True, durb_tok)
-            c1["am"] = c1["am"] + \
-                obs_t[t["pdf_arc"]][node].reshape(-1)
+            c1["am"] = c1["am"] + (
+                obs_t[t["pdf_arc"][node]] if self._obs_compose
+                else obs_t[t["pdf_arc"]][node]).reshape(-1)
             if self._la_ctx:
                 la_parts.append(ctx_la(
                     lev_tok, la_acc0, t["laarc_lo"][node],
@@ -1318,7 +1346,8 @@ class BeamSearch:
             # (cross-word fan-in: silence/monophone trees have one row)
             r_tgt = t["root_tgt"][e_pair]               # [Er, R]
             r_lp = t["root_logp"][e_pair]
-            obs2 = obs_t[t["pdf_root"]][e_pair]         # [Er, R]
+            obs2 = (obs_t[t["pdf_root"][e_pair]] if self._obs_compose
+                    else obs_t[t["pdf_root"]][e_pair])  # [Er, R]
             R = r_tgt.shape[1]
             la_c2 = None
             if self._la_ctx:

@@ -181,6 +181,7 @@ def compile_hmmnet(fst: Fst, table: TransitionTable,
         "obs_const": obs_const,
         "inst": inst.astype(np.int32),
         "mpv_gid": mpv_gid.astype(np.int32),
+        "src_node": src_nodes.astype(np.int32),
         "word_inst": np.asarray(
             [fst.arcs[ai].word_inst for ai in emit], np.int32),
     }
@@ -228,6 +229,11 @@ def pad_hmmnet(graph: dict, pad_positions: int, fan: int = 0) -> dict:
             graph["mpv_gid"],
             np.arange(P, Pp, dtype=np.int32)])
             if "mpv_gid" in graph else np.arange(Pp, dtype=np.int32)),
+        "src_node": (np.concatenate([
+            graph["src_node"],
+            graph["src_node"].max(initial=0) + 1
+            + np.arange(Pp - P, dtype=np.int32)])
+            if "src_node" in graph else np.arange(Pp, dtype=np.int32)),
         "word_inst": (pad1(graph["word_inst"], -1)
                       if "word_inst" in graph
                       else np.full(Pp, -1, dtype=np.int32)),

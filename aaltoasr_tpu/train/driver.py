@@ -95,13 +95,15 @@ class EStepDriver:
         self._jit_cache = {}
         self.failed_utterances: list = []
 
-    def _stats_fn(self, T_pad: int, P_pad: int, F: int):
-        key = (T_pad, P_pad, F)
+    def _stats_fn(self, T_pad: int, P_pad: int, F: int,
+                  arc_feacount: bool = False):
+        key = (T_pad, P_pad, F, arc_feacount)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 lambda f, g, n: estep.chain_stats(
                     self.scorer, f, g, n, self.table.num_slots,
-                    self.mode, full_stats=self.full_stats))
+                    self.mode, full_stats=self.full_stats,
+                    arc_feacount=arc_feacount))
         return self._jit_cache[key]
 
     def _padded_features(self, samples):
@@ -221,10 +223,11 @@ class EStepDriver:
             self.table.num_slots, jnp.asarray(acc),
             jnp.asarray(den_cls), max_seg_dur)
 
-    def _run_graph(self, feats, T, graph):
+    def _run_graph(self, feats, T, graph, arc_feacount: bool = False):
         F = graph["in_src"].shape[1]
         fn = self._stats_fn(int(feats.shape[0]),
-                            int(graph["pdf"].shape[0]), F)
+                            int(graph["pdf"].shape[0]), F,
+                            arc_feacount=arc_feacount)
         return fn(feats, graph, jnp.int32(T))
 
     def utterance_stats(self, samples: np.ndarray, labels: list):
@@ -418,9 +421,19 @@ class EStepDriver:
                 entries = read_phn(rinfo.transcript_path)
                 graph = self._graph_from_chain(
                     [e.label for e in entries])
-            dstats = self._run_graph(feats, T, graph)
+            # the discriminative path accumulates per SEGMENTED ARC
+            # (collect_lattice_stats, stats.cc:225-306), so feacount
+            # counts live (frame, arc) pairs there; the ML-only path
+            # goes through the per-(frame, pdf) Segmentator maps
+            dstats = self._run_graph(feats, T, graph,
+                                     arc_feacount=mmi or mpe)
             utt = device_stats_to_hmm_stats(
                 self.model, self.table, dstats, mode)
+            if mmi or mpe:
+                # collect_lattice_stats has no transition branch — the
+                # reference's discriminative path leaves the .phs
+                # counts at zero even with -t (stats.cc:225-306)
+                utt.trans_acc[:] = 0.0
             # failure detection (stats.cc:79-100 beam-retry analog): a
             # dense FB has no beams, so a dead utterance means broken
             # inputs — skip it and record, as the batch-retry protocol
@@ -439,7 +452,8 @@ class EStepDriver:
             if mmi:
                 den_graph = self._graph_from_fst(
                     read_fst(rinfo.den_hmmnet_path))
-                den = self._run_graph(feats, T, den_graph)
+                den = self._run_graph(feats, T, den_graph,
+                                      arc_feacount=True)
                 device_stats_to_hmm_stats(
                     self.model, self.table, den, mode,
                     buffer_id=MMI_BUF, stats=utt)

@@ -39,13 +39,18 @@ def _final(graph, P):
 
 
 def masked_forward_backward(obs_pos, graph, n_frames, num_trans_slots: int,
-                            with_transitions: bool = True):
+                            with_transitions: bool = True,
+                            with_live: bool = False):
     """FB over [T_pad, P] with frames >= n_frames inert.
 
     Returns (gamma [T, P] linear, trans_post [NT], total_ll).
     with_transitions=False skips the xi scan (arc-synchronous hmmnet
     graphs derive transition occupancies from arc_slot instead — a
     ~40% saving of the FB device time).
+    with_live=True appends a STRUCTURAL liveness mask [T, P] (alpha
+    and beta both reachable, in log space before the exp clamp) — the
+    reference's "arc in the segmented lattice" predicate, exact even
+    for posteriors below the exp(-80) clamp floor.
     """
     T, P = obs_pos.shape
     in_src, in_logp = graph["in_src"], graph["in_logp"]
@@ -104,6 +109,10 @@ def masked_forward_backward(obs_pos, graph, n_frames, num_trans_slots: int,
         trans_post = trans0
     if "final_slot" in graph:
         trans_post = trans_post.at[graph["final_slot"]].add(1.0)
+    if with_live:
+        live = ((alphas > LOG_ZERO / 2) & (betas > LOG_ZERO / 2)
+                & valid[:, None])
+        return gamma, trans_post, total, live
     return gamma, trans_post, total
 
 
@@ -145,7 +154,8 @@ def masked_viterbi(obs_pos, graph, n_frames):
 
 
 def masked_multipath_viterbi_fb(obs_pos, graph, n_frames,
-                                num_trans_slots: int):
+                                num_trans_slots: int,
+                                with_live: bool = False):
     """Multipath-Viterbi forward-backward (`stats -M mpv`,
     `aku/HmmNetBaumWelch.hh:85`).  Matches the reference recursion
     exactly:
@@ -227,11 +237,16 @@ def masked_multipath_viterbi_fb(obs_pos, graph, n_frames,
     trans_post = jnp.zeros(num_trans_slots, dtype=jnp.float32)
     if "final_slot" in graph:
         trans_post = trans_post.at[graph["final_slot"]].add(1.0)
+    if with_live:
+        live = ((alphas > LOG_ZERO / 2) & (betas > LOG_ZERO / 2)
+                & realized & valid[:, None])
+        return gamma, trans_post, total, live
     return gamma, trans_post, total
 
 
 def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
-                mode: str = "bw", full_stats: bool = False):
+                mode: str = "bw", full_stats: bool = False,
+                arc_feacount: bool = False):
     """Full per-utterance E-step; returns a device stats pytree.
 
     mode: 'bw' (Baum-Welch posteriors, `-M bw`), 'vit' (Viterbi one-hot,
@@ -256,21 +271,35 @@ def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
         # (get_arc_score, HmmNetBaumWelch.cc:1917-1943)
         obs_pos = obs_pos + graph["obs_const"][None, :]
 
+    live = None                # structural liveness [T, P] when exact
     if mode == "bw":
         fb = (masked_forward_backward_shift if "sh_logp" in graph
               else masked_forward_backward)
-        gamma, trans_post, total = fb(
-            obs_pos, graph, n_frames, num_trans_slots,
-            with_transitions="arc_slot" not in graph)
+        if arc_feacount:
+            gamma, trans_post, total, live = fb(
+                obs_pos, graph, n_frames, num_trans_slots,
+                with_transitions="arc_slot" not in graph,
+                with_live=True)
+        else:
+            gamma, trans_post, total = fb(
+                obs_pos, graph, n_frames, num_trans_slots,
+                with_transitions="arc_slot" not in graph)
     elif mode == "mpv":
-        gamma, trans_post, total = masked_multipath_viterbi_fb(
-            obs_pos, graph, n_frames, num_trans_slots)
+        if arc_feacount:
+            gamma, trans_post, total, live = \
+                masked_multipath_viterbi_fb(
+                    obs_pos, graph, n_frames, num_trans_slots,
+                    with_live=True)
+        else:
+            gamma, trans_post, total = masked_multipath_viterbi_fb(
+                obs_pos, graph, n_frames, num_trans_slots)
     elif mode == "vit":
         vit = (masked_viterbi_shift if "sh_logp" in graph
                else masked_viterbi)
         path, total = vit(obs_pos, graph, n_frames)
         valid = jnp.arange(T) < n_frames
         gamma = jax.nn.one_hot(path, P, dtype=jnp.float32) * valid[:, None]
+        live = gamma > 0.5
         # transition counts along the path (arc-synchronous graphs
         # derive them from arc_slot occupancies below instead)
         trans_post = (jnp.zeros(num_trans_slots, dtype=jnp.float32)
@@ -329,9 +358,44 @@ def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
     # posterior, so test above that floor rather than > 0 — backward-
     # zero arcs never enter the reference's pdf map
     # (create_segmented_lattice beam test, HmmNetBaumWelch.cc:1165).
-    pres = jax.ops.segment_sum(                          # [Sp, T]
-        (gamma > 1e-32).astype(jnp.float32).T, pdf, num_segments=Sp)
-    frames_s = jnp.sum((pres > 0).astype(jnp.int32), axis=1)   # [Sp]
+    #
+    # TWO reference counting conventions share this accumulator:
+    # * ML-only path (simple_train): one accumulate per live
+    #   (frame, pdf) — aggregate positions into per-state presence;
+    # * discriminative path (collect_lattice_stats, stats.cc:254-306):
+    #   one accumulate per SEGMENTED ARC of the unfolded frame
+    #   lattice.  A live arc at frame t materializes one segmented-arc
+    #   COPY per distinct epsilon-reachable continuation node that
+    #   holds its pending arc and has a surviving out arc at t+1
+    #   (create_segmented_lattice pending-arc copying,
+    #   HmmNetBaumWelch.cc:1221-1250,1296-1338), plus exactly one copy
+    #   at the utterance-final connection (:1389-1407).
+    if live is None:
+        # above the exp(-80) clamp floor ~1.8e-35 (see note above)
+        live = gamma > 1e-32
+    live = live.astype(jnp.float32)                      # [T, P]
+    if arc_feacount:
+        out_tgt = graph["out_tgt"]                       # [P, F]
+        out_node = graph["src_node"][out_tgt]            # [P, F]
+        real_edge = graph["out_logp"] > LOG_ZERO / 2     # [P, F]
+        Fw = out_tgt.shape[1]
+        live_next = jnp.concatenate(
+            [live[1:], jnp.zeros((1, P), live.dtype)], axis=0)
+        el = (live_next[:, out_tgt] > 0) & real_edge     # [T, P, F]
+        same = out_node[:, :, None] == out_node[:, None, :]
+        first = jnp.tril(jnp.ones((Fw, Fw), bool), k=-1)  # f' < f
+        dup = jnp.any(el[:, :, None, :]
+                      & (same & first[None])[None], axis=-1)
+        copies = jnp.sum((el & ~dup).astype(jnp.float32), axis=-1)
+        lastf = (jnp.arange(T) == n_frames - 1)[:, None]
+        per = live * jnp.where(lastf, 1.0, copies)       # [T, P]
+        frames_s = jax.ops.segment_sum(
+            jnp.sum(per, axis=0), pdf,
+            num_segments=Sp).astype(jnp.int32)
+    else:
+        pres = jax.ops.segment_sum(                      # [Sp, T]
+            live.T, pdf, num_segments=Sp)
+        frames_s = jnp.sum((pres > 0).astype(jnp.int32), axis=1)
     real_comp = scorer.comp_logw > LOG_ZERO / 2          # [Sp, K]
     feacount = jax.ops.segment_sum(
         jnp.where(real_comp, frames_s[:, None], 0).reshape(-1),
@@ -473,7 +537,8 @@ def _scatter_lse(contrib, tgt, P):
 
 def masked_forward_backward_shift(obs_pos, graph, n_frames,
                                   num_trans_slots: int,
-                                  with_transitions: bool = True):
+                                  with_transitions: bool = True,
+                                  with_live: bool = False):
     """Shift-structured FB; same contract as masked_forward_backward.
 
     Per-step transition statistics accumulate ELEMENTWISE into per-
@@ -566,6 +631,10 @@ def masked_forward_backward_shift(obs_pos, graph, n_frames,
             num_segments=num_trans_slots)
     if "final_slot" in graph:
         trans_post = trans_post.at[graph["final_slot"]].add(1.0)
+    if with_live:
+        live = ((alphas > LOG_ZERO / 2) & (betas > LOG_ZERO / 2)
+                & valid[:, None])
+        return gamma, trans_post, total, live
     return gamma, trans_post, total
 
 
