@@ -84,9 +84,10 @@ def main(argv=None) -> int:
             elif (args.partial_every
                   and done_frames - last_partial >= args.partial_every):
                 # pipelined consumer: K frames of pure device pushes,
-                # then ONE bulk record fetch for the partial
+                # then a DEVICE traceback + one tiny id-buffer fetch
+                # (StreamingDecoder.partial — no record flush)
                 last_partial = done_frames
-                words = stream.result().words
+                words = stream.partial()
                 print(f"[{done_frames}] {' '.join(words)}",
                       file=sys.stderr)
 

@@ -36,8 +36,10 @@ def main(argv=None) -> int:
     p.add_argument("--mloss", type=float,
                    help="cluster merging with maximum loglikelihood "
                         "loss")
-    p.add_argument("--mcontext", type=int, default=0,
-                   help="maximum context index (0 = unlimited)")
+    p.add_argument("--context", "--mcontext", type=int, default=1,
+                   dest="mcontext",
+                   help="maximum number of contexts (1 = triphones, "
+                        "0 = unlimited context range; tie.cc:129)")
     p.add_argument("-O", "--ophn", action="store_true",
                    help="use alignment phns (out_phn)")
     p.add_argument("-i", "--info", type=int, default=0)
@@ -76,7 +78,8 @@ def main(argv=None) -> int:
             import sys
             print(f"Merged {n} cluster pairs", file=sys.stderr)
     if args.basebind:
-        pool.save_basebind(args.basebind)
+        pool.save_basebind(args.basebind,
+                           max_context_index=args.mcontext)
     if args.out:
         model = pool.make_model()
         write_model(args.out, model)

@@ -2017,8 +2017,18 @@ class StreamingDecoder:
     """
 
     def __init__(self, search: BeamSearch, sentence_start: str = "<s>",
-                 buffer_frames: int = 256):
+                 buffer_frames: int = 256, ring_frames: int = 16384,
+                 partial_words: int = 64):
         self.search = search
+        # partial-hypothesis support (`Toolbox::run` mid-stream best
+        # path, decode-stream.cc prints the hypothesis per block): a
+        # device-resident [ring_frames, E] ring of (word, prev) record
+        # rows lets partial() traceback ON DEVICE and fetch only a
+        # [partial_words] id buffer — no record flush, no host
+        # traceback.  The ring is created lazily on the first
+        # partial()/flush so pure-final consumers never pay for it.
+        self._ring_frames = ring_frames
+        self._partial_cap = partial_words
         # flush cadence: each push leaves its record row as a small
         # per-frame device array (the step stays ONE minimal dispatch —
         # measured 2-3x cheaper than carrying device ring buffers
@@ -2084,6 +2094,54 @@ class StreamingDecoder:
                     jnp.concatenate(flts, axis=1))
 
         self._pack_jit = jax.jit(pack_tokens)
+
+        # ring insert: scatter a [B, 2E] record pack at rows
+        # i0..i0+B-1 (mod ring_frames).  Donated so XLA updates the
+        # ring in place instead of copying it per partial.
+        def ring_upd(ringw, ringp, ih, i0):
+            E = ringw.shape[1]
+            rows = ((i0 + jnp.arange(ih.shape[0], dtype=jnp.int32))
+                    % ringw.shape[0])
+            return (ringw.at[rows].set(ih[:, :E]),
+                    ringp.at[rows].set(ih[:, E:]))
+
+        self._ring_upd_jit = jax.jit(ring_upd, donate_argnums=(0, 1))
+
+        # device traceback for partial(): best live token -> walk its
+        # record chain through the ring -> [partial_words] ids (newest
+        # first) + count + current best total.  Chains older than the
+        # ring window stop at the staleness guard (rows are
+        # overwritten after ring_frames steps).
+        def partial_tb(tokens, ringw, ringp, n_rows):
+            node, lmst, am, lms, dur, rec, alive, law, wc = tokens
+            cfg = search.config
+            total = jnp.where(alive, am + cfg.lm_scale_eff * lms,
+                              -jnp.inf)
+            best = jnp.argmax(total)
+            E = ringw.shape[1]
+            CAP = ringw.shape[0]
+            L = self._partial_cap
+            # staleness guard: rows older than the ring window are
+            # overwritten; padded stack tails can additionally clobber
+            # up to buffer_frames rows early, so back the horizon off
+            min_ptr = (n_rows - CAP + buffer_frames) * E
+
+            def cond(c):
+                ptr, i, _ = c
+                return (ptr >= 0) & (ptr >= min_ptr) & (i < L)
+
+            def body(c):
+                ptr, i, out = c
+                row = (ptr // E) % CAP
+                out = out.at[i].set(ringw[row, ptr % E])
+                return ringp[row, ptr % E], i + 1, out
+
+            _, nw, out = jax.lax.while_loop(
+                cond, body, (rec[best], jnp.int32(0),
+                             jnp.full((L,), -1, jnp.int32)))
+            return out, nw, total[best]
+
+        self._partial_jit = jax.jit(partial_tb)
         self._sentence_start = sentence_start
         self.reset()
 
@@ -2091,8 +2149,13 @@ class StreamingDecoder:
         s = self.search
         self._frame = 0
         self._pending = [[], [], [], []]  # per-frame [E] device arrays
-        self._pending_packs = []  # ((int32 [k,2E], f32 [k,2E]), k) device
+        # ((int32 [k,2E], f32 [k,2E]), k, i0): i0 = first step index of
+        # the pack's record rows (feeds the partial-traceback ring)
+        self._pending_packs = []
         self._spill = [[], [], [], []]    # host [n, E] flushed chunks
+        self._pack_start = 0              # record rows packed/spilled
+        self._ring = None                 # (words, prevs) device ring
+        self._ring_upto = 0               # rows already in the ring
         self._host_cache = None           # (n_frames, recs) memo
         lm_init = s.lm.initial_state(self._sentence_start)
         self._pending_init = lm_init
@@ -2153,22 +2216,63 @@ class StreamingDecoder:
         self._tokens, pack = self._chunk_jit(
             self._tokens, obs, jnp.int32(self._frame - 1),
             s._dev_t, s._dev_lm)
-        self._pending_packs.append((pack, k))
+        self._pending_packs.append((pack, k, self._pack_start))
+        self._pack_start += k
         self._frame += k
         if self._buffered_rows() >= self._buffer_frames:
             self._flush()
 
     def _buffered_rows(self) -> int:
         return (len(self._pending[0])
-                + sum(n for _, n in self._pending_packs))
+                + sum(n for _, n, _ in self._pending_packs))
 
     def _pending_to_pack(self) -> None:
         """Stack the per-frame pending rows into a device pack and
         queue it behind any earlier chunk packs (no host fetch)."""
         n = len(self._pending[0])
         if n:
-            self._pending_packs.append((self._stack_pending(), n))
+            self._pending_packs.append(
+                (self._stack_pending(), n, self._pack_start))
+            self._pack_start += n
             self._pending = [[], [], [], []]
+
+    def _ensure_ring(self) -> None:
+        """Insert every not-yet-ringed device pack into the record
+        ring (one scatter dispatch per pack; padded tail rows land on
+        future step indices and are overwritten by their real packs
+        before they become reachable)."""
+        if self._ring is None:
+            E = self.search.config.num_records
+            self._ring = (
+                jnp.full((self._ring_frames, E), -1, jnp.int32),
+                jnp.full((self._ring_frames, E), -1, jnp.int32))
+        for pack, n, i0 in self._pending_packs:
+            if i0 >= self._ring_upto:
+                self._ring = self._ring_upd_jit(
+                    self._ring[0], self._ring[1], pack[0],
+                    jnp.int32(i0))
+                self._ring_upto = i0 + n
+
+    def partial(self):
+        """Current best word sequence via DEVICE traceback: a couple
+        of small dispatches plus ONE tiny fetch of a
+        [partial_words]-id buffer — records are NOT flushed and no
+        host traceback runs (contrast result()).  Mid-stream this is
+        the hypothesis `Toolbox::run` exposes between frames
+        (decode-stream.cc's per-block print); no sentence-end finalize
+        is applied.  Words older than `ring_frames` frames are
+        truncated (the final result() is always full-fidelity)."""
+        if self._tokens is None:
+            raise RuntimeError("no frames pushed")
+        self._pending_to_pack()
+        self._ensure_ring()
+        out, nw, best = jax.device_get(self._partial_jit(
+            self._tokens, self._ring[0], self._ring[1],
+            jnp.int32(self._frame - 1)))
+        ids = [int(w) for w in out[:int(nw)][::-1] if w >= 0]
+        return expand_word_boundaries(
+            [self.search.tree.vocab[i] for i in ids],
+            self.search.config)
 
     def _stack_pending(self):
         """Launch the jitted device-side stack of the pending record
@@ -2212,8 +2316,12 @@ class StreamingDecoder:
         self._pending_to_pack()
         if not self._pending_packs:
             return
-        host = jax.device_get([p for p, _ in self._pending_packs])
-        for hp, (_, n) in zip(host, self._pending_packs):
+        if self._ring is not None:
+            # keep the partial ring complete: rows flushed to host are
+            # no longer reachable on device otherwise
+            self._ensure_ring()
+        host = jax.device_get([p for p, _, _ in self._pending_packs])
+        for hp, (_, n, _) in zip(host, self._pending_packs):
             self._spill_packed(hp, n)
         self._pending_packs = []
 
@@ -2230,13 +2338,15 @@ class StreamingDecoder:
         # ONE batched round trip for everything the finalize needs:
         # the packed token state + all pending record packs
         self._pending_to_pack()
+        if self._ring is not None:
+            self._ensure_ring()
         fetch = {"tok": self._pack_jit(self._tokens)}
         if self._pending_packs:
-            fetch["rec"] = [p for p, _ in self._pending_packs]
+            fetch["rec"] = [p for p, _, _ in self._pending_packs]
         host = jax.device_get(fetch)
         if self._pending_packs:
-            for hp, (_, npend) in zip(host["rec"],
-                                      self._pending_packs):
+            for hp, (_, npend, _) in zip(host["rec"],
+                                         self._pending_packs):
                 self._spill_packed(hp, npend)
             self._pending_packs = []
         if n > 0:

@@ -21,6 +21,7 @@ sequential by nature — SURVEY §7 hard part (f)).
 
 from __future__ import annotations
 
+import itertools
 import math
 from dataclasses import dataclass, field
 
@@ -106,6 +107,27 @@ def _cluster_logdet(occ, m1, m2, dim):
 class Cluster:
     members: list                    # ContextPhoneStats refs
     rules: list = field(default_factory=list)  # (rule_name, ctx, answer)
+    # routing chains for UNSEEN context phones: each chain is one
+    # (phone_set, ctx, answer) list; a label belongs to the cluster
+    # when any chain is fully satisfied (merged clusters carry the
+    # chains of all their sources — PhonePool.cc:1091-1125
+    # iterate_context_phones / num_applied_rule_sets)
+    rule_sets: list = field(default_factory=list)
+
+    def routes(self, label: str) -> bool:
+        for chain in self.rule_sets:
+            ok = True
+            for phone_set, ctx, answer in chain:
+                ctxs = (left_contexts(label) if ctx < 0
+                        else right_contexts(label))
+                i = abs(ctx) - 1
+                got = (ctxs[i] in phone_set) if i < len(ctxs) else False
+                if got != answer:
+                    ok = False
+                    break
+            if ok:
+                return True
+        return False
 
     def stats(self):
         occ = sum(m.occupancy for m in self.members)
@@ -157,6 +179,12 @@ class PhonePool:
         bucket = self.phones.setdefault(key, {})
         if label not in bucket:
             bucket[label] = ContextPhoneStats(label)
+            # the pool-level context set drives the basebind cross
+            # product (PhonePool.cc:34-40 add_context)
+            if not hasattr(self, "contexts"):
+                self.contexts = set()
+            self.contexts.update(left_contexts(label))
+            self.contexts.update(right_contexts(label))
         return bucket[label]
 
     # -- tying ------------------------------------------------------------
@@ -195,7 +223,8 @@ class PhonePool:
                 gain = self._gain(cl, part1, part2)
                 if gain > self.min_split_gain and (
                         best is None or gain > best[0]):
-                    best = (gain, name, ctx, answer, part1, part2)
+                    best = (gain, name, ctx, answer, part1, part2,
+                            phone_set)
         return best
 
     def tie(self, max_context_index: int = 0) -> dict:
@@ -217,12 +246,17 @@ class PhonePool:
             while i < len(clusters):
                 best = self._best_split(clusters[i], ctx_range)
                 if best is not None:
-                    gain, name, ctx, answer, part1, part2 = best
+                    (gain, name, ctx, answer, part1, part2,
+                     phone_set) = best
                     rules = list(clusters[i].rules)
-                    clusters[i] = Cluster(part1,
-                                          rules + [(name, ctx, answer)])
-                    clusters.append(
-                        Cluster(part2, rules + [(name, ctx, not answer)]))
+                    chain = (clusters[i].rule_sets[0]
+                             if clusters[i].rule_sets else [])
+                    clusters[i] = Cluster(
+                        part1, rules + [(name, ctx, answer)],
+                        [chain + [(phone_set, ctx, answer)]])
+                    clusters.append(Cluster(
+                        part2, rules + [(name, ctx, not answer)],
+                        [chain + [(phone_set, ctx, not answer)]]))
                     # reconsider the split cluster (PhonePool.cc:517)
                 else:
                     i += 1
@@ -261,7 +295,8 @@ class PhonePool:
                 if best >= 0 and min_loss < max_merge_loss:
                     clusters[c] = Cluster(
                         clusters[c].members + clusters[best].members,
-                        clusters[c].rules)
+                        clusters[c].rules,
+                        clusters[c].rule_sets + clusters[best].rule_sets)
                     del clusters[best]
                     merged_total += 1
                     # reprocess the grown cluster (PhonePool.cc:884 c--)
@@ -318,20 +353,68 @@ class PhonePool:
             means=np.asarray(means), covars=np.asarray(covars),
             mixtures=mixtures, phones=phones, transitions=transitions)
 
-    def save_basebind(self, path, initial_state_index: int = 0) -> None:
-        """LABEL NUM_STATES IDX... lines (fileformats.html Basebind)."""
-        labels = {}
+    def save_basebind(self, path, initial_state_index: int = 0,
+                      max_context_index: int = 0) -> None:
+        """LABEL NUM_STATES IDX... lines (fileformats.html Basebind).
+
+        With ``max_context_index`` > 0 this reproduces the reference
+        enumeration exactly (`PhonePool::save_to_basebind` +
+        `iterate_context_phones`, PhonePool.cc:1021-1152): state
+        indices are allocated per (center phone, state, cluster) in
+        sorted center order; every non-silence center phone emits one
+        line per context CROSS PRODUCT over the pool's observed
+        context set (rightmost context varying fastest), each state
+        routed to its cluster through the applied decision-rule
+        chains; silence phones ('_'-initial) emit their bare label.
+        With 0, only observed labels are written (the compact form our
+        segfea consumes)."""
         idx_map = {}
         idx = initial_state_index
         for (center, state), clusters in sorted(self.result.items()):
             for c, cl in enumerate(clusters):
                 idx_map[(center, state, c)] = idx
                 idx += 1
-                for m in cl.members:
-                    labels.setdefault(m.label, {})[state] = \
-                        idx_map[(center, state, c)]
+        if max_context_index <= 0:
+            labels = {}
+            for (center, state), clusters in sorted(self.result.items()):
+                for c, cl in enumerate(clusters):
+                    for m in cl.members:
+                        labels.setdefault(m.label, {})[state] = \
+                            idx_map[(center, state, c)]
+            with open(path, "w") as f:
+                for label in sorted(labels):
+                    sts = labels[label]
+                    ids = " ".join(str(sts[s]) for s in sorted(sts))
+                    f.write(f"{label} {len(sts)} {ids}\n")
+            return
+        centers = sorted({c for (c, s) in self.result})
+        n_states = {c: 1 + max(s for (c2, s) in self.result if c2 == c)
+                    for c in centers}
+        ctxs = sorted(getattr(self, "contexts", set()))
+        M = max_context_index
         with open(path, "w") as f:
-            for label in sorted(labels):
-                sts = labels[label]
-                ids = " ".join(str(sts[s]) for s in sorted(sts))
-                f.write(f"{label} {len(sts)} {ids}\n")
+            for center in centers:
+                if center.startswith("_"):
+                    ids = [idx_map[(center, s, 0)]
+                           for s in range(n_states[center])]
+                    f.write(f"{center} {len(ids)} "
+                            f"{' '.join(map(str, ids))}\n")
+                    continue
+                # odometer over 2M context slots, rightmost fastest
+                for combo in itertools.product(ctxs, repeat=2 * M):
+                    label = ("-".join(combo[:M]) + "-" + center + "+"
+                             + "+".join(combo[M:]))
+                    ids = []
+                    for s in range(n_states[center]):
+                        clusters = self.result[(center, s)]
+                        ci = 0
+                        if len(clusters) > 1:
+                            ci = -1
+                            for i, cl in enumerate(clusters):
+                                if cl.routes(label):
+                                    ci = i
+                                    break
+                            assert ci >= 0, label
+                        ids.append(idx_map[(center, s, ci)])
+                    f.write(f"{label} {len(ids)} "
+                            f"{' '.join(map(str, ids))}\n")

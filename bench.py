@@ -271,22 +271,25 @@ def streaming_latency_ms():
     float(np.asarray(sd._tokens[2][0]))
     step_ms = (time.perf_counter() - t0) / 50 * 1e3
     # the demonstrated pipelined consumer (decode_stream
-    # --partial-every K): K pure device pushes, then ONE bulk record
-    # fetch + host traceback for the partial hypothesis
+    # --partial-every K): K pure device pushes, then a partial
+    # hypothesis every K frames.  Metric definition (stable since r3):
+    # per-frame wall time of a consumer that EMITS a partial every K
+    # frames; since r5 the partial is StreamingDecoder.partial() — a
+    # device traceback + one [64]-id fetch, no record flush.
     K, rounds = 32, 4
     sd.reset()
     frames2 = rng.normal(-5.0, 2.0, (K * (rounds + 1) + 2, S)).astype(
         np.float32)
     sd.push_frame(frames2[0])
     sd.push_frame(frames2[K * rounds + 1])
-    sd.result()               # compile + warm (incl. the record flush)
+    sd.partial()              # compile + warm (ring + traceback)
     sd.reset()
     sd.push_frame(frames2[0])
     t0 = time.perf_counter()
     for i in range(1, K * rounds + 1):
         sd.push_frame(frames2[i])
         if i % K == 0:
-            sd.result()
+            sd.partial()
     pipelined_ms = (time.perf_counter() - t0) / (K * rounds) * 1e3
     # chunked consumer (decode_stream block path): each K-frame audio
     # block is ONE lax.scan dispatch (push_frames), partial fetched per
@@ -294,13 +297,13 @@ def streaming_latency_ms():
     sd.reset()
     sd.push_frames(frames2[:K])          # compile seed + (K-1) scan
     sd.push_frames(frames2[K:2 * K])     # compile K scan
-    sd.result()
+    sd.partial()
     sd.reset()
     sd.push_frames(frames2[:K])
     t0 = time.perf_counter()
     for r in range(1, rounds + 1):
         sd.push_frames(frames2[r * K:(r + 1) * K])
-        sd.result()
+        sd.partial()
     chunked_ms = (time.perf_counter() - t0) / (K * rounds) * 1e3
     return (float(np.median(lat) * 1e3), float(step_ms),
             float(pipelined_ms), float(chunked_ms))

@@ -40,6 +40,50 @@ class TestStreaming:
         # final partial equals the full result
         assert partials[-1] == bs.decode(obs).words
 
+    def test_device_partial_matches_result(self):
+        """partial() — device traceback + tiny id fetch — agrees with
+        the host-traceback result() at every probe point."""
+        model, tree, fsa = make_decode_task()
+        obs = synth_obs(tree, model,
+                        ["_", "a", "b", "b", "a", "c", "a", "_"])
+        bs = BeamSearch(tree, fsa, model,
+                        SearchConfig(num_tokens=128, num_records=16,
+                                     beam=1e9, lm_scale=1.0))
+        sd = StreamingDecoder(bs)
+        for t in range(obs.shape[0]):
+            sd.push_frame(obs[t])
+            if t % 5 == 4 or t == obs.shape[0] - 1:
+                assert sd.partial() == sd.result().words
+        assert sd.partial() == bs.decode(obs).words
+
+    def test_device_partial_interleaves_with_flush(self):
+        """partial() stays correct when the record spill has already
+        flushed device rows to host (ring keeps its own copy)."""
+        model, tree, fsa = make_decode_task()
+        obs = synth_obs(tree, model, ["a", "b", "b", "a", "c", "a"])
+        bs = BeamSearch(tree, fsa, model,
+                        SearchConfig(num_tokens=128, num_records=16,
+                                     beam=1e9, lm_scale=1.0))
+        sd = StreamingDecoder(bs, buffer_frames=8)  # force flushes
+        got = []
+        for t in range(obs.shape[0]):
+            sd.push_frame(obs[t])
+            if t % 7 == 6:
+                got.append(sd.partial())
+        assert sd.partial() == sd.result().words
+
+    def test_device_partial_chunked_push(self):
+        model, tree, fsa = make_decode_task()
+        obs = synth_obs(tree, model, ["b", "a", "c", "a", "b"])
+        bs = BeamSearch(tree, fsa, model,
+                        SearchConfig(num_tokens=128, num_records=16,
+                                     beam=1e9, lm_scale=1.0))
+        sd = StreamingDecoder(bs)
+        K = 16
+        for i in range(0, obs.shape[0], K):
+            sd.push_frames(obs[i:i + K])
+            assert sd.partial() == sd.result().words
+
     def test_reset_restarts(self):
         model, tree, fsa = make_decode_task()
         obs = synth_obs(tree, model, ["c", "a"])
