@@ -136,6 +136,7 @@ def sharded_train_step(mesh: Mesh, num_trans_slots: int,
         "num_positions": P("data"), "final_logp": P("data"),
         "final_slot": P("data"),
         "inst": P("data", None),
+        "mpv_gid": P("data", None),
     }
 
     def step(params, features, graph, n_frames):

@@ -188,6 +188,15 @@ public:
     for (int i = 0; i < std::min(a.m_, a.n_); ++i) a(i, i) = 1.0;
     return a;
   }
+  // lapackpp 2.5.4: square matrix with v on the diagonal (lda.cc:440)
+  static LaGenMatDouble from_diag(const LaGenMatDouble &v) {
+    int n = v.m_ * v.n_;
+    LaGenMatDouble a = zeros(n, n);
+    for (int i = 0; i < n; ++i) a(i, i) = v.rows() == 1
+        ? const_cast<LaGenMatDouble&>(v)(0, i)
+        : const_cast<LaGenMatDouble&>(v)(i % v.m_, i / v.m_);
+    return a;
+  }
 
   // contiguous column-major copy helper for LAPACK calls
   std::vector<double> packed() const {

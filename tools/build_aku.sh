@@ -16,7 +16,9 @@ OUT="$REPO/build/aku"
 mkdir -p "$OUT/obj"
 
 CXX=${CXX:-g++}
-CXXFLAGS="-O2 -std=gnu++0x -w -DKISS_FFT -I$STUB -I$REF/aku -I$REF/vendor/kiss_fft"
+# -include iostream: gconvert.cc uses std::cout without including
+# <iostream> (compiled under older libstdc++ transitive includes)
+CXXFLAGS="-O2 -std=gnu++0x -w -DKISS_FFT -include iostream -I$STUB -I$REF/aku -I$REF/vendor/kiss_fft"
 
 SOURCES="FeatureGenerator FeatureModules AudioReader ModuleConfig \
 HmmSet PhnReader ModelModules SpeakerConfig Recipe conf io str endian \
