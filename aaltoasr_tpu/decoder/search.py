@@ -181,6 +181,23 @@ class SearchConfig:
                                     # beam bounds hypotheses
                                     # (TokenPassSearch.cc:1076-1081).
                                     # 0 = keep all (exact).
+    reentry_preselect: int = 0      # static re-entry row compaction:
+                                    # >0 precomputes each context
+                                    # pair's top-P fan-in entries by
+                                    # the STATIC part of the re-entry
+                                    # rank (root arc logp + unigram
+                                    # lookahead when active) at build
+                                    # time, so the per-frame re-entry
+                                    # obs gather shrinks from [E, R]
+                                    # to [E, P].  At production scale
+                                    # (R=626, 287k nodes) that gather
+                                    # alone is ~26% of the step
+                                    # (profile 2026-08-20); obs only
+                                    # re-ranks WITHIN the preselected
+                                    # set, so divergence needs an
+                                    # entry whose obs advantage beats
+                                    # the static gap to the P-th
+                                    # entry.  0 = full row (exact).
     reentry_records: int = 0        # only the top-K record slots seed
                                     # cross-word re-entry (records are
                                     # compacted best-first, so this is
@@ -847,6 +864,49 @@ class BeamSearch:
                           file=sys.stderr)
                 self.tables["la"] = jnp.asarray(unigram_lookahead(
                     tree, la_lm, la_first))
+        # ---- static re-entry preselect (SearchConfig.reentry_preselect)
+        self._reentry_pre = 0
+        RPre = int(config.reentry_preselect or 0)
+        R_full = int(np.asarray(tree.root_pair_tgt).shape[1])
+        if RPre and RPre <= R_full and not self._reentry_topk:
+            if config.reentry_prewalk:
+                RPre = max(RPre, int(config.reentry_prewalk))
+            pt = np.asarray(tree.root_pair_tgt)
+            plp = np.asarray(tree.root_pair_logp)
+            static = plp.astype(np.float64).copy()
+            # live entry log-probs are ZERO by builder invariant (see
+            # reentry_topk), so the static discriminator is the best
+            # unigram LM score reachable through each entry's subtree
+            # — the same quantity unigram lookahead ranks with.  When
+            # lookahead is off, compute it here for ranking only.
+            if self._la_on and not (self._la_bigram or self._la_ctx):
+                la_np = np.asarray(self.tables["la"])
+            else:
+                la_lm0 = (lm.members[0]
+                          if isinstance(lm, InterNGramFsa) else lm)
+                la_np = np.asarray(
+                    unigram_lookahead(tree, la_lm0, la_first))
+            static = static + config.lm_scale_eff * la_np[
+                np.maximum(pt, 0)]
+            static[plp <= LOG_ZERO / 2] = -np.inf
+            sel = np.argsort(-static, axis=1, kind="stable")[:, :RPre]
+            tk = lambda a: np.take_along_axis(a, sel, axis=1)
+            pt_pre = tk(pt)
+            self.tables.update({
+                "root_tgt_pre": jnp.asarray(pt_pre),
+                "root_logp_pre": jnp.asarray(tk(plp)),
+                "pdf_root_pre": jnp.asarray(
+                    pdf_np[np.maximum(pt_pre, 0)]),
+            })
+            if self._la_ctx:
+                lo, hi, la1 = self._ctx_iv
+                rt_pre = np.maximum(pt_pre, 0)
+                self.tables.update({
+                    "lart_lo_pre": jnp.asarray(lo[rt_pre]),
+                    "lart_hi_pre": jnp.asarray(hi[rt_pre]),
+                    "lart_1_pre": jnp.asarray(la1[rt_pre]),
+                })
+            self._reentry_pre = RPre
         # ---- row-packed per-node step table: ONE contiguous row
         # gather per token per step replaces ~6 separate per-token
         # scalar gathers (TPU gather cost is ~5-8 ns per gather INDEX
@@ -1343,18 +1403,23 @@ class BeamSearch:
                 la_parts.append(jnp.concatenate(la2_parts))
         else:
             # full re-entry through the word end's context row [E, R]
-            # (cross-word fan-in: silence/monophone trees have one row)
-            r_tgt = t["root_tgt"][e_pair]               # [Er, R]
-            r_lp = t["root_logp"][e_pair]
-            obs2 = (obs_t[t["pdf_root"][e_pair]] if self._obs_compose
-                    else obs_t[t["pdf_root"]][e_pair])  # [Er, R]
+            # (cross-word fan-in: silence/monophone trees have one
+            # row); with reentry_preselect the row is the statically
+            # preselected top-P slice, so the obs gather — the largest
+            # single op at production scale — shrinks R/P-fold
+            pre = "_pre" if self._reentry_pre else ""
+            r_tgt = t["root_tgt" + pre][e_pair]         # [Er, R|P]
+            r_lp = t["root_logp" + pre][e_pair]
+            obs2 = (obs_t[t["pdf_root" + pre][e_pair]]
+                    if self._obs_compose
+                    else obs_t[t["pdf_root" + pre]][e_pair])
             R = r_tgt.shape[1]
             la_c2 = None
             if self._la_ctx:
                 la_c2 = ctx_la(
-                    lev_e, acc_e, t["lart_lo"][e_pair],
-                    t["lart_hi"][e_pair],
-                    t["lart_1"][e_pair]).reshape(-1)
+                    lev_e, acc_e, t["lart_lo" + pre][e_pair],
+                    t["lart_hi" + pre][e_pair],
+                    t["lart_1" + pre][e_pair]).reshape(-1)
             RK = (min(cfg.reentry_prewalk, R)
                   if cfg.reentry_prewalk else 0)
             if RK and RK < R:

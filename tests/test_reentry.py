@@ -64,6 +64,48 @@ class TestReentryCompaction:
             assert comp.log_prob == pytest.approx(full.log_prob,
                                                   rel=1e-5)
 
+    def test_preselect_matches_full_expansion(self, task):
+        """reentry_preselect >= the live row width is exactly the full
+        expansion (same candidates, reordered by the static rank);
+        smaller presets stay 1-best identical on this task."""
+        tmp, model, words, label_id, t = task
+        for i, seq in enumerate([["ab", "ba"], ["ca", "bc", "a"]]):
+            lna = synth_crossword_lna(tmp, model, words, label_id,
+                                      seq, seed=20 + i,
+                                      name=f"p{i}.lna")
+            lp, _ = read_lna(lna)
+            _, full = _decode(t, lp)
+            s2, wide = _decode(t, lp, reentry_preselect=10_000)
+            assert s2._reentry_pre == 0      # >= R: tables not built
+            plp = np.asarray(s2.tree.root_pair_logp)
+            R = int(plp.shape[1])
+            live = int((plp > -1e9).sum(axis=1).max())
+            # P covering every row's live width keeps ALL live
+            # entries -> exactly the full expansion modulo the static
+            # reordering (a wiring check of the preselected tables)
+            s3, pre = _decode(t, lp, reentry_preselect=live)
+            assert s3._reentry_pre == live
+            assert pre.words == full.words, seq
+            assert pre.log_prob == pytest.approx(full.log_prob,
+                                                 rel=1e-5)
+            # below the live width the unigram-ranked preselect is a
+            # pruning heuristic; on this task the 1-best holds
+            _, pre2 = _decode(t, lp,
+                              reentry_preselect=max(2, live // 2))
+            assert pre2.words == full.words, seq
+
+    def test_preselect_composes_with_prewalk(self, task):
+        tmp, model, words, label_id, t = task
+        lna = synth_crossword_lna(tmp, model, words, label_id,
+                                  ["ab", "ba", "ca"], seed=31,
+                                  name="pp.lna")
+        lp, _ = read_lna(lna)
+        _, full = _decode(t, lp)
+        _, pre = _decode(t, lp, reentry_preselect=16,
+                         reentry_prewalk=8, reentry_records=8)
+        assert pre.words == full.words
+        assert pre.log_prob == pytest.approx(full.log_prob, rel=1e-5)
+
     def test_monophone_tree_falls_back(self):
         from tests.test_decoder import make_decode_task
         model, tree, fsa = make_decode_task()
