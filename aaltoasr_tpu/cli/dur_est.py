@@ -20,8 +20,12 @@ def main(argv=None) -> int:
     p.add_argument("-r", "--recipe", required=True,
                    help="recipe with alignment= fields (state .phn)")
     p.add_argument("-o", "--out", required=True, help="output .dur file")
-    p.add_argument("--skip-states", type=int, default=0)
-    p.add_argument("--min-count", type=int, default=2)
+    p.add_argument("-O", "--ophn", action="store_true",
+                   help="use alignment (output) phns")
+    p.add_argument("--skip-states", "--skip", dest="skip_states",
+                   type=int, default=0)
+    p.add_argument("--min-count", "--mincount", dest="min_count",
+                   type=int, default=2)
     p.add_argument("--rate", type=float, default=125.0, help="frame rate")
     p.add_argument("-B", "--batch", type=int, default=0)
     p.add_argument("-I", "--bindex", type=int, default=0)
@@ -34,10 +38,14 @@ def main(argv=None) -> int:
     spf = 16000.0 / args.rate
     recipe = Recipe.read(args.recipe, args.batch, args.bindex)
     for rinfo in recipe:
-        path = rinfo.alignment_path or rinfo.transcript_path
+        path = (rinfo.alignment_path if args.ophn
+                else rinfo.transcript_path) or rinfo.alignment_path
         if args.info > 0:
             print(f"Processing file: {path}", file=sys.stderr)
-        for e in read_phn(path):
+        # the reference never counts a file's FIRST phn line:
+        # init_utterance_segmentation pre-reads one line before the
+        # next_phn_line loop starts (dur_est.cc:36,190-199)
+        for e in read_phn(path)[1:]:
             if e.start < 0 or e.label not in label_states:
                 continue
             states = label_states[e.label]

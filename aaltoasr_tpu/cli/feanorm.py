@@ -25,8 +25,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="feanorm")
     p.add_argument("-c", "--config", required=True)
     p.add_argument("-r", "--recipe", required=True)
-    p.add_argument("-o", "--out", required=True,
-                   help="output feature configuration")
+    p.add_argument("-o", "--out", "-w", "--write-config", dest="out",
+                   required=True, help="output feature configuration")
     p.add_argument("-M", "--module", default="",
                    help="name of the normalization module (default: the "
                         "single normalization module in the config)")

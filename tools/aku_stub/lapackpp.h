@@ -556,11 +556,18 @@ inline void LaEigSolve(const LaGenMatDouble& A, LaVectorDouble& wr,
   dgeev_("N", "V", &n, a.data(), &n, wrv.data(), wiv.data(), nullptr,
          &one, vr.data(), &n, work.data(), &lwork, &info);
   if (info != 0) throw LaException("dgeev failed");
+  // lapackpp returned eigenpairs sorted by descending |lambda|
+  // (aku/lda.cc:420 asserts this); raw dgeev order is arbitrary.
+  std::vector<int> ord(n);
+  for (int i = 0; i < n; ++i) ord[i] = i;
+  std::stable_sort(ord.begin(), ord.end(), [&](int i, int j) {
+    return std::fabs(wrv[i]) > std::fabs(wrv[j]);
+  });
   for (int i = 0; i < n; ++i) {
-    wr(i) = wrv[i];
-    wi(i) = wiv[i];
+    wr(i) = wrv[ord[i]];
+    wi(i) = wiv[ord[i]];
+    for (int r = 0; r < n; ++r) V(r, i) = vr[(size_t)ord[i] * n + r];
   }
-  V.unpack(vr);
 }
 
 inline void LaEigSolve(const LaGenMatComplex& A, LaVectorComplex& w,

@@ -37,7 +37,8 @@ done
 for c in kiss_fft kiss_fftr; do
   o="$OUT/obj/$c.o"
   [ -f "$o" ] || { echo "CC  $c.c";
-    $CXX $CXXFLAGS -x c -c "$REF/vendor/kiss_fft/$c.c" -o "$o"; }
+    CF=${CXXFLAGS/-include iostream/}; CF=${CF/-std=gnu++0x/}
+    $CXX $CF -x c -c "$REF/vendor/kiss_fft/$c.c" -o "$o"; }
 done
 
 o="$OUT/obj/sndfile_stub.o"
