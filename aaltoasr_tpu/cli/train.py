@@ -47,6 +47,12 @@ def main(argv=None) -> int:
     p.add_argument("--split-target", type=int, default=-1,
                    help="target total number of Gaussians")
     p.add_argument("--split-minocc", type=float, default=225.0)
+    p.add_argument("--split-maxmixgauss", type=int, default=80,
+                   help="max Gaussians per mixture when splitting "
+                        "(train.pl:64 SPLIT_MAX_GAUSSIANS)")
+    p.add_argument("--split-alpha", type=float, default=0.3,
+                   help="occupancy smoothing power for splitting "
+                        "(train.pl:69 SPLIT_ALPHA)")
     p.add_argument("--minvar", type=float, default=0.1)
     p.add_argument("--mllt-start-iter", type=int, default=15,
                    help="first MLLT iteration (train.pl:81; 0 = off)")
@@ -63,6 +69,13 @@ def main(argv=None) -> int:
                    help="Gaussian clusters for the final model (gcluster)")
     p.add_argument("--durations", action="store_true",
                    help="estimate a duration model at the end")
+    p.add_argument("--dur-mincount", type=int, default=10,
+                   help="min occurrence count for a state's gamma fit "
+                        "(dur_est.cc default)")
+    p.add_argument("--keep-sil-durations", action="store_true",
+                   help="keep duration models for silence states "
+                        "(train.pl:98 REMOVE_DUR_MODELS zeroes them "
+                        "by default)")
     p.add_argument("-B", "--batch", type=int, default=0)
     p.add_argument("-I", "--bindex", type=int, default=0)
     p.add_argument("-i", "--info", type=int, default=1)
@@ -151,7 +164,9 @@ def main(argv=None) -> int:
                 and it <= args.split_stop_iter):
             new_model, did_split = split_gaussians(
                 new_model, stats, minocc=args.split_minocc,
-                numgauss=args.split_target)
+                maxg=args.split_maxmixgauss,
+                numgauss=args.split_target,
+                splitalpha=args.split_alpha)
         write_model(out_base, new_model)
         with open(summary_path, "a") as f:
             f.write(f"iter {it} loglikelihood {stats.num_ll:.6g} "
@@ -186,10 +201,22 @@ def main(argv=None) -> int:
                           read_phn(rinfo.transcript_path)]
                 segments, _ = align_utterance(
                     final, table, scorer, fg, samples, labels)
-                for (s, e, label, state) in segments:
+                # the reference recipe's dur_est never counts a file's
+                # first segment (init_utterance_segmentation pre-reads
+                # one line, dur_est.cc:36,190-199); keep .dur files
+                # recipe-identical
+                for (s, e, label, state) in segments[1:]:
                     sts = final.phone(label).states
                     acc.add_segment(sts[state], e - s)
-            write_dur(dur_path, acc.estimate())
+            durations = acc.estimate(min_count=args.dur_mincount)
+            if not args.keep_sil_durations:
+                # train.pl:614-623 REMOVE_DUR_MODELS: zero the gamma
+                # models of silence-phone states
+                for ph in final.phones:
+                    if "_" in ph.label:
+                        for st in ph.states:
+                            durations[st] = 0.0
+            write_dur(dur_path, durations)
             if args.info > 0:
                 print(f"Duration model written to {dur_path}",
                       file=sys.stderr)
