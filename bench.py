@@ -99,6 +99,12 @@ def decode_xrt(num_words=1000, triphone=True, durations=True, order=3,
         dec += len(res[b].words)
     print(f"decode{tag}: planted-word check {agree}/{tot} "
           f"({dec} decoded)", file=sys.stderr)
+    if agree == tot - 1:
+        print(f"decode{tag}: single miss = the known utterance-final "
+              "commit ambiguity (b=2's last word; identical in the "
+              "exact engine, decoded at lm_scale=10 — DESIGN.md 'The "
+              "34/35', benchmarks/diagnose_planted.py)",
+              file=sys.stderr)
     dt = float("inf")
     for i in range(5):                         # relay timing is noisy:
         t0 = time.perf_counter()               # take the best run
@@ -162,6 +168,10 @@ def exact_decode_xrt(triphone=False, order=2, num_words=1000, tag=""):
         tot += len(ref)
     print(f"exact{tag}: planted-word check {agree}/{tot}",
           file=sys.stderr)
+    if agree == tot - 1:
+        print(f"exact{tag}: single miss = the known utterance-final "
+              "commit ambiguity (DESIGN.md 'The 34/35')",
+              file=sys.stderr)
     dt = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
