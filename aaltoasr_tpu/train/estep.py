@@ -262,9 +262,21 @@ def chain_stats(scorer, features, graph, n_frames, num_trans_slots: int,
     Sp = scorer.comp_idx.shape[0]
 
     gll = scorer.gaussian_log_likelihoods(features)       # [T, Gp]
-    sll = logsumexp(                                      # [T, Sp]
-        gll[:, scorer.comp_idx] + scorer.comp_logw, axis=-1)
-    state_obs = sll[:, pdf]                               # [T, P]
+    if P < Sp:
+        # Score only the states the chain actually visits: gather gll
+        # at [P, K] component columns instead of all [Sp, K] and
+        # logsumexp per position.  Identical values (same elements,
+        # same reduction), but the gather shrinks Sp*K -> P*K columns
+        # AND is the very gather log_resp needs below, so XLA reuses
+        # it.  Roofline (benchmarks/roofline_estep.py): the all-state
+        # gather was the single largest E-step component.
+        state_obs = logsumexp(                            # [T, P]
+            gll[:, scorer.comp_idx[pdf]] + scorer.comp_logw[pdf],
+            axis=-1)
+    else:
+        sll = logsumexp(                                  # [T, Sp]
+            gll[:, scorer.comp_idx] + scorer.comp_logw, axis=-1)
+        state_obs = sll[:, pdf]                           # [T, P]
     obs_pos = state_obs
     if "obs_const" in graph:
         # hmmnet graphs: per-arc static score + ln(transition prob)

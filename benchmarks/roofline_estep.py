@@ -73,6 +73,14 @@ def main():
     t_score = timeit(score_fn, feats)
     obs = score_fn(feats)
 
+    # -- score, per-position (what chain_stats now does when P < Sp:
+    #    gather gll at the chain's [P, K] columns only) --------------
+    def score_pos(f):
+        gll = scorer.gaussian_log_likelihoods(f)
+        return logsumexp(gll[:, scorer.comp_idx[pdf]]
+                         + scorer.comp_logw[pdf], axis=-1)
+    t_score_pos = timeit(jax.jit(jax.vmap(score_pos)), feats)
+
     # -- fb only ------------------------------------------------------
     def fb_only(o, gg, nn):
         return estep.masked_forward_backward_shift(
@@ -111,6 +119,7 @@ def main():
     fps = B * T / t_total
     print(json.dumps({
         "t_score_s": round(t_score, 4),
+        "t_score_pos_s": round(t_score_pos, 4),
         "t_fb_s": round(t_fb, 4),
         "t_stats_plus_score_s": round(t_stats, 4),
         "t_stats_est_s": round(max(t_stats - t_score, 0.0), 4),
