@@ -709,6 +709,41 @@ class BeamSearch:
             "pdf_arc": jnp.asarray(
                 pdf_np[np.maximum(np.asarray(tree.arc_tgt), 0)]),
         })
+        # ---- deduplicated obs composition tables (round-5 production
+        # profile, benchmarks/profile_step_ops.py at 287k nodes: the
+        # per-candidate obs_t[...] scalar gathers are >50% of the
+        # step at ~10 ns per gather INDEX).  The pdf triples of tgt3
+        # repeat heavily under state tying (U3/N = 23% at 37k nodes,
+        # 13.5% at 123k, saturating), so obs at all DISTINCT triples
+        # can be fetched once per frame as a shared-index gather
+        # [U3, 3] (batch rides the lanes) followed by a [W] ROW gather
+        # — index count drops 3x and the shared gather is
+        # bandwidth-, not index-bound.  Exact: same elements, same
+        # values.  Pays off iff U3 stays well under ~56 tokens' worth
+        # of compose-gather indices per token (cost model in the
+        # commit); threshold 48*W is conservative.
+        self._tri = False
+        tri_id = None
+        if self._obs_compose:
+            u3, tri_id = np.unique(pdf_np[tgt3], axis=0,
+                                   return_inverse=True)
+            if u3.shape[0] <= 48 * config.num_tokens:
+                self.tables["pdf_tri"] = jnp.asarray(
+                    u3.astype(np.int32))
+                self._tri = True
+        # overflow rows likewise dedup (same two-step trick); shared
+        # wins iff Uo < ~78 * O rows (O = overflow slice width)
+        self._over_shared = False
+        if config.overflow_tokens:
+            po_u, o_uid = np.unique(pdf_np[o_tgt], axis=0,
+                                    return_inverse=True)
+            O_ = min(config.overflow_tokens, config.num_tokens)
+            if po_u.shape[0] <= 64 * O_:
+                self.tables["pdf_over_u"] = jnp.asarray(
+                    po_u.astype(np.int32))
+                self.tables["over_uid"] = jnp.asarray(
+                    o_uid.astype(np.int32))
+                self._over_shared = True
         # LM states must fit exact f32 values for the we_prewalk
         # payload packing (they ride a packed f32 row gather)
         ns = ([m.num_states for m in lm.members]
@@ -936,6 +971,10 @@ class BeamSearch:
         _pk_add("tgt3", tgt3, bits=True)
         _pk_add("lp3", lp3)
         _pk_add("over_map", over_map, bits=True)
+        if self._tri:
+            # unique-pdf-triple id: rides the pack (row gathers are
+            # index-bound, an extra column is ~free)
+            _pk_add("tri_id", tri_id.astype(np.int32), bits=True)
         _pk_add("we_pair", tree.we_pair, bits=True)
         if self._has_durations:
             # gather-free gamma duration params (the dense engine's
@@ -1039,7 +1078,14 @@ class BeamSearch:
             v = jax.lax.slice_in_dim(pk, s, s + w, axis=1)
             return v.astype(jnp.int32) if ints else v
 
-        if self._obs_compose:
+        if self._tri:
+            # large trees: shared-index gather at the DISTINCT pdf
+            # triples (bandwidth-bound, U3 << N), then one [W] row
+            # gather by packed triple id — 3x fewer gather indices
+            # than the per-candidate compose below (round-5 profile)
+            obs_tri = obs_t[t["pdf_tri"]]          # [U3, 3] shared
+            obs1 = obs_tri[pcol("tri_id", True)[:, 0]]   # [W, 3] rows
+        elif self._obs_compose:
             # large trees: gather the static pdf rows at the tokens,
             # then obs singles — skips the [N, 3, B] materialization
             obs1 = obs_t[t["pdf3"][node]]          # [W, 3] composed
@@ -1132,9 +1178,17 @@ class BeamSearch:
             o_row = orow[sel_o]
             c1b = expand(node[sel_o], sel_o, t["over_tgt"][o_row],
                          t["over_lp"][o_row], False, durb_tok[sel_o])
-            c1b["am"] = c1b["am"] + (
-                obs_t[t["pdf_over"][o_row]] if self._obs_compose
-                else obs_t[t["pdf_over"]][o_row]).reshape(-1)
+            if self._over_shared:
+                # shared-index gather at the DISTINCT overflow pdf
+                # rows, then [O] row gathers (exact; round-5 profile:
+                # the per-candidate compose gather was ~11% of the
+                # production step)
+                obs_ov = obs_t[t["pdf_over_u"]][t["over_uid"][o_row]]
+            elif self._obs_compose:
+                obs_ov = obs_t[t["pdf_over"][o_row]]
+            else:
+                obs_ov = obs_t[t["pdf_over"]][o_row]
+            c1b["am"] = c1b["am"] + obs_ov.reshape(-1)
             c1b["alive"] = c1b["alive"] & jnp.repeat(
                 jnp.take(is_branch, sel_o), t["over_tgt"].shape[1])
             if self._la_ctx:
@@ -1410,9 +1464,13 @@ class BeamSearch:
             pre = "_pre" if self._reentry_pre else ""
             r_tgt = t["root_tgt" + pre][e_pair]         # [Er, R|P]
             r_lp = t["root_logp" + pre][e_pair]
-            obs2 = (obs_t[t["pdf_root" + pre][e_pair]]
-                    if self._obs_compose
-                    else obs_t[t["pdf_root" + pre]][e_pair])
+            # two-step always: shared-index gather over the full
+            # static [Rp, R|P] pdf table (bandwidth-bound), then [Er]
+            # ROW gathers.  The per-candidate compose gather was the
+            # single largest production-step op (6.5 ms/frame at
+            # Er=8, R=626, B=128 — round-5 profile); the two-step
+            # wins whenever Rp < ~158*Er, i.e. always in practice.
+            obs2 = obs_t[t["pdf_root" + pre]][e_pair]
             R = r_tgt.shape[1]
             la_c2 = None
             if self._la_ctx:

@@ -585,8 +585,12 @@ def masked_forward_backward_shift(obs_pos, graph, n_frames,
         new = jnp.where(v, new, alpha)
         return new, alpha
 
+    # unroll: the step body is ~[P]-wide elementwise work, far below
+    # the per-step dispatch floor — unrolling amortizes it (roofline:
+    # the fb scans are the E-step's largest component after the
+    # per-position scoring fix)
     alpha_T, alphas_prev = jax.lax.scan(
-        fwd, alpha0, (obs_pos[1:], valid[1:]))
+        fwd, alpha0, (obs_pos[1:], valid[1:]), unroll=4)
     alphas = jnp.concatenate([alphas_prev, alpha_T[None]], axis=0)
 
     beta_last = _final(graph, P)
@@ -605,7 +609,8 @@ def masked_forward_backward_shift(obs_pos, graph, n_frames,
         return new, new
 
     _, betas_head = jax.lax.scan(
-        bwd, beta_last, (obs_pos[1:], valid[1:]), reverse=True)
+        bwd, beta_last, (obs_pos[1:], valid[1:]), reverse=True,
+        unroll=4)
     betas = jnp.concatenate([betas_head, beta_last[None]], axis=0)
 
     gamma = jnp.exp(jnp.maximum(alphas + betas - total, -80.0))

@@ -221,3 +221,27 @@ class TestPruningKnobs:
             getattr(t, name)(123.0)
             assert getattr(t.config, attr) == 123.0
             getattr(t, name)(0.0)
+
+
+class TestObsComposeParity:
+    """obs_compose=1 (the large-tree composition mode, incl. the
+    round-5 dedup two-step gathers: pdf_tri / pdf_over_u / re-entry
+    row tables) must decode bit-identically to the default
+    shared-index mode — the restructurings select the same elements,
+    so words AND scores must match."""
+
+    def test_compose_matches_default(self, task):
+        tmp, model, words, label_id, t = task
+        for i, seq in enumerate([["ab", "ba"], ["ca", "bc", "a"]]):
+            lna = synth_crossword_lna(tmp, model, words, label_id,
+                                      seq, seed=60 + i,
+                                      name=f"oc{i}.lna")
+            lp, _ = read_lna(lna)
+            knobs = dict(overflow_tokens=32, we_prewalk=64,
+                         reentry_records=8, reentry_prewalk=8)
+            s0, off = _decode(t, lp, obs_compose=0, **knobs)
+            s1, comp = _decode(t, lp, obs_compose=1, **knobs)
+            assert s1._obs_compose and s1._tri and s1._over_shared
+            assert comp.words == off.words, seq
+            assert comp.log_prob == pytest.approx(off.log_prob,
+                                                  rel=1e-6)
