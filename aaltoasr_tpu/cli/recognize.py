@@ -21,6 +21,18 @@ from aaltoasr_tpu.formats.lna import read_lna
 from aaltoasr_tpu.formats.recipe import Recipe
 from aaltoasr_tpu.models.phone_probs import PhoneProbs
 
+# --engine auto split point: the exact engine clears the >=100x RT
+# target below this tree size (156x at the 1k-word full operating
+# point) but measures ~58x at 287k nodes, where the dense engine holds
+# ~124x (DESIGN.md "Exact engine at PRODUCTION scale"; divergence
+# bounds in docs/ACCURACY.md).
+AUTO_ENGINE_NODE_THRESHOLD = 100_000
+
+
+def select_engine(n_nodes: int) -> str:
+    """Scale-based engine choice for --engine auto (VERDICT weak #3)."""
+    return "dense" if n_nodes >= AUTO_ENGINE_NODE_THRESHOLD else "exact"
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="recognize")
@@ -260,15 +272,14 @@ def main(argv=None) -> int:
         # Scale-based engine selection (round-5 VERDICT ask #1 /
         # weak #3): the exact engine is the accuracy mode but its
         # measured throughput at production vocabulary (~287k tree
-        # nodes) is ~58x RT vs the >=100x north star, while the dense
-        # engine holds ~124x there with 0% divergence at moderate
-        # ambiguity and <=0.9% WER at 50-60% ambiguous words
-        # (docs/ACCURACY.md; DESIGN.md "Exact engine at PRODUCTION
-        # scale").  Below ~100k nodes the exact engine itself clears
-        # 100x (156x at the 1k-word full operating point), so it
-        # stays the default there.
+        # nodes) misses the >=100x north star, while the dense engine
+        # holds ~124x there with 0% divergence at moderate ambiguity
+        # and <=0.9% WER at 50-60% ambiguous words (docs/ACCURACY.md;
+        # DESIGN.md "Exact engine at PRODUCTION scale").  Below ~100k
+        # nodes the exact engine itself clears 100x (156x at the
+        # 1k-word full operating point), so it stays the default there.
         n_nodes = t.tree.num_nodes
-        engine = "dense" if n_nodes >= 100_000 else "exact"
+        engine = select_engine(n_nodes)
         if args.info >= 0:
             print(f"engine auto: {n_nodes} tree nodes -> {engine} "
                   "(exact <100k nodes; dense above: ~124x vs ~58x RT "

@@ -56,6 +56,32 @@ class TestRecognizeEngines:
                 if f.endswith(".slf")]
         assert len(slfs) == 3
 
+    def test_auto_engine_selection(self, tmp_path, capsys):
+        """--engine auto (the default) picks the exact engine below the
+        node threshold, prints the selection notice, and matches the
+        explicit --engine exact output; the split point itself routes
+        large trees to the dense engine (recognize.select_engine)."""
+        from aaltoasr_tpu.cli.recognize import (
+            AUTO_ENGINE_NODE_THRESHOLD, select_engine)
+        assert select_engine(AUTO_ENGINE_NODE_THRESHOLD - 1) == "exact"
+        assert select_engine(AUTO_ENGINE_NODE_THRESHOLD) == "dense"
+        assert select_engine(287_154) == "dense"
+        recipe = _task(tmp_path)
+        exact = _run(tmp_path, recipe, capsys, ["--engine", "exact"])
+        from aaltoasr_tpu.cli.recognize import main
+        rc = main(["-b", str(tmp_path / "am"),
+                   "-c", str(tmp_path / "feats.cfg"),
+                   "-l", str(tmp_path / "lex.txt"),
+                   "-n", str(tmp_path / "lm.arpa"),
+                   "-r", str(recipe), "-w", str(tmp_path / "work"),
+                   "--lm-scale", "2", "--duration-scale", "0",
+                   "--engine", "auto"])
+        assert rc in (0, None)
+        cap = capsys.readouterr()
+        auto = [ln for ln in cap.out.splitlines() if ln.endswith(")")]
+        assert auto == exact
+        assert "engine auto:" in cap.err and "-> exact" in cap.err
+
     def test_morph_lm_autodetection(self, tmp_path, capsys):
         """An LM whose unigrams contain '<w>' flips on morph mode
         (rectool.py parse_lm): silence_is_word + word boundary, and
