@@ -200,12 +200,25 @@ class NGramFsa:
     _HASH_MUL_S = np.uint32(2654435761)
     _HASH_MUL_W = np.uint32(40503)
 
-    def hash_tables(self, max_probe: int = 2) -> dict:
-        """Linear-probed hash of the non-root transitions.
+    def hash_tables(self, bucket_slots: int = 8) -> dict:
+        """Bucketed hash of the non-root transitions.
 
-        max_probe=2 with a 4x load factor: every probe is a gather in
-        the decoder's inner scan (~18 us each at B=128), so buy fewer
-        probes with a larger table (HBM is free at these sizes)."""
+        Each lookup in the decoder's inner scan is a dynamic gather, and
+        gather cost on TPU is per-INDEX (~10 ns) — so the layout buys
+        ONE index per lookup: buckets of `bucket_slots` (state, word,
+        next, prob) slots flattened into one [S_b, 4*L] row (L=8 -> a
+        contiguous 128-byte row, one HBM burst).  Every key must land in
+        its home bucket (no cross-bucket probing keeps the lookup a
+        single gather); the bucket count doubles until that holds, which
+        converges at ~2-4x the key count (Poisson tails: P[bucket > 8]
+        ~ 2e-4 at mean 2).  The previous linear-probe layout demanded
+        all keys within 2 probes, which blew the table up to the 1024*M
+        cap — 2^28 rows (4.3 GB) on a 10k-word trigram, where the three
+        per-frame walk gathers were 27% of the production decode step
+        (round-5 profile, benchmarks/bench_exact.py --profile).
+        int32 columns are BITCAST into f32 lanes — gathers are
+        bit-preserving copies, and the bits only flow through
+        select/bitcast, never arithmetic (-1 is a NaN pattern)."""
         rows = slice(int(self.state_first[1]), len(self.trans_word))
         states = np.repeat(
             np.arange(self.num_states, dtype=np.int64),
@@ -214,58 +227,44 @@ class NGramFsa:
         nexts = self.trans_next[rows]
         probs = self.trans_prob[rows]
         M = len(words)
-        size = 1
-        while size < max(4 * M, 16):
-            size *= 2
+        L = bucket_slots
+        nb = 4
+        while nb * L < max(2 * M, 16):
+            nb *= 2
         while True:
-            mask = np.uint32(size - 1)
-            h_state = np.full(size, -1, np.int32)
-            h_word = np.full(size, -1, np.int32)
-            h_next = np.zeros(size, np.int32)
-            h_prob = np.zeros(size, np.float32)
+            bmask = np.uint32(nb - 1)
             h0 = ((states * self._HASH_MUL_S)
-                  ^ (words * self._HASH_MUL_W)) & mask
-            ok = True
-            for s_, w_, n_, p_, h in zip(states, words, nexts, probs,
-                                         h0):
-                placed = False
-                for i in range(max_probe):
-                    idx = int((h + np.uint32(i)) & mask)
-                    if h_state[idx] < 0:
-                        h_state[idx] = np.int32(s_)
-                        h_word[idx] = np.int32(w_)
-                        h_next[idx] = n_
-                        h_prob[idx] = p_
-                        placed = True
-                        break
-                if not placed:
-                    ok = False
-                    break
-            if ok:
+                  ^ (words * self._HASH_MUL_W)) & bmask
+            # vectorized placement: stable-sort keys by home bucket;
+            # slot = rank within the bucket
+            order = np.argsort(h0, kind="stable")
+            hs = h0[order]
+            first = np.zeros(len(hs), np.int64)
+            if len(hs):
+                new = np.flatnonzero(np.diff(hs.astype(np.int64)) != 0)
+                first[new + 1] = new + 1
+                first = np.maximum.accumulate(first)
+            slot = np.arange(len(hs)) - first
+            if len(hs) == 0 or slot.max() < L:
                 break
-            size *= 2                     # longer chains: grow table
-            if size > max(1024 * M, 1 << 16):
-                # pathological collisions: buy probes, not memory
-                max_probe += 1
-                size = 1
-                while size < max(4 * M, 16):
-                    size *= 2
-        # row-packed [size, 4] variant: one gather per probe instead of
-        # four (each [E]-sized gather pays ~7-15 us of fixed op cost on
-        # TPU).  int32 columns are BITCAST into f32 lanes — gathers are
-        # bit-preserving copies, and the bits only flow through
-        # select/bitcast, never arithmetic (-1 is a NaN pattern).
+            nb *= 2                       # some bucket overflows: grow
+        h_state = np.full(nb * L, -1, np.int32)
+        h_word = np.full(nb * L, -1, np.int32)
+        h_next = np.zeros(nb * L, np.int32)
+        h_prob = np.zeros(nb * L, np.float32)
+        idx = hs.astype(np.int64) * L + slot
+        h_state[idx] = states[order].astype(np.int32)
+        h_word[idx] = words[order].astype(np.int32)
+        h_next[idx] = nexts[order]
+        h_prob[idx] = probs[order]
         packed = np.stack([
             h_state.view(np.float32), h_word.view(np.float32),
-            h_next.view(np.float32), h_prob], axis=1)
+            h_next.view(np.float32), h_prob],
+            axis=1).reshape(nb, 4 * L)
         return {
-            "hash_state": jnp.asarray(h_state),
-            "hash_word": jnp.asarray(h_word),
-            "hash_next": jnp.asarray(h_next),
-            "hash_prob": jnp.asarray(h_prob),
             "hash_packed": jnp.asarray(packed),
-            "hash_mask": np.uint32(size - 1),
-            "hash_probes": max_probe,
+            "hash_mask": bmask,
+            "hash_slots": L,
         }
 
 
@@ -284,13 +283,15 @@ def lm_walk_device(tables: dict, num_words: int, order: int, state, word):
     M = tw.shape[0]
 
     if "hash_packed" in tables:
-        # open-addressed (state, word) table, row-packed: ALL probes in
-        # ONE gather per lookup (keys+values come back together; int32
-        # columns are bitcast through f32 lanes, only touched by
-        # select/bitcast).  Keys are unique, so at most one probe hits.
+        # bucketed (state, word) table: the whole home bucket (keys AND
+        # values, L slots x 4 cols) comes back in ONE gather of one
+        # contiguous [4L]-wide row — one gather INDEX per lookup, one
+        # HBM burst at L=8 (int32 columns bitcast through f32 lanes,
+        # only touched by select/bitcast).  Keys are unique and always
+        # placed in their home bucket, so at most one slot hits.
         hp = tables["hash_packed"]
         mask = jnp.uint32(tables["hash_mask"])
-        L = tables["hash_probes"]
+        L = tables["hash_slots"]
 
         def ic(x):
             return jax.lax.bitcast_convert_type(x, jnp.int32)
@@ -298,38 +299,14 @@ def lm_walk_device(tables: dict, num_words: int, order: int, state, word):
         def lookup(state, word):
             h = ((state.astype(jnp.uint32) * jnp.uint32(2654435761))
                  ^ (word.astype(jnp.uint32) * jnp.uint32(40503))) & mask
-            cand = ((h[..., None] + jnp.arange(L, dtype=jnp.uint32))
-                    & mask).astype(jnp.int32)
-            rows = hp[cand]                          # [..., L, 4]
+            rows = hp[h.astype(jnp.int32)]           # [..., 4L]
+            rows = rows.reshape(rows.shape[:-1] + (L, 4))
             m = ((ic(rows[..., 0]) == state[..., None])
                  & (ic(rows[..., 1]) == word[..., None]))
             hit = jnp.any(m, axis=-1)
             nxt = jnp.sum(jnp.where(m, ic(rows[..., 2]), 0), axis=-1)
             prob = jnp.sum(jnp.where(m, rows[..., 3], 0.0), axis=-1)
             return hit, nxt, prob
-    elif "hash_state" in tables:
-        # open-addressed (state, word) table: L probes x 2 key gathers
-        # + 2 value gathers (vs ~50 for the 16-ary search)
-        hs = tables["hash_state"]
-        hw = tables["hash_word"]
-        mask = jnp.uint32(tables["hash_mask"])
-        L = tables["hash_probes"]
-
-        hnx = tables["hash_next"]
-        hpr = tables["hash_prob"]
-
-        def lookup(state, word):
-            h = ((state.astype(jnp.uint32) * jnp.uint32(2654435761))
-                 ^ (word.astype(jnp.uint32) * jnp.uint32(40503))) & mask
-            hit = jnp.zeros(state.shape, bool)
-            idx = jnp.zeros(state.shape, jnp.int32)
-            for i in range(L):
-                cand = ((h + jnp.uint32(i)) & mask).astype(jnp.int32)
-                m = ((hs[cand] == state) & (hw[cand] == word)
-                     & ~hit)
-                idx = jnp.where(m, cand, idx)
-                hit = hit | m
-            return hit, hnx[idx], hpr[idx]
     else:
         def lookup(state, word):
             lo = sf[state].astype(jnp.int32)
